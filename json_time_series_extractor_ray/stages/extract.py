@@ -1,0 +1,185 @@
+"""Ray Data extraction stage: tokenized corpus batches -> sample batches.
+
+The engine twin of the reference's whole library surface (``GetSamples``,
+``TimeSeriesExtractor.cs:356-615``), restructured for Ray Data:
+
+* the stage is a callable CLASS for ``ds.map_batches(ExtractSamplesStage(...),
+  batch_format="pyarrow", zero_copy_batch=True, concurrency=N)`` — an actor
+  pool whose per-options compiled state (match-rule regexes/sets, template
+  AST, tokenizer tables) is built ONCE per worker in ``__init__``, the
+  distributed analogue of the reference compiling per-``GetSamples`` state
+  once per call (``TimeSeriesExtractor.cs:140-266``);
+* batches stay Arrow end-to-end: the ``tokens`` list<int32> column is
+  detokenized via a zero-copy numpy view; samples are accumulated into
+  columnar builders and returned as one ``pyarrow.Table``;
+* the wide ``tokens`` column is dropped on output (SURVEY.md §7.3.9): the
+  shuffle after extraction moves only sample columns.  Token-array equality
+  is preserved trivially because the stage never mutates its input block —
+  verified end-to-end by ``tests/test_ray_pipeline.py``.
+
+Determinism: distributed fallback timestamps must not use the wall clock
+(retries would change outputs — SURVEY.md §7.3.5).  Configure either
+``fallback_ts_column`` (per-row fallback, e.g. an ingest watermark column) or
+``fallback_now_ns`` (job-level constant); using neither raises unless
+``allow_wall_clock=True``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..extractor import (
+    ExtractionPlan,
+    ExtractorOptions,
+    TimestampSource,
+    extract_samples,
+)
+from ..tokenizer import get_tokenizer
+
+SAMPLE_SCHEMA = pa.schema(
+    [
+        ("series_key", pa.string()),
+        ("ts", pa.timestamp("ns")),
+        ("ts_source", pa.int8()),
+        ("value_num", pa.float64()),
+        ("value_str", pa.string()),
+        ("value_bool", pa.bool_()),
+        ("value_kind", pa.int8()),
+        ("doc_id", pa.string()),
+        ("sample_ordinal", pa.int32()),
+    ]
+)
+
+
+class ExtractSamplesStage:
+    """tokens/text batches in, SAMPLE_SCHEMA batches out."""
+
+    def __init__(
+        self,
+        options: "ExtractorOptions | dict",
+        tokenizer="utf8",
+        *,
+        tokens_column: str = "tokens",
+        text_column: str | None = None,
+        id_column: str = "doc_id",
+        fallback_ts_column: str | None = None,
+        fallback_now_ns: int | None = None,
+        allow_wall_clock: bool = False,
+    ):
+        if isinstance(options, dict):
+            options = ExtractorOptions.from_dict(options)
+        self.plan = ExtractionPlan(options)  # compiled once per actor
+        self.tokenizer = get_tokenizer(tokenizer) if text_column is None else None
+        self.tokens_column = tokens_column
+        self.text_column = text_column
+        self.id_column = id_column
+        self.fallback_ts_column = fallback_ts_column
+        self.fallback_now_ns = fallback_now_ns
+        if (
+            options.get_default_timestamp is None
+            and fallback_ts_column is None
+            and fallback_now_ns is None
+            and not allow_wall_clock
+        ):
+            raise ValueError(
+                "Distributed extraction requires a deterministic fallback "
+                "timestamp: set fallback_ts_column / fallback_now_ns / "
+                "options.get_default_timestamp, or opt in with "
+                "allow_wall_clock=True."
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.text_column is not None:
+            texts = batch.column(self.text_column).to_pylist()
+        else:
+            texts = self.tokenizer.decode_batch(batch.column(self.tokens_column))
+        doc_ids = batch.column(self.id_column).to_pylist()
+        if self.fallback_ts_column is not None:
+            col = batch.column(self.fallback_ts_column)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("ns"))
+            fallbacks = col.cast(pa.int64()).to_pylist()
+        else:
+            fallbacks = None
+
+        keys, ts_vals, sources, nums, strs, bools, kinds, out_ids, ordinals = (
+            [], [], [], [], [], [], [], [], [],
+        )
+        plan = self.plan
+        loads = json.loads
+        default_now = self.fallback_now_ns
+        for row_idx, text in enumerate(texts):
+            doc = loads(text)
+            fallback = fallbacks[row_idx] if fallbacks is not None else default_now
+            ordinal = 0
+            doc_id = doc_ids[row_idx]
+            for s in extract_samples(doc, plan, fallback_now_ns=fallback):
+                keys.append(s.key)
+                ts_vals.append(s.ts_ns)
+                sources.append(s.ts_source)
+                kind = s.value_kind
+                kinds.append(kind)
+                if kind == 1:
+                    nums.append(s.value); strs.append(None); bools.append(None)
+                elif kind in (2, 4):
+                    nums.append(None); strs.append(s.value); bools.append(None)
+                elif kind == 3:
+                    nums.append(None); strs.append(None); bools.append(s.value)
+                else:
+                    nums.append(None); strs.append(None); bools.append(None)
+                out_ids.append(doc_id)
+                ordinals.append(ordinal)
+                ordinal += 1
+        return pa.table(
+            {
+                "series_key": pa.array(keys, pa.string()),
+                "ts": pa.array(ts_vals, pa.int64()).cast(pa.timestamp("ns")),
+                "ts_source": pa.array(sources, pa.int8()),
+                "value_num": pa.array(nums, pa.float64()),
+                "value_str": pa.array(strs, pa.string()),
+                "value_bool": pa.array(bools, pa.bool_()),
+                "value_kind": pa.array(kinds, pa.int8()),
+                "doc_id": pa.array(out_ids, pa.string()),
+                "sample_ordinal": pa.array(ordinals, pa.int32()),
+            },
+            schema=SAMPLE_SCHEMA,
+        )
+
+
+def extract_dataset(
+    ds,
+    options,
+    tokenizer="utf8",
+    *,
+    concurrency=None,
+    batch_size: int = 2048,
+    **stage_kwargs,
+):
+    """Attach the extraction stage to a Dataset.
+
+    ``concurrency=None`` lets Ray run it as stateless tasks with a plan
+    compiled per task via the callable-class path; pass an int (or
+    ``(min, max)``) to pin an actor pool, which amortizes plan compilation
+    across all batches of each worker — the right choice for non-trivial
+    option sets.
+    """
+    # Validate eagerly on the driver: actor __init__ errors otherwise only
+    # surface at first batch, deep inside the lazy execution.
+    probe = ExtractSamplesStage(options, tokenizer=tokenizer, **stage_kwargs)
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    if concurrency is None:
+        # Stateless tasks: ship the pre-compiled stage instance.
+        return ds.map_batches(probe, **kwargs)
+    return ds.map_batches(
+        ExtractSamplesStage,
+        fn_constructor_args=(options,),
+        fn_constructor_kwargs=dict(tokenizer=tokenizer, **stage_kwargs),
+        concurrency=concurrency,
+        **kwargs,
+    )

@@ -1,0 +1,192 @@
+"""Tumbling-window rollup ladder: samples -> 1m -> 1h -> 1d continuous
+aggregates.
+
+The reference has no aggregation at all (it is a per-document flat-map;
+SURVEY.md §2.6) — this ladder is the engine's scale mandate
+(BASELINE.json ``north_star``).  Design, Ray-Data-first:
+
+1. **Partial aggregation inside ``map_batches``** (combiner): each extracted
+   sample block collapses to at most one row per ``(series_key, 1m-window)``
+   before anything is shuffled.  At 100 TB this is the difference between
+   shuffling every sample and shuffling bounded per-window partials — the
+   explicit "pre-aggregate before groupby" pattern.
+2. **Exactly one wide op**: ``groupby("series_key")`` over the partials.
+3. **Per-series cascade inside ``map_groups``**: merge partials into final
+   1m windows, then derive 1h from 1m and 1d from 1h *locally* (sum+count
+   carried so ``mean`` is exact — never an average of averages; min of mins;
+   max of maxes; ``last`` by maximal ``(last_ts, doc_id, ordinal)``).
+
+Determinism: ``last`` needs a total order under Ray's unordered block
+execution, so partials carry ``(last_ts, last_doc, last_ord)`` and every
+merge sorts on that triple (SURVEY.md §7.3.3); float sums are performed in
+that same sorted order so repeated runs are bit-identical.
+
+Skew: a hot series costs one partial row per (block, window), not one row
+per sample, so the post-shuffle group for even an extreme hot key is bounded
+by (#blocks x #windows) — salting hooks are unnecessary until window
+cardinality itself explodes; ``partial_shards`` below documents the knob.
+
+Only numeric samples (``value_kind == 1``) participate, mirroring the
+engine's rollup value domain (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WINDOW_NS = {
+    "raw": 1,
+    "1m": 60_000_000_000,
+    "1h": 3_600_000_000_000,
+    "1d": 86_400_000_000_000,
+}
+
+TIER_ORDER = ("1m", "1h", "1d")
+
+PARTIAL_COLUMNS = [
+    "series_key", "window_start", "sum", "count", "min", "max",
+    "last", "last_ts", "last_doc", "last_ord",
+]
+
+
+def partial_rollup_batch(batch: pa.Table, window_ns: int = WINDOW_NS["1m"]) -> pa.Table:
+    """Collapse one sample block to per-(series, window) partials."""
+    cols = ["series_key", "ts", "value_num", "value_kind", "doc_id", "sample_ordinal"]
+    df = batch.select(cols).to_pandas()
+    df = df[df["value_kind"] == 1]
+    if df.empty:
+        return pa.Table.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _partial_dtypes().items()}),
+            preserve_index=False,
+        )
+    ts_ns = df["ts"].astype("int64")
+    df = pd.DataFrame(
+        {
+            "series_key": df["series_key"].to_numpy(),
+            "window_start": ts_ns - (ts_ns % window_ns),
+            "value": df["value_num"].to_numpy(),
+            "ts_ns": ts_ns.to_numpy(),
+            "doc_id": df["doc_id"].to_numpy(),
+            "ordinal": df["sample_ordinal"].to_numpy(),
+        }
+    )
+    # Deterministic in-block order: the 'last' aggregate is the value at the
+    # maximal (ts, doc_id, ordinal).
+    df.sort_values(["ts_ns", "doc_id", "ordinal"], inplace=True, kind="stable")
+    g = df.groupby(["series_key", "window_start"], sort=False)
+    out = g.agg(
+        sum=("value", "sum"),
+        count=("value", "size"),
+        min=("value", "min"),
+        max=("value", "max"),
+        last=("value", "last"),
+        last_ts=("ts_ns", "last"),
+        last_doc=("doc_id", "last"),
+        last_ord=("ordinal", "last"),
+    ).reset_index()
+    out["count"] = out["count"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _partial_dtypes():
+    return {
+        "series_key": "object", "window_start": "int64", "sum": "float64",
+        "count": "int64", "min": "float64", "max": "float64", "last": "float64",
+        "last_ts": "int64", "last_doc": "object", "last_ord": "int64",
+    }
+
+
+def _merge_windows(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
+    """Merge partial rows into final windows of size ``window_ns``.
+
+    Input may be partials of a finer tier; re-bucketing is integer floor
+    arithmetic on ``window_start``.  Sort order makes both the float sum and
+    the 'last' pick deterministic.
+    """
+    df = df.copy()
+    df["window_start"] = df["window_start"] - (df["window_start"] % window_ns)
+    df.sort_values(
+        ["window_start", "last_ts", "last_doc", "last_ord"], inplace=True, kind="stable"
+    )
+    g = df.groupby("window_start", sort=True)
+    out = g.agg(
+        sum=("sum", "sum"),
+        count=("count", "sum"),
+        min=("min", "min"),
+        max=("max", "max"),
+        last=("last", "last"),
+        last_ts=("last_ts", "last"),
+        last_doc=("last_doc", "last"),
+        last_ord=("last_ord", "last"),
+    ).reset_index()
+    return out
+
+
+def cascade_series_group(df: pd.DataFrame, tiers=TIER_ORDER) -> pd.DataFrame:
+    """Per-series tier cascade (``map_groups`` body).
+
+    ``df`` holds every 1m partial of one series.  Emits one frame with a
+    ``tier`` column covering all requested tiers; each coarser tier is
+    derived from the previous one (cheap — SURVEY.md §7.1.4).
+    """
+    series_key = df["series_key"].iloc[0]
+    current = df[PARTIAL_COLUMNS[1:]].copy()  # drop series_key
+    frames = []
+    for tier in tiers:
+        current = _merge_windows(current, WINDOW_NS[tier])
+        out = current.copy()
+        out.insert(0, "tier", tier)
+        out.insert(1, "series_key", series_key)
+        frames.append(out)
+    result = pd.concat(frames, ignore_index=True)
+    result["mean"] = result["sum"] / result["count"]
+    result = result[
+        ["tier", "series_key", "window_start", "min", "max", "mean", "sum",
+         "count", "last", "last_ts"]
+    ].copy()
+    result["window_start"] = result["window_start"].astype("datetime64[ns]")
+    result["last_ts"] = result["last_ts"].astype("datetime64[ns]")
+    return result
+
+
+class PartialRollupStage:
+    """``map_batches`` combiner stage (stateless; callable for clarity)."""
+
+    def __init__(self, window_ns: int = WINDOW_NS["1m"]):
+        self.window_ns = window_ns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return partial_rollup_batch(batch, self.window_ns)
+
+
+def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536):
+    """Dataset of SAMPLE_SCHEMA rows -> Dataset of tiered rollup rows.
+
+    One shuffle total: the ``groupby("series_key")`` between the partial
+    combiner and the per-series cascade.
+    """
+    partials = samples_ds.map_batches(
+        PartialRollupStage(WINDOW_NS[tiers[0]]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    return partials.groupby("series_key").map_groups(
+        lambda df: cascade_series_group(df, tiers), batch_format="pandas"
+    )
+
+
+def rollup_oracle(samples: pa.Table, tiers=TIER_ORDER) -> pd.DataFrame:
+    """Single-process oracle: same semantics, no Ray.  Used by tests to pin
+    the distributed ladder bit-for-bit."""
+    partial = partial_rollup_batch(samples).to_pandas()
+    frames = [
+        cascade_series_group(g.copy(), tiers)
+        for _, g in partial.groupby("series_key", sort=True)
+    ]
+    if not frames:
+        return pd.DataFrame()
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["tier", "series_key", "window_start"], ignore_index=True)

@@ -1,0 +1,194 @@
+"""End-to-end Ray Data pipeline tests: tokenized corpus -> extraction ->
+rollup ladder, pinned against the single-process kernel oracle, plus the
+token-array-equality invariant."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray import ExtractorOptions, extract_samples
+from json_time_series_extractor_ray.corpus import (
+    BASE_TS_NS,
+    iot_corpus_table,
+    texts_to_corpus_table,
+)
+from json_time_series_extractor_ray.stages.extract import (
+    ExtractSamplesStage,
+    extract_dataset,
+)
+from json_time_series_extractor_ray.stages.rollup import (
+    rollup_ladder,
+    rollup_oracle,
+)
+from json_time_series_extractor_ray.tokenizer import get_tokenizer
+
+IOT_OPTIONS = ExtractorOptions(
+    recursive=True,
+    allow_nested_timestamps=True,
+    timestamp_property="/time",
+    template="{device}/{$prop-local}",
+    include_array_indexes_in_sample_keys=False,
+    can_process_element=lambda ctx, ptr, el: ptr[-1] not in ("device", "status"),
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return iot_corpus_table(2000, seed=7, cfg={"block_size": 512, "n_devices": 16})
+
+
+def kernel_samples(corpus_table, options):
+    """Single-process oracle: detokenize + extract row by row."""
+    tok = get_tokenizer("utf8")
+    texts = tok.decode_batch(corpus_table.column("tokens"))
+    rows = []
+    for doc_id, text in zip(corpus_table.column("doc_id").to_pylist(), texts):
+        for ordinal, s in enumerate(
+            extract_samples(text, options, fallback_now_ns=BASE_TS_NS)
+        ):
+            rows.append((s.key, s.ts_ns, doc_id, ordinal, s.value, s.value_kind))
+    return rows
+
+
+def test_corpus_is_deterministic():
+    a = iot_corpus_table(600, seed=7, cfg={"block_size": 512, "n_devices": 16})
+    b = iot_corpus_table(600, seed=7, cfg={"block_size": 512, "n_devices": 16})
+    assert a.equals(b)
+    c = iot_corpus_table(600, seed=8, cfg={"block_size": 512, "n_devices": 16})
+    assert not a.equals(c)
+
+
+def test_tokenizer_roundtrip(corpus):
+    tok = get_tokenizer("utf8")
+    texts = tok.decode_batch(corpus.column("tokens"))
+    assert len(texts) == corpus.num_rows
+    # re-encoding reproduces the token arrays bit-for-bit
+    re_encoded = texts_to_corpus_table(
+        corpus.column("doc_id").to_pylist(), texts, corpus.column("source").to_pylist()
+    )
+    assert re_encoded.column("tokens").equals(corpus.column("tokens"))
+    assert all(json.loads(t) for t in texts[:10])
+
+
+def test_bpe_tokenizer_roundtrip():
+    tok = get_tokenizer("bpe")
+    text = '{"time":"2024-01-01T00:00:00Z","temperature":19.3}'
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    assert len(ids) < len(text)  # it actually compresses
+    # deterministic across instances
+    assert get_tokenizer("bpe").encode(text) == ids
+
+
+def test_extract_stage_matches_kernel(ray_session, corpus):
+    import ray
+
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    out = extract_dataset(
+        ds, IOT_OPTIONS, concurrency=2, fallback_now_ns=BASE_TS_NS
+    )
+    got = out.to_pandas()
+    expected = kernel_samples(corpus, IOT_OPTIONS)
+    assert len(got) == len(expected)
+    got_set = set(
+        zip(
+            got["series_key"],
+            got["ts"].astype("int64"),
+            got["doc_id"],
+            got["sample_ordinal"],
+            got["value_num"].fillna(np.nan),
+        )
+    )
+    exp_set = {(k, t, d, o, v if v is not None else np.nan)
+               for (k, t, d, o, v, kind) in expected}
+    # ordinal+doc_id give a stable identity even though Ray block order varies
+    assert len(got_set) == len(exp_set)
+    # compare ignoring NaN identity issues on non-numeric rows
+    got_num = {x for x in got_set if x[4] == x[4]}
+    exp_num = {x for x in exp_set if x[4] == x[4]}
+    assert got_num == exp_num
+
+
+def test_token_array_equality_through_pipeline(ray_session, corpus):
+    """The per-row invariant: tokens ride through the engine unchanged."""
+    import ray
+
+    ds = ray.data.from_arrow(corpus).repartition(3)
+    # a pass-through projection of the lineage columns next to the extraction
+    back = ds.select_columns(["doc_id", "tokens", "n_tok"]).to_pandas()
+    back = back.sort_values("doc_id", ignore_index=True)
+    orig = corpus.select(["doc_id", "tokens", "n_tok"]).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert (back["doc_id"] == orig["doc_id"]).all()
+    assert (back["n_tok"] == orig["n_tok"]).all()
+    assert all(
+        np.array_equal(a, b) for a, b in zip(back["tokens"], orig["tokens"])
+    )
+
+
+def test_rollup_ladder_matches_oracle(ray_session, corpus):
+    import ray
+
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    samples_ds = extract_dataset(
+        ds, IOT_OPTIONS, concurrency=2, fallback_now_ns=BASE_TS_NS
+    )
+    ladder = rollup_ladder(samples_ds).to_pandas()
+    ladder = ladder.sort_values(
+        ["tier", "series_key", "window_start"], ignore_index=True
+    )
+
+    # oracle: same corpus through the serial kernel + serial cascade
+    stage = ExtractSamplesStage(IOT_OPTIONS, fallback_now_ns=BASE_TS_NS)
+    samples_table = stage(corpus)
+    expected = rollup_oracle(samples_table)
+
+    assert list(ladder.columns) == list(expected.columns)
+    assert len(ladder) == len(expected)
+    pd.testing.assert_frame_equal(ladder, expected, check_exact=True)
+
+
+def test_cascade_exactness():
+    """1h/1d tiers derived from 1m partials equal direct aggregation of the
+    samples (count/min/max/last exactly; mean from carried sum)."""
+    from json_time_series_extractor_ray.stages.rollup import (
+        WINDOW_NS,
+        partial_rollup_batch,
+        rollup_oracle,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ts = BASE_TS_NS + rng.integers(0, 3 * 86400, n) * 10**9
+    t = pa.table(
+        {
+            "series_key": pa.array(np.where(rng.random(n) < 0.8, "hot", "cold")),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("ns")),
+            "value_num": pa.array(np.round(rng.random(n) * 100, 2)),
+            "value_kind": pa.array(np.ones(n, dtype=np.int8)),
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+            "sample_ordinal": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    out = rollup_oracle(t)
+    day = out[out["tier"] == "1d"]
+    # direct daily aggregation in pandas
+    df = t.to_pandas()
+    ts_ns = df["ts"].astype("int64")
+    df["w"] = (ts_ns - ts_ns % WINDOW_NS["1d"]).astype("datetime64[ns]")
+    direct = df.groupby(["series_key", "w"]).agg(
+        count=("value_num", "size"), min=("value_num", "min"), max=("value_num", "max")
+    ).reset_index()
+    merged = day.merge(
+        direct, left_on=["series_key", "window_start"], right_on=["series_key", "w"]
+    )
+    assert len(merged) == len(day)
+    assert (merged["count_x"] == merged["count_y"]).all()
+    assert (merged["min_x"] == merged["min_y"]).all()
+    assert (merged["max_x"] == merged["max_y"]).all()
+    # mean is exactly sum/count of the carried sum
+    assert np.allclose(day["mean"], day["sum"] / day["count"], rtol=0, atol=0)
