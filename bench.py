@@ -1,0 +1,215 @@
+"""Benchmark harness for the Ray-Data time-series engine.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the synthetic IoT tokenized corpus, with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+the scaling efficiency (sandbox proxy for the N vs 4N cluster rule —
+BASELINE.md measurement protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+CORPUS_CACHE = "/tmp/jtse_bench"
+
+# IoT corpus size for the headline run: ~250 B of JSON per doc.
+IOT_DOCS = int(os.environ.get("JTSE_BENCH_DOCS", "600000"))
+IOT_SEED = 42
+
+
+def _ensure_iot_corpus(n_docs: int) -> str:
+    """Synthesize (once) the deterministic IoT tokenized corpus as Parquet.
+
+    Synthesis itself is a Ray Data pipeline (block-deterministic renderer),
+    excluded from the measured pipeline time.
+    """
+    import ray
+
+    from json_time_series_extractor_ray.corpus import IOT_DEFAULTS, RenderIotCorpus
+
+    path = f"{CORPUS_CACHE}/iot_{IOT_SEED}_{n_docs}"
+    if os.path.exists(f"{path}/_DONE"):
+        return path
+    os.makedirs(path, exist_ok=True)
+    n_blocks = (n_docs + IOT_DEFAULTS["block_size"] - 1) // IOT_DEFAULTS["block_size"]
+    (
+        ray.data.range(n_blocks)
+        .map_batches(
+            RenderIotCorpus,
+            fn_constructor_kwargs=dict(seed=IOT_SEED),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=min(16, n_blocks),
+        )
+        .write_parquet(path)
+    )
+    with open(f"{path}/_DONE", "w") as f:
+        f.write(str(n_docs))
+    return path
+
+
+def bench_iot_rollup(num_cpus: int, n_docs: int) -> dict:
+    """Headline: tokenized corpus -> detokenize -> extract -> rollup ladder."""
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.timeseries import extract_and_rollup
+
+    corpus_path = _ensure_iot_corpus(n_docs)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus_path)
+    # Autoscaling actor pool capped BELOW the CPU count: an actor pool sized
+    # to every CPU starves the upstream read tasks (no CPU left to produce
+    # blocks) and deadlocks the stream.
+    pool_max = max(2, num_cpus - 2)
+    rollups = extract_and_rollup(
+        ds,
+        dict(recursive=True, allow_nested_timestamps=True),
+        concurrency=(1, pool_max),
+        batch_size=2048,
+    )
+    mat = rollups.materialize()
+    elapsed = time.perf_counter() - t0
+    n_points = mat.count()
+    return {
+        "sec": round(elapsed, 3),
+        "rollup_points": n_points,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "points_per_sec": round(n_points / elapsed, 1),
+    }
+
+
+def bench_events_rollup(sf_dir: str, num_cpus: int) -> dict:
+    import importlib
+
+    e = importlib.import_module("__ray_entry__")
+    t0 = time.perf_counter()
+    ds = e._events_rollup(sf_dir, "1m")
+    n = ds.materialize().count()
+    elapsed = time.perf_counter() - t0
+    return {"sec": round(elapsed, 3), "rows": n}
+
+
+def bench_query(name: str, sf_dir: str) -> dict:
+    import importlib
+
+    import ray.data
+
+    e = importlib.import_module("__ray_entry__")
+    fn = e.queries()[name]
+    t0 = time.perf_counter()
+    out = fn(sf_dir)
+    if isinstance(out, ray.data.Dataset):
+        n = out.materialize().count()
+    else:
+        n = len(out)
+    return {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+
+
+def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            log_to_driver=False,
+        )
+
+    queries: dict[str, float] = {}
+    headline = bench_iot_rollup(num_cpus, IOT_DOCS)
+    queries["iot_extract_rollup"] = headline["sec"]
+    extras: dict[str, dict] = {"iot_extract_rollup": headline}
+
+    if not headline_only:
+        for name, fn in (
+            ("events_rollup_1m", lambda: bench_events_rollup(sf_dir, num_cpus)),
+            ("minhash_lsh_dups", lambda: bench_query("minhash_lsh_dups", sf_dir)),
+            ("ann_cosine_topk", lambda: bench_query("ann_cosine_topk", sf_dir)),
+            ("doc_quality", lambda: bench_query("doc_quality", sf_dir)),
+        ):
+            r = fn()
+            queries[name] = r["sec"]
+            extras[name] = r
+
+    result = {
+        "metric": "iot tokenized corpus extract+rollup (raw->1m->1h->1d) wall time",
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "detail": extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(low: int, high: int) -> dict:
+    """Same job, same input, two parallelism levels in fresh processes."""
+    results = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--cpus", str(cpus), "--headline-only", "--internal-json",
+            ],
+            capture_output=True, text=True, timeout=3600,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr_low = results[low]["detail"]["iot_extract_rollup"]["docs_per_sec"]
+    thr_high = results[high]["detail"]["iot_extract_rollup"]["docs_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "scaling efficiency (docs/s at two parallelism levels)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_docs_per_sec": thr_low,
+        "high_docs_per_sec": thr_high,
+        "low_sec": results[low]["value"],
+        "high_sec": results[high]["value"],
+        "docs": IOT_DOCS,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--internal-json", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.scaling_low, args.cpus)))
+        return
+
+    result = run_bench(args.sf_dir, args.cpus, headline_only=args.headline_only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

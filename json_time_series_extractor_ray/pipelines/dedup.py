@@ -1,0 +1,448 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Scale design notes (the 100 TB story, per operator):
+
+* **Exact dedup** — hash-partition on a 128-bit content fingerprint, keep
+  the minimum ``doc_id`` per group.  Only ``(fingerprint, doc_id)`` is
+  shuffled (never the text): the projection happens inside ``map_batches``
+  before the one ``groupby``.
+* **MinHash + LSH** — per-doc signatures computed vectorized in
+  ``map_batches`` (one (n_shingles x n_perm) universal-hash min-reduce per
+  doc, 31-bit modulus so the whole thing is overflow-safe uint64 numpy);
+  banding turns near-dup search into an equi-groupby on band keys;
+  candidate pairs are scored by signature agreement inside ``map_groups``
+  and deduplicated across bands by a second tiny groupby.  No O(n²)
+  anywhere; the shuffle carries signatures (n_perm x 8 B/doc/band), never
+  document text.
+* **Blocked n-gram Jaccard** — the exact (SQL-checkable) variant: pairwise
+  true Jaccard *within* a blocking key (here ``lang``).  Quadratic only in
+  the block — the classic blocking pattern; LSH is the unblocked scale
+  path.
+* **SimHash** — 64-bit fingerprints (sign of weighted bit sums over shingle
+  hashes); near-dup candidates = Hamming distance ≤ 3, found via the
+  chunk-rotation trick (each 16-bit chunk is an exact-match groupby key).
+* **Embedding near-dup** — cosine ≥ τ within a coarse block (``label``);
+  per-group numpy matmul.  The unblocked scale path is the IVF search in
+  ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import round_half_away
+from .registry import register
+
+_WS = r"\s+"
+
+# MinHash parameters — fixed constants so every worker agrees without
+# shipping state.  31-bit Mersenne modulus keeps (a*x + b) inside uint64.
+N_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows -> catches J >= ~0.3 reliably
+_P31 = (1 << 31) - 1
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks -> finds Hamming distance <= 3
+EMB_NEAR_DUP_TAU = 0.3
+
+
+def _read(sf_dir: str, table: str, columns):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=list(columns))
+
+
+def _norm_text(text_col):
+    return pc.replace_substring_regex(pc.utf8_trim_whitespace(text_col), _WS, " ")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_project(batch: pa.Table) -> pa.Table:
+    """Combiner: project to (fingerprint, doc_id) before the shuffle."""
+    norm = _norm_text(batch.column("text"))
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+    return pa.table(
+        {"fingerprint": pa.array(fps, pa.string()), "doc_id": batch.column("doc_id")}
+    )
+
+
+def exact_dedup(docs_ds):
+    """One row per distinct content: (doc_id=min id of group, n_copies)."""
+
+    def _keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [df["doc_id"].min()], "n_copies": np.int64(len(df))}
+        )
+
+    projected = docs_ds.map_batches(
+        exact_dedup_project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return projected.groupby("fingerprint").map_groups(
+        _keep_first, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def shingle_sets(text_col, k: int = 3):
+    """Per-doc sets of word k-gram shingles."""
+    words_list = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(text_col), _WS
+    ).to_pylist()
+    return [
+        {" ".join(words[i : i + k]) for i in range(max(0, len(words) - k + 1))}
+        for words in words_list
+    ]
+
+
+def _hash_shingles(shingles) -> np.ndarray:
+    """Stable 64-bit shingle hashes (blake2b, worker-independent)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class MinHashLshStage:
+    """documents batches -> LSH band rows (band, band_key, doc_id, sig).
+
+    Coefficients are derived once per actor from a fixed seed; the per-doc
+    signature is one vectorized ``(a*x[:,None] + b) % p`` min-reduce.
+    Emits ``LSH_BANDS`` rows per doc; each row's ``band_key`` is a stable
+    hash of that band's signature slice, and carries the full signature so
+    candidate verification after the groupby needs no second join.
+    """
+
+    def __init__(self, n_perm: int = N_PERM, bands: int = LSH_BANDS, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _P31, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _P31, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.bands = bands
+        self.rows_per_band = n_perm // bands
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if len(shingle_hashes) == 0:
+            return np.full(self.n_perm, _P31, dtype=np.uint64)
+        x = (shingle_hashes % _P31)[:, None]  # (n_shingles, 1)
+        return ((self.a[None, :] * x + self.b[None, :]) % _P31).min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sets = shingle_sets(batch.column("text"))
+        doc_ids = batch.column("doc_id").to_pylist()
+        bands_col, keys_col, ids_col, sigs_col = [], [], [], []
+        for doc_id, shingles in zip(doc_ids, sets):
+            sig = self.signature(_hash_shingles(shingles))
+            sig_bytes = sig.tobytes()
+            r = self.rows_per_band
+            for band in range(self.bands):
+                chunk = sig_bytes[band * r * 8 : (band + 1) * r * 8]
+                key = hashlib.blake2b(chunk, digest_size=8).hexdigest()
+                bands_col.append(band)
+                keys_col.append(f"{band}:{key}")
+                ids_col.append(doc_id)
+                sigs_col.append(sig_bytes)
+        return pa.table(
+            {
+                "band_key": pa.array(keys_col, pa.string()),
+                "doc_id": pa.array(ids_col, pa.int64()),
+                "sig": pa.array(sigs_col, pa.binary()),
+            }
+        )
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """All pairs within one LSH bucket, scored by signature agreement."""
+    if len(df) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
+        )
+    df = df.sort_values("doc_id")
+    ids = df["doc_id"].to_numpy()
+    sigs = np.stack(
+        [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
+    )  # (n, n_perm)
+    a_idx, b_idx = np.triu_indices(len(ids), k=1)
+    est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+    return pd.DataFrame(
+        {"doc_a": ids[a_idx], "doc_b": ids[b_idx], "est_jaccard": est}
+    )
+
+
+def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=2):
+    """Near-dup pairs (doc_a < doc_b, est_jaccard >= threshold)."""
+
+    def _dedup_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["doc_a", "doc_b", "est_jaccard"]]
+
+    bands = docs_ds.map_batches(
+        MinHashLshStage,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = bands.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = pairs.filter(expr=f"est_jaccard >= {threshold}")
+    # A pair can surface from several bands: keep one row per (doc_a, doc_b).
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        _dedup_pair, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact n-gram Jaccard (SQL-checkable)
+# ---------------------------------------------------------------------------
+
+class JaccardBlockStage:
+    """One block (all docs of one ``lang``) -> exact pairwise Jaccard pairs."""
+
+    def __init__(self, threshold: float = 0.01, k: int = 3):
+        self.threshold = threshold
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sets = [
+            {
+                " ".join(words[i : i + self.k])
+                for i in range(max(0, len(words) - self.k + 1))
+            }
+            for words in (t.split() for t in df["text"])
+        ]
+        ids = df["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        out_a, out_b, out_j = [], [], []
+        for ii in range(len(order)):
+            i = order[ii]
+            si = sets[i]
+            if not si:
+                continue
+            for jj in range(ii + 1, len(order)):
+                j = order[jj]
+                sj = sets[j]
+                inter = len(si & sj)
+                if inter == 0:
+                    continue
+                jac = float(round_half_away(inter / (len(si) + len(sj) - inter), 6))
+                if jac >= self.threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(jac)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+
+def jaccard_block_pairs(docs_ds, *, threshold: float = 0.01):
+    stage = JaccardBlockStage(threshold)
+
+    def _block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return stage(df)
+
+    return docs_ds.groupby("lang").map_groups(_block_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(shingle_hashes: np.ndarray) -> int:
+    """64-bit SimHash: sign of per-bit sums over shingle hashes."""
+    if len(shingle_hashes) == 0:
+        return 0
+    bits = (
+        (shingle_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    ).astype(np.int64)
+    sums = (2 * bits - 1).sum(axis=0)
+    return int(((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    sets = shingle_sets(batch.column("text"))
+    hashes = [simhash64(_hash_shingles(s)) for s in sets]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array([f"{h:016x}" for h in hashes], pa.string()),
+        }
+    )
+
+
+def simhash_dups(docs_ds, *, max_hamming: int = 3):
+    """Candidate pairs with Hamming(simhash) <= max_hamming via the
+    chunk-rotation trick: a pair within distance 3 of a 64-bit hash shares
+    at least one of its four 16-bit chunks exactly."""
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hashes = [int(h, 16) for h in batch.column("simhash").to_pylist()]
+        out_key, out_id, out_hash = [], [], []
+        for doc_id, h in zip(ids, hashes):
+            for c in range(SIMHASH_CHUNKS):
+                chunk = (h >> (16 * c)) & 0xFFFF
+                out_key.append(f"{c}:{chunk:04x}")
+                out_id.append(doc_id)
+                out_hash.append(f"{h:016x}")
+        return pa.table(
+            {
+                "chunk_key": pa.array(out_key, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "simhash": pa.array(out_hash, pa.string()),
+            }
+        )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "hamming": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        hs = np.array([int(h, 16) for h in df["simhash"]], dtype=np.uint64)
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [int(x ^ y).bit_count() for x, y in zip(hs[a_idx], hs[b_idx])],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[a_idx][keep], "doc_b": ids[b_idx][keep], "hamming": ham[keep]}
+        )
+
+    def _dedup_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["doc_a", "doc_b", "hamming"]]
+
+    fingerprints = docs_ds.map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    expanded = fingerprints.map_batches(
+        _expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = expanded.groupby("chunk_key").map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        _dedup_pair, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (blocked by label)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU):
+    """Pairs within one ``label`` block with cosine similarity >= tau."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        En = E / np.where(norms == 0, 1.0, norms)
+        S = round_half_away(En @ En.T, 6)
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        keep = S[a_idx, b_idx] >= tau
+        return pd.DataFrame(
+            {
+                "vec_a": ids[a_idx][keep].astype("int64"),
+                "vec_b": ids[b_idx][keep].astype("int64"),
+                "cosine": S[a_idx, b_idx][keep],
+            }
+        )
+
+    return emb_ds.groupby("label").map_groups(_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries + oracles
+# ---------------------------------------------------------------------------
+
+register(
+    "exact_dedup",
+    lambda sf: exact_dedup(_read(sf, "documents", ["doc_id", "text"])),
+    f"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(trim(text), '{_WS}', ' ', 'g'))
+    """,
+)
+
+register(
+    "jaccard_block_pairs",
+    lambda sf: jaccard_block_pairs(_read(sf, "documents", ["doc_id", "text", "lang"])),
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '{_WS}') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, lang, unnest(words) AS w, generate_subscripts(words, 1) AS i
+        FROM w
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM pos
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT doc_id, lang, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM d a JOIN d b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.01
+    """,
+)
+
+register(
+    "minhash_lsh_dups",
+    lambda sf: minhash_lsh_dups(_read(sf, "documents", ["doc_id", "text"])),
+)
+
+register(
+    "simhash_dups",
+    lambda sf: simhash_dups(_read(sf, "documents", ["doc_id", "text"])),
+)
+
+register(
+    "embedding_near_dups",
+    lambda sf: embedding_near_dups(
+        _read(sf, "embeddings", ["vec_id", "embedding", "label"])
+    ),
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {EMB_NEAR_DUP_TAU}
+    """,
+)

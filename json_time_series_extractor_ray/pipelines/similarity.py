@@ -1,0 +1,227 @@
+"""Similarity search over the ``embeddings`` table.
+
+* **Brute-force cosine top-k** (the exact baseline, SQL-checkable): the
+  small query matrix is broadcast once into every stage worker; each
+  ``map_batches`` computes a partial top-k per query over its batch with a
+  single float64 matmul; a tiny ``groupby(query_id)`` merge reduces the
+  per-batch partials to the global top-k.  The shuffle carries
+  O(n_batches x n_queries x k) rows — never the corpus.
+* **IVF top-k** (the scale path): a coarse quantizer (per-``label`` cell
+  centroids, computed with one small aggregation and broadcast) restricts
+  each query to its ``nprobe`` nearest cells; the same partial-top-k merge
+  runs over only the probed cells' rows.  Approximate by construction —
+  recall vs the brute-force baseline is pinned in pytest; the driver runs a
+  rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _read_embeddings(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+
+def _load_query_matrix(sf_dir: str, n_queries: int):
+    """Small-side lookup: read just the query vectors driver-side (tiny) so
+    they can be broadcast by value into every stage worker."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_queries,
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    Q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[order]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    return ids[order], Qn
+
+
+def _normalize(block_embeddings) -> np.ndarray:
+    E = np.stack(block_embeddings).astype(np.float64)
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    return E / np.where(norms == 0, 1.0, norms)
+
+
+class PartialTopKStage:
+    """One corpus batch -> per-query partial top-k rows."""
+
+    def __init__(self, query_ids: np.ndarray, query_matrix: np.ndarray, k: int):
+        self.query_ids = query_ids
+        self.Q = query_matrix  # (q, d), already normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        En = _normalize(batch.column("embedding").to_pylist())
+        S = self.Q @ En.T  # (q, n)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            sims = S[qi]
+            mask = ids != qid  # exclude self
+            cand_ids = ids[mask]
+            cand_sims = sims[mask]
+            k = min(self.k, len(cand_ids))
+            if k == 0:
+                continue
+            # top-k by (sim desc, vec_id asc) — deterministic under ties
+            top = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_q.extend([qid] * k)
+            out_n.extend(cand_ids[top])
+            out_s.extend(cand_sims[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "query_id": df["query_id"].to_numpy(),
+            "neighbor_id": df["neighbor_id"].to_numpy(),
+            "cosine": round_half_away(df["sim"].to_numpy(), 6),
+        }
+    )
+
+
+def brute_force_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K):
+    partials = emb_ds.map_batches(
+        PartialTopKStage,
+        fn_constructor_args=(query_ids, query_matrix, k),
+        concurrency=2,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+def ivf_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K, nprobe: int = 4):
+    """IVF: restrict each query to its ``nprobe`` nearest label-cell
+    centroids, then run the same partial-top-k merge over probed cells."""
+
+    # Coarse quantizer: one tiny aggregation (cell centroids), broadcast.
+    def _centroid(df: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"label": [df["label"].iloc[0]], "centroid": [E.mean(axis=0)]}
+        )
+
+    cent = emb_ds.groupby("label").map_groups(_centroid, batch_format="pandas")
+    cent_df = cent.to_pandas()  # tiny: one row per cell
+    labels = cent_df["label"].to_numpy()
+    C = np.stack(cent_df["centroid"].to_numpy())
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probe_order = np.argsort(-(query_matrix @ Cn.T), axis=1)[:, :nprobe]
+    probed_labels = {int(labels[c]) for row in probe_order for c in row}
+
+    # Per-query probe sets, broadcast into the stage alongside the queries.
+    query_probes = {
+        int(qid): {int(labels[c]) for c in probe_order[qi]}
+        for qi, qid in enumerate(query_ids)
+    }
+
+    class _IvfPartial(PartialTopKStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+            En = _normalize(batch.column("embedding").to_pylist())
+            S = self.Q @ En.T
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                cell_mask = np.isin(labs, list(query_probes[int(qid)]))
+                mask = cell_mask & (ids != qid)
+                cand_ids = ids[mask]
+                cand_sims = S[qi][mask]
+                k2 = min(self.k, len(cand_ids))
+                if k2 == 0:
+                    continue
+                top = np.lexsort((cand_ids, -cand_sims))[:k2]
+                out_q.extend([qid] * k2)
+                out_n.extend(cand_ids[top])
+                out_s.extend(cand_sims[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    # Prune whole non-probed cells before scoring (vectorized is_in filter).
+    import pyarrow.compute as pc
+
+    probe_arr = pa.array(sorted(probed_labels))
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("label").cast(pa.int64()), value_set=probe_arr)
+        )
+
+    pruned = emb_ds.map_batches(_prune, batch_format="pyarrow", zero_copy_batch=True)
+    partials = pruned.map_batches(
+        _IvfPartial,
+        fn_constructor_args=(query_ids, query_matrix, k),
+        concurrency=2,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_brute(sf_dir: str):
+    qids, Q = _load_query_matrix(sf_dir, N_QUERIES)
+    return brute_force_topk(_read_embeddings(sf_dir), qids, Q)
+
+
+def _q_ivf(sf_dir: str):
+    qids, Q = _load_query_matrix(sf_dir, N_QUERIES)
+    return ivf_topk(_read_embeddings(sf_dir), qids, Q)
+
+
+register(
+    "ann_cosine_topk",
+    _q_brute,
+    f"""
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings q
+    JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) DESC,
+                 e.vec_id
+    ) <= {TOP_K}
+    """,
+)
+
+register("ann_cosine_topk_ivf", _q_ivf)  # approximate -> rows-only check

@@ -1,0 +1,243 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data plumbing: token counting, quality scoring,
+language ID, and document fingerprinting — each a vectorized
+``map_batches`` stage over zero-copy Arrow batches (no per-row Python in
+the counting hot paths; per-doc work only where it is inherently
+per-document and O(doc length)).
+
+Every SQL-expressible operator registers a DuckDB oracle with identical
+column names; ``lang_id`` is heuristic (rows-only check).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import round_half_away
+from .registry import register
+
+#: Fixed stopword list for quality scoring (kept tiny and mirrored
+#: verbatim in the SQL oracle).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+_WS = r"\s+"
+
+
+def _read_documents(sf_dir: str, columns):
+    import ray
+
+    # Column pruning at the read: only the columns the operator touches
+    # leave storage.
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _words_and_offsets(text_col):
+    """Split a string column on whitespace -> (flat word array, offsets)."""
+    trimmed = pc.utf8_trim_whitespace(text_col)
+    words = pc.split_pattern_regex(trimmed, _WS)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    return words.values, words.offsets.to_numpy(zero_copy_only=False), trimmed
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_words, avg_word_len) — all Arrow kernels."""
+    text = batch.column("text")
+    _, offsets, trimmed = _words_and_offsets(text)
+    n_words = np.diff(offsets).astype(np.int64)
+    squeezed = pc.replace_substring_regex(trimmed, _WS, "")
+    word_chars = pc.utf8_length(squeezed).to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            "n_words": pa.array(n_words),
+            "avg_word_len": pa.array(round_half_away(word_chars / n_words, 6)),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring stage.
+
+    Signals: length saturation, stopword ratio, unique-word ratio.
+    ``score = 0.4*min(n_words/50, 1) + 0.3*(1 - stop_ratio) + 0.3*uniq_ratio``.
+    Stopword counts are a flat ``is_in`` + segmented sum (``np.add.reduceat``);
+    unique counts are a vectorized drop-duplicates over (doc_idx, word).
+    """
+    import pandas as pd
+
+    text = batch.column("text")
+    flat_words, offsets, _ = _words_and_offsets(text)
+    n_words = np.diff(offsets).astype(np.int64)
+    n_docs = len(n_words)
+
+    is_stop = pc.is_in(flat_words, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    stop_counts = np.add.reduceat(is_stop, offsets[:-1]) if len(is_stop) else np.zeros(n_docs)
+    stop_counts[n_words == 0] = 0.0
+
+    doc_idx = np.repeat(np.arange(n_docs), n_words)
+    uniq = (
+        pd.DataFrame({"d": doc_idx, "w": flat_words.to_numpy(zero_copy_only=False)})
+        .drop_duplicates()
+        .groupby("d")
+        .size()
+        .reindex(range(n_docs), fill_value=0)
+        .to_numpy()
+        .astype(np.float64)
+    )
+
+    nw = n_words.astype(np.float64)
+    stop_ratio = np.divide(stop_counts, nw, out=np.zeros(n_docs), where=nw > 0)
+    uniq_ratio = np.divide(uniq, nw, out=np.zeros(n_docs), where=nw > 0)
+    score = 0.4 * np.minimum(nw / 50.0, 1.0) + 0.3 * (1.0 - stop_ratio) + 0.3 * uniq_ratio
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words),
+            "stop_ratio": pa.array(round_half_away(stop_ratio, 6)),
+            "uniq_ratio": pa.array(round_half_away(uniq_ratio, 6)),
+            "quality": pa.array(round_half_away(score, 6)),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic document fingerprint: md5 of whitespace-normalized text
+    (hashlib C loop per doc) — the exact-dedup / lineage key."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(batch.column("text")), _WS, " "
+    )
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
+    )
+
+
+# Per-language marker words for the n-gram/marker language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": (),  # no latin markers -> fallback score 0
+}
+_LANG_ORDER = ("de", "en", "es", "fr", "zh")
+
+
+class LangIdStage:
+    """Heuristic language ID: per-language marker-word hit rate, ties broken
+    by fixed language order.  Marker tables built once per actor."""
+
+    def __init__(self):
+        self.tables = {
+            lang: pa.array(markers) if markers else None
+            for lang, markers in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_docs = len(offsets) - 1
+        n_words = np.maximum(np.diff(offsets).astype(np.float64), 1.0)
+        scores = np.zeros((len(_LANG_ORDER), n_docs))
+        for li, lang in enumerate(_LANG_ORDER):
+            table = self.tables[lang]
+            if table is None:
+                continue
+            hits = pc.is_in(flat_words, value_set=table).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            scores[li] = (
+                np.add.reduceat(hits, offsets[:-1]) / n_words if len(hits) else 0.0
+            )
+        best = np.argmax(scores, axis=0)  # argmax takes first on ties
+        preds = [_LANG_ORDER[i] for i in best]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds, pa.string())}
+        )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_token_stats(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_quality(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, concurrency=2, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+register(
+    "doc_token_stats",
+    _q_token_stats,
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '{_WS}')) AS n_words,
+           round(
+             CAST(length(regexp_replace(trim(text), '{_WS}', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '{_WS}')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+
+register(
+    "doc_quality",
+    _q_quality,
+    f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           round(CAST(len(list_filter(words, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(words), 6) AS stop_ratio,
+           round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+               AS uniq_ratio,
+           round(0.4 * least(CAST(len(words) AS DOUBLE) / 50.0, 1.0)
+                 + 0.3 * (1.0 - CAST(len(list_filter(words, x -> x IN ({_STOP_SQL})))
+                                     AS DOUBLE) / len(words))
+                 + 0.3 * CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+               AS quality
+    FROM w
+    """,
+)
+
+register(
+    "doc_fingerprint",
+    _q_fingerprint,
+    f"""
+    SELECT doc_id, md5(regexp_replace(trim(text), '{_WS}', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+
+register("doc_lang_id", _q_lang_id)  # heuristic -> rows-only check
