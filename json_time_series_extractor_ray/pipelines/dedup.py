@@ -167,42 +167,123 @@ class MinHashLshStage:
         )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """All pairs within one LSH bucket, scored by signature agreement."""
-    if len(df) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
-        )
-    df = df.sort_values("doc_id")
-    ids = df["doc_id"].to_numpy()
-    sigs = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
-    )  # (n, n_perm)
-    a_idx, b_idx = np.triu_indices(len(ids), k=1)
-    est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+#: Bucket-shard count: LSH buckets are mostly singletons, so per-bucket
+#: ``map_groups`` pays Ray per-group overhead ~n_buckets times.  Instead we
+#: group by ``hash(band_key) % LSH_SHARDS`` (bounded group count) and sweep
+#: each shard's buckets vectorized: singletons are dropped with one
+#: ``duplicated`` mask, and only colliding buckets (rare) loop.
+LSH_SHARDS = 64
+
+
+def _shard_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """All pairs within each LSH bucket of one shard, scored by signature
+    agreement.  Vectorized singleton elimination; loops only collisions."""
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "est_jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    df = df[df.duplicated("band_key", keep=False)]
+    if df.empty:
+        return empty
+    out_a, out_b, out_e = [], [], []
+    for _, g in df.groupby("band_key", sort=False):
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+        out_a.append(ids[a_idx])
+        out_b.append(ids[b_idx])
+        out_e.append(est)
     return pd.DataFrame(
-        {"doc_a": ids[a_idx], "doc_b": ids[b_idx], "est_jaccard": est}
+        {
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+            "est_jaccard": np.concatenate(out_e),
+        }
     )
 
 
-def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=2):
-    """Near-dup pairs (doc_a < doc_b, est_jaccard >= threshold)."""
+def _dedup_pairs_shard(df: pd.DataFrame) -> pd.DataFrame:
+    """One row per (doc_a, doc_b) within a pair-shard."""
+    return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "est_jaccard"]]
 
-    def _dedup_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.iloc[:1][["doc_a", "doc_b", "est_jaccard"]]
 
-    bands = docs_ds.map_batches(
-        MinHashLshStage,
-        concurrency=concurrency,
+def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=None):
+    """Near-dup pairs (doc_a < doc_b, est_jaccard >= threshold).
+
+    Default runs the signature stage as stateless tasks shipping ONE
+    precompiled stage instance (the coefficients are tiny and the stage is
+    light — an actor pool here only adds startup latency and caps
+    parallelism; pass ``concurrency=N`` to pin a pool when signatures get
+    expensive, e.g. much larger n_perm or shingle settings)."""
+    if concurrency is None:
+        bands = docs_ds.map_batches(
+            MinHashLshStage(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        bands = docs_ds.map_batches(
+            MinHashLshStage,
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    sharded = bands.map_batches(
+        _add_hash_shard("band_key", LSH_SHARDS),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = bands.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
-    pairs = pairs.filter(expr=f"est_jaccard >= {threshold}")
-    # A pair can surface from several bands: keep one row per (doc_a, doc_b).
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        _dedup_pair, batch_format="pandas"
+    pairs = sharded.groupby("shard").map_groups(
+        _shard_bucket_pairs, batch_format="pandas"
     )
+    pairs = pairs.filter(expr=f"est_jaccard >= {threshold}")
+    # A pair can surface from several bands: keep one row per (doc_a, doc_b),
+    # again sharded by pair hash rather than one Ray group per pair.
+    pair_sharded = pairs.map_batches(
+        _add_hash_shard(("doc_a", "doc_b"), LSH_SHARDS),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pair_sharded.groupby("shard").map_groups(
+        _dedup_pairs_shard, batch_format="pandas"
+    )
+
+
+def _add_hash_shard(key_cols, n_shards: int):
+    """Batch fn: append an int32 ``shard`` column = stable hash of key cols."""
+    if isinstance(key_cols, str):
+        key_cols = (key_cols,)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        acc = np.zeros(n, dtype=np.uint64)
+        for col in key_cols:
+            arr = batch.column(col)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                vals = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                        )
+                        for s in arr.to_pylist()
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+            else:
+                vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+            acc = acc * np.uint64(1000003) + vals
+        shard = (acc % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column("shard", pa.array(shard))
+
+    return _fn
 
 
 # ---------------------------------------------------------------------------
@@ -310,26 +391,41 @@ def simhash_dups(docs_ds, *, max_hamming: int = 3):
             }
         )
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "hamming": []}
-            ).astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
-        hs = np.array([int(h, 16) for h in df["simhash"]], dtype=np.uint64)
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [int(x ^ y).bit_count() for x, y in zip(hs[a_idx], hs[b_idx])],
-            dtype=np.int64,
+    def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
         )
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[a_idx][keep], "doc_b": ids[b_idx][keep], "hamming": ham[keep]}
-        )
+        df = df[df.duplicated("chunk_key", keep=False)]
+        if df.empty:
+            return empty
+        frames = []
+        for _, g in df.groupby("chunk_key", sort=False):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = np.array([int(h, 16) for h in g["simhash"]], dtype=np.uint64)
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            ham = np.array(
+                [int(x ^ y).bit_count() for x, y in zip(hs[a_idx], hs[b_idx])],
+                dtype=np.int64,
+            )
+            keep = ham <= max_hamming
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[a_idx][keep],
+                        "doc_b": ids[b_idx][keep],
+                        "hamming": ham[keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    def _dedup_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.iloc[:1][["doc_a", "doc_b", "hamming"]]
+    def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "hamming"]]
 
     fingerprints = docs_ds.map_batches(
         simhash_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -337,9 +433,19 @@ def simhash_dups(docs_ds, *, max_hamming: int = 3):
     expanded = fingerprints.map_batches(
         _expand, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = expanded.groupby("chunk_key").map_groups(_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        _dedup_pair, batch_format="pandas"
+    sharded = expanded.map_batches(
+        _add_hash_shard("chunk_key", LSH_SHARDS),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = sharded.groupby("shard").map_groups(_shard_pairs, batch_format="pandas")
+    pair_sharded = pairs.map_batches(
+        _add_hash_shard(("doc_a", "doc_b"), LSH_SHARDS),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pair_sharded.groupby("shard").map_groups(
+        _dedup_pairs, batch_format="pandas"
     )
 
 

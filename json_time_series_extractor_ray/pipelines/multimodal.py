@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns with
+typed metadata columns beside them — the Ray-side plumbing (schema, actor
+signature, batch sizing, output layout) is real and tested; the actual
+codec work is stubbed because no image/audio libraries exist in this
+container:
+
+* :class:`DecodeStage` raises ``NotImplementedError`` unless constructed
+  with ``fake=True``, in which case it runs :func:`fake_decode` — a
+  deterministic stand-in (payload bytes -> shape + checksum + a small
+  feature vector) with the same signature a real decoder would have.
+* Batch size guidance: large binary payloads need SMALL batches —
+  ``media_batch_size(avg_bytes)`` targets ~64 MB per batch so
+  batch x concurrency fits a worker heap.
+
+Payload synthesis (:func:`synthesize_media_table`) builds a deterministic
+media table from the ``documents`` table (payload = seeded bytes, length
+from ``n_chars``) so the plumbing is testable without real media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),          # image | audio | video
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),          # typed metadata (0 when unknown)
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+TARGET_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def media_batch_size(avg_payload_bytes: int) -> int:
+    """Rows per batch so one batch ~= TARGET_BATCH_BYTES of payload."""
+    return max(1, TARGET_BATCH_BYTES // max(1, avg_payload_bytes))
+
+
+def synthesize_media_table(doc_ids, sizes, kind: str = "image",
+                           seed: int = 7) -> pa.Table:
+    """Deterministic fake media rows (seeded payload bytes per doc)."""
+    payloads = []
+    for doc_id, size in zip(doc_ids, sizes):
+        # blake2b, not hash(): Python string hashing is salted per process,
+        # which would break cross-worker determinism.
+        stable = int.from_bytes(
+            hashlib.blake2b(str(doc_id).encode(), digest_size=4).digest(), "big"
+        )
+        rng = np.random.default_rng([seed, stable])
+        payloads.append(rng.integers(0, 256, size=int(size), dtype=np.uint8).tobytes())
+    n = len(payloads)
+    return pa.table(
+        {
+            "media_id": pa.array([str(d) for d in doc_ids], pa.string()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+            "duration_ms": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic decoder stand-in: pretends to decode, returns shape +
+    checksum + an 8-dim feature vector derived from the payload bytes."""
+    digest = hashlib.blake2b(payload, digest_size=16).digest()
+    arr = np.frombuffer(payload[:4096], dtype=np.uint8).astype(np.float64)
+    feats = np.array(
+        [arr[i::8].mean() if len(arr) > i else 0.0 for i in range(8)]
+    )
+    side = int(np.sqrt(max(1, len(payload))))
+    return {
+        "checksum": digest.hex(),
+        "width": side,
+        "height": side,
+        "n_bytes": len(payload),
+        "features": feats,
+    }
+
+
+class DecodeStage:
+    """Actor-pool decode/feature-extract stage for media batches.
+
+    Real decoders (PIL / libsndfile / ffmpeg) are NOT available in this
+    container: constructing with ``fake=False`` (the production signature)
+    raises ``NotImplementedError`` at init — clearly marked stub — while
+    ``fake=True`` runs the deterministic stand-in so every other part of
+    the pipeline (schema, batches, actor lifecycle, output layout) is
+    exercised for real.
+    """
+
+    def __init__(self, *, fake: bool = False, feature_dim: int = 8):
+        if not fake:
+            raise NotImplementedError(
+                "Media decoding requires image/audio codecs not present in "
+                "this environment; construct DecodeStage(fake=True) for the "
+                "deterministic stand-in."
+            )
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        checksums, widths, heights, nbytes, feats = [], [], [], [], []
+        for payload, kind in zip(payloads, kinds):
+            d = fake_decode(payload, kind)
+            checksums.append(d["checksum"])
+            widths.append(d["width"])
+            heights.append(d["height"])
+            nbytes.append(d["n_bytes"])
+            feats.append(d["features"][: self.feature_dim])
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "checksum": pa.array(checksums, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+def decode_media_dataset(media_ds, *, avg_payload_bytes: int = 1 << 20,
+                         concurrency=(1, 4), fake: bool = True):
+    """Attach the decode actor pool with payload-aware batch sizing."""
+    return media_ds.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs=dict(fake=fake),
+        batch_size=media_batch_size(avg_payload_bytes),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -105,9 +105,7 @@ def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def brute_force_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K):
     partials = emb_ds.map_batches(
-        PartialTopKStage,
-        fn_constructor_args=(query_ids, query_matrix, k),
-        concurrency=2,
+        PartialTopKStage(query_ids, query_matrix, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -180,9 +178,7 @@ def ivf_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K, nprobe: int = 4
 
     pruned = emb_ds.map_batches(_prune, batch_format="pyarrow", zero_copy_batch=True)
     partials = pruned.map_batches(
-        _IvfPartial,
-        fn_constructor_args=(query_ids, query_matrix, k),
-        concurrency=2,
+        _IvfPartial(query_ids, query_matrix, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -188,7 +188,7 @@ def _q_fingerprint(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdStage, concurrency=2, batch_format="pyarrow", zero_copy_batch=True
+        LangIdStage(), batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -161,11 +161,14 @@ class PartialRollupStage:
         return partial_rollup_batch(batch, self.window_ns)
 
 
-def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536):
+def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
+                  gap_fill: str | None = None):
     """Dataset of SAMPLE_SCHEMA rows -> Dataset of tiered rollup rows.
 
     One shuffle total: the ``groupby("series_key")`` between the partial
-    combiner and the per-series cascade.
+    combiner and the per-series cascade.  ``gap_fill='locf'|'linear'``
+    fuses interior gap-filling into the same ``map_groups`` (data is
+    already series-local there) — no extra wide operation.
     """
     partials = samples_ds.map_batches(
         PartialRollupStage(WINDOW_NS[tiers[0]]),
@@ -173,8 +176,19 @@ def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536):
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+    if gap_fill is None:
+        def _group_fn(df):
+            return cascade_series_group(df, tiers)
+    else:
+        from .gapfill import gap_fill_tier_group
+
+        def _group_fn(df):
+            return gap_fill_tier_group(cascade_series_group(df, tiers),
+                                       method=gap_fill)
+
     return partials.groupby("series_key").map_groups(
-        lambda df: cascade_series_group(df, tiers), batch_format="pandas"
+        _group_fn, batch_format="pandas"
     )
 
 

@@ -1,0 +1,195 @@
+"""Checkpoint / lineage / resume for partitioned pipeline outputs.
+
+Requirement (BASELINE.json north_rule): a killed job resumes without
+recomputing or double-counting rollups, with per-partition lineage +
+metrics.  Design:
+
+* Output is partitioned: shard ``s`` of a stage writes to
+  ``<out_dir>/shard=<s>/`` via **write-to-temp + atomic rename** — a
+  partition directory either exists completely or not at all.
+* Each completed shard appends a lineage record to
+  ``<out_dir>/_manifest/<shard>.json`` (one file per shard, so concurrent
+  writers never contend): input fragments, row count, min/max event
+  timestamp (the shard watermark), value checksum, wall time.
+* Resume = read the manifest directory, skip shards whose record exists
+  AND whose partition directory exists; recompute the rest.  Because every
+  shard's output is derived deterministically from its input fragments
+  (deterministic extraction — no wall-clock fallback), a re-run of an
+  incomplete shard is value-identical: no double counting.
+
+The shard axis is ``hash(series_key) % num_shards`` — the SAME key the
+rollup shuffle uses, so restart granularity aligns with the one wide
+operation in the pipeline (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def shard_of(series_key: str, num_shards: int) -> int:
+    """Stable shard id (md5-based — never Python's salted hash())."""
+    h = hashlib.md5(series_key.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") % num_shards
+
+
+def add_shard_column(batch: pa.Table, num_shards: int,
+                     key_column: str = "series_key") -> pa.Table:
+    keys = batch.column(key_column).to_pylist()
+    shards = pa.array([shard_of(k, num_shards) for k in keys], pa.int32())
+    return batch.append_column("shard", shards)
+
+
+def _checksum_table(table: pa.Table) -> str:
+    """Order-insensitive value checksum: per-row hash xor-folded."""
+    if table.num_rows == 0:
+        return "0" * 16
+    acc = 0
+    cols = [table.column(n).to_pylist() for n in sorted(table.column_names)]
+    for row in zip(*cols):
+        h = hashlib.blake2b(repr(row).encode(), digest_size=8).digest()
+        acc ^= int.from_bytes(h, "big")
+    return f"{acc:016x}"
+
+
+class CheckpointManifest:
+    """Per-(stage-output) manifest directory with one record per shard."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def record_path(self, shard: int) -> str:
+        return os.path.join(self.manifest_dir, f"shard-{shard:05d}.json")
+
+    def shard_dir(self, shard: int) -> str:
+        return os.path.join(self.out_dir, f"shard={shard:05d}")
+
+    def completed_shards(self) -> set:
+        done = set()
+        for name in os.listdir(self.manifest_dir):
+            if not name.startswith("shard-") or not name.endswith(".json"):
+                continue
+            shard = int(name[len("shard-"):-len(".json")])
+            if os.path.isdir(self.shard_dir(shard)):
+                done.add(shard)
+        return done
+
+    def load_record(self, shard: int) -> dict:
+        with open(self.record_path(shard)) as f:
+            return json.load(f)
+
+    def commit_shard(self, shard: int, table: pa.Table, *,
+                     input_fragments=(), extra: dict | None = None) -> dict:
+        """Atomically publish one shard: tmp write -> fsync -> rename, then
+        the lineage record (record last => record implies data)."""
+        final_dir = self.shard_dir(shard)
+        tmp_dir = final_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        t0 = time.perf_counter()
+        pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)
+        os.rename(tmp_dir, final_dir)
+
+        ts_col = None
+        for cand in ("ts", "window_start", "last_ts"):
+            if cand in table.column_names:
+                ts_col = cand
+                break
+        record = {
+            "shard": shard,
+            "rows": table.num_rows,
+            "input_fragments": list(input_fragments),
+            "checksum": _checksum_table(table),
+            "watermark_min": None,
+            "watermark_max": None,
+            "wall_s": round(time.perf_counter() - t0, 4),
+            "completed_at": time.time(),
+        }
+        if ts_col is not None and table.num_rows:
+            col = table.column(ts_col)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            record["watermark_min"] = pc.min(col).as_py()
+            record["watermark_max"] = pc.max(col).as_py()
+        if extra:
+            record.update(extra)
+        tmp_rec = self.record_path(shard) + ".tmp"
+        with open(tmp_rec, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp_rec, self.record_path(shard))
+        return record
+
+    def metrics(self) -> dict:
+        """Aggregate per-partition metrics across completed shards."""
+        shards = sorted(self.completed_shards())
+        recs = [self.load_record(s) for s in shards]
+        return {
+            "shards_completed": len(recs),
+            "rows": sum(r["rows"] for r in recs),
+            "watermark_max": max(
+                (r["watermark_max"] for r in recs if r["watermark_max"] is not None),
+                default=None,
+            ),
+            "wall_s_total": round(sum(r["wall_s"] for r in recs), 4),
+        }
+
+
+def run_sharded_rollup(samples_ds, out_dir: str, num_shards: int, *,
+                       tiers=("1m", "1h", "1d"), gap_fill=None):
+    """Resumable rollup: shard samples by series key, roll up only the
+    shards missing from the checkpoint manifest, commit each atomically.
+
+    Returns (manifest, shards_run, shards_skipped).  The per-shard work
+    runs through the normal Dataset ladder; a resumed run filters
+    completed shards out BEFORE the shuffle, so finished work is neither
+    recomputed nor double-counted.
+    """
+    from ..stages.rollup import rollup_ladder
+
+    manifest = CheckpointManifest(out_dir)
+    done = manifest.completed_shards()
+
+    sharded = samples_ds.map_batches(
+        lambda b: add_shard_column(b, num_shards),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if done:
+        done_list = sorted(done)
+        sharded = sharded.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b.column("shard"),
+                                   value_set=pa.array(done_list, pa.int32())))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    rollups = rollup_ladder(sharded.drop_columns(["shard"]), tiers=tiers,
+                            gap_fill=gap_fill)
+    result = rollups.map_batches(
+        lambda b: add_shard_column(b, num_shards),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    shards_run = []
+    table = pa.concat_tables(
+        [pa.table(b) for b in result.iter_batches(batch_format="pyarrow")]
+    ) if result.count() else None
+    if table is not None:
+        for shard in sorted(set(table.column("shard").to_pylist())):
+            part = table.filter(pc.equal(table.column("shard"), shard))
+            manifest.commit_shard(int(shard), part.drop_columns(["shard"]))
+            shards_run.append(int(shard))
+    return manifest, shards_run, sorted(done)

@@ -1,0 +1,131 @@
+"""Gap-fill and Gorilla compression unit + pipeline tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from json_time_series_extractor_ray.stages.gapfill import (
+    FILL_LINEAR,
+    FILL_LOCF,
+    gap_fill_series,
+)
+from json_time_series_extractor_ray.state.gorilla import (
+    GorillaChunkWriter,
+    compress_chunk,
+    decompress_chunk,
+)
+
+MIN = 60 * 10**9
+
+
+def _series(windows, means):
+    n = len(windows)
+    return pd.DataFrame(
+        {
+            "window_start": np.array(windows, dtype=np.int64) * MIN,
+            "min": np.array(means) - 1.0,
+            "max": np.array(means) + 1.0,
+            "mean": np.array(means, dtype=np.float64),
+            "sum": np.array(means, dtype=np.float64) * 2,
+            "count": np.full(n, 2, dtype=np.int64),
+            "last": np.array(means, dtype=np.float64),
+            "last_ts": np.array(windows, dtype=np.int64) * MIN + 10,
+        }
+    )
+
+
+class TestGapFill:
+    def test_locf_fills_interior_gaps(self):
+        df = _series([0, 1, 4], [10.0, 20.0, 50.0])
+        out = gap_fill_series(df, MIN, FILL_LOCF)
+        assert list(out["window_start"] // MIN) == [0, 1, 2, 3, 4]
+        assert list(out["fill"]) == ["", "", "locf", "locf", ""]
+        filled = out[out["fill"] == "locf"]
+        assert (filled["last"] == 20.0).all()
+        assert (filled["mean"] == 20.0).all()
+        assert (filled["min"] == 20.0).all()  # carried value, not observed min
+        assert (filled["count"] == 0).all()
+        assert (filled["sum"] == 0.0).all()
+
+    def test_linear_interpolates(self):
+        df = _series([0, 3], [10.0, 40.0])
+        out = gap_fill_series(df, MIN, FILL_LINEAR)
+        assert list(out["mean"]) == [10.0, 20.0, 30.0, 40.0]
+        assert list(out["fill"]) == ["", "linear", "linear", ""]
+        assert list(out["last"]) == [10.0, 20.0, 30.0, 40.0]
+
+    def test_no_extrapolation(self):
+        df = _series([5, 6], [1.0, 2.0])
+        out = gap_fill_series(df, MIN, FILL_LOCF)
+        assert len(out) == 2
+        assert (out["fill"] == "").all()
+
+    def test_single_row_passthrough(self):
+        df = _series([7], [3.0])
+        out = gap_fill_series(df, MIN, FILL_LOCF)
+        assert len(out) == 1 and out["fill"].iloc[0] == ""
+
+    def test_bad_method(self):
+        with pytest.raises(ValueError):
+            gap_fill_series(_series([0, 1], [1, 2]), MIN, "cubic")
+
+
+class TestGorilla:
+    def test_round_trip_regular_series(self):
+        ts = np.arange(0, 1000) * 15_000_000_000 + 1_704_067_200 * 10**9
+        rng = np.random.default_rng(3)
+        vals = np.round(20 + rng.standard_normal(1000), 2)
+        chunk = compress_chunk(ts, vals)
+        ts2, vals2 = decompress_chunk(chunk)
+        np.testing.assert_array_equal(ts, ts2)
+        np.testing.assert_array_equal(vals, vals2)
+
+    def test_round_trip_irregular_ns(self):
+        rng = np.random.default_rng(11)
+        deltas = rng.integers(1, 10**12, size=500)
+        ts = np.cumsum(deltas) + 10**18
+        vals = rng.standard_normal(500) * 1e6
+        chunk = compress_chunk(ts, vals)
+        ts2, vals2 = decompress_chunk(chunk)
+        np.testing.assert_array_equal(ts, ts2)
+        np.testing.assert_array_equal(vals, vals2)
+
+    def test_round_trip_specials(self):
+        ts = np.array([0, 1, 2, 3, 4, 5], dtype=np.int64)
+        vals = np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1.5])
+        ts2, vals2 = decompress_chunk(compress_chunk(ts, vals))
+        np.testing.assert_array_equal(ts, ts2)
+        np.testing.assert_array_equal(
+            vals.view(np.uint64), vals2.view(np.uint64)
+        )  # NaN bit pattern preserved
+
+    def test_compresses_regular_data(self):
+        ts = np.arange(0, 10_000) * 10**9
+        vals = np.full(10_000, 42.5)
+        chunk = compress_chunk(ts, vals)
+        raw = 16 * 10_000
+        assert len(chunk) < raw / 20  # constant series compresses hugely
+
+    def test_empty_and_single(self):
+        for n in (0, 1):
+            ts = np.arange(n, dtype=np.int64)
+            vals = np.arange(n, dtype=np.float64) + 0.5
+            ts2, vals2 = decompress_chunk(compress_chunk(ts, vals))
+            np.testing.assert_array_equal(ts, ts2)
+            np.testing.assert_array_equal(vals, vals2)
+
+    def test_chunk_writer_group(self):
+        df = pd.DataFrame(
+            {
+                "series_key": ["s"] * 4,
+                "ts": pd.to_datetime([10, 30, 20, 40], unit="s", utc=True).tz_localize(None),
+                "value_num": [1.0, 3.0, 2.0, 4.0],
+                "value_kind": [1, 1, 1, 1],
+                "doc_id": ["a", "b", "c", "d"],
+                "sample_ordinal": [0, 0, 0, 0],
+            }
+        )
+        out = GorillaChunkWriter()(df)
+        assert out["n_points"].iloc[0] == 4
+        ts, vals = decompress_chunk(out["chunk"].iloc[0])
+        assert list(vals) == [1.0, 2.0, 3.0, 4.0]  # sorted by ts before encode

@@ -1,0 +1,221 @@
+"""Training-data operators: dedup recall, similarity search, multimodal
+plumbing, gap-filled ladder."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray.pipelines.dedup import (
+    MinHashLshStage,
+    exact_dedup,
+    jaccard_block_pairs,
+    minhash_lsh_dups,
+    shingle_sets,
+    simhash_dups,
+    _hash_shingles,
+)
+from json_time_series_extractor_ray.pipelines.multimodal import (
+    DecodeStage,
+    decode_media_dataset,
+    media_batch_size,
+    synthesize_media_table,
+)
+from json_time_series_extractor_ray.pipelines.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _doc_table(n=60, seed=5, with_dups=True):
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(WORDS, size=40).tolist()) for _ in range(n)
+    ]
+    if with_dups:
+        # 60/61: exact dups of 0; 62: near-dup of 1 (one word changed)
+        texts.append(texts[0])
+        texts.append(texts[0])
+        w = texts[1].split()
+        w[5] = "zulu"
+        texts.append(" ".join(w))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+
+
+class TestDedup:
+    def test_exact_dedup_collapses_copies(self, ray_session):
+        import ray
+
+        t = _doc_table()
+        out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+        n = t.num_rows
+        assert len(out) == n - 2  # two exact copies collapse
+        grp = out[out["n_copies"] == 3]
+        assert len(grp) == 1 and grp["doc_id"].iloc[0] == 0
+
+    def test_minhash_estimates_match_true_jaccard(self):
+        t = _doc_table()
+        stage = MinHashLshStage()
+        sets = shingle_sets(t.column("text"))
+        sig_a = stage.signature(_hash_shingles(sets[1]))
+        sig_b = stage.signature(_hash_shingles(sets[62]))
+        est = (sig_a == sig_b).mean()
+        true_j = len(sets[1] & sets[62]) / len(sets[1] | sets[62])
+        assert abs(est - true_j) < 0.25
+        assert true_j > 0.7  # construction sanity
+
+    def test_minhash_lsh_finds_planted_near_dups(self, ray_session):
+        import ray
+
+        out = minhash_lsh_dups(
+            ray.data.from_arrow(_doc_table()), threshold=0.5
+        ).to_pandas()
+        pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+        assert (0, 60) in pairs and (0, 61) in pairs and (60, 61) in pairs
+        assert (1, 62) in pairs  # near-dup caught
+        # random docs don't collide at threshold 0.5
+        assert len(pairs) == 4
+
+    def test_simhash_finds_planted_dups(self, ray_session):
+        import ray
+
+        out = simhash_dups(ray.data.from_arrow(_doc_table())).to_pandas()
+        pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+        assert (0, 60) in pairs and (0, 61) in pairs
+        assert all(h <= 3 for h in out["hamming"])
+
+    def test_jaccard_block_pairs_exact(self, ray_session):
+        import ray
+
+        t = _doc_table()
+        out = jaccard_block_pairs(
+            ray.data.from_arrow(t), threshold=0.5
+        ).to_pandas()
+        sets = shingle_sets(t.column("text"))
+        expected = set()
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                inter = len(sets[a] & sets[b])
+                if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                    expected.add((a, b))
+        assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == expected
+
+
+def _emb_table(n=200, d=16, seed=9):
+    rng = np.random.default_rng(seed)
+    E = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in E],
+                                  pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 5).astype(np.int32)),
+        }
+    ), E
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy_oracle(self, ray_session):
+        import ray
+
+        t, E = _emb_table()
+        En = E.astype(np.float64)
+        En /= np.linalg.norm(En, axis=1, keepdims=True)
+        qids = np.arange(4, dtype=np.int64)
+        out = brute_force_topk(
+            ray.data.from_arrow(t), qids, En[:4], k=5
+        ).to_pandas()
+        S = En[:4] @ En.T
+        for qi in range(4):
+            sims = S[qi].copy()
+            sims[qi] = -2  # exclude self
+            expect = set(np.argsort(-sims)[:5])
+            got = set(out[out["query_id"] == qi]["neighbor_id"])
+            assert got == expect
+
+    def test_ivf_recall_reasonable(self, ray_session):
+        import ray
+
+        t, E = _emb_table()
+        En = E.astype(np.float64)
+        En /= np.linalg.norm(En, axis=1, keepdims=True)
+        qids = np.arange(4, dtype=np.int64)
+        brute = brute_force_topk(ray.data.from_arrow(t), qids, En[:4], k=5).to_pandas()
+        approx = ivf_topk(
+            ray.data.from_arrow(t), qids, En[:4], k=5, nprobe=3
+        ).to_pandas()
+        # nprobe=3 of 5 cells scans >= 60% of the corpus -> decent recall
+        hits = 0
+        for qi in range(4):
+            b = set(brute[brute["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            hits += len(a & b)
+        assert hits / (4 * 5) >= 0.5
+
+
+class TestMultimodal:
+    def test_batch_size_inverse_to_payload(self):
+        assert media_batch_size(1 << 20) == 64
+        assert media_batch_size(1 << 26) == 1
+        assert media_batch_size(1) >= 1
+
+    def test_real_decoder_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            DecodeStage()
+
+    def test_fake_decode_pipeline(self, ray_session):
+        import ray
+
+        t = synthesize_media_table([f"m{i}" for i in range(20)],
+                                   [1000 + 37 * i for i in range(20)])
+        out = decode_media_dataset(
+            ray.data.from_arrow(t), avg_payload_bytes=2000
+        ).to_pandas()
+        assert len(out) == 20
+        assert out["n_bytes"].tolist() == [1000 + 37 * i for i in range(20)]
+        assert (out["features"].apply(len) == 8).all()
+        # determinism across runs
+        out2 = decode_media_dataset(
+            ray.data.from_arrow(t), avg_payload_bytes=2000
+        ).to_pandas()
+        assert out.sort_values("media_id")["checksum"].tolist() == \
+            out2.sort_values("media_id")["checksum"].tolist()
+
+
+class TestGapFilledLadder:
+    def test_ladder_with_locf_has_no_interior_gaps(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.stages.rollup import rollup_ladder
+
+        base = 1_704_067_200 * 10**9
+        minutes = [0, 1, 5, 6]  # gap at 2,3,4
+        t = pa.table(
+            {
+                "series_key": pa.array(["s"] * 4),
+                "ts": pa.array([base + m * 60 * 10**9 for m in minutes],
+                               pa.int64()).cast(pa.timestamp("ns")),
+                "value_num": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "value_kind": pa.array([1] * 4, pa.int8()),
+                "doc_id": pa.array(["a", "b", "c", "d"]),
+                "sample_ordinal": pa.array([0] * 4, pa.int32()),
+            }
+        )
+        out = rollup_ladder(
+            ray.data.from_arrow(t), tiers=("1m",), gap_fill="locf"
+        ).to_pandas()
+        m1 = out[out["tier"] == "1m"].sort_values("window_start")
+        assert len(m1) == 7
+        assert m1["fill"].tolist() == ["", "", "locf", "locf", "locf", "", ""]
+        assert m1["last"].tolist() == [1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 4.0]
