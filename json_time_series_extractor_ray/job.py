@@ -1,0 +1,103 @@
+"""Cluster job entry point: config JSON -> resumable extract+rollup job.
+
+The engine twin of the reference CLI sample (the closest thing the
+reference has to a "config -> pipeline -> writer" flow,
+``samples/JsonTimeSeriesExtractor.Cli/Program.cs:11-73``), shaped for
+``ray job submit``::
+
+    ray job submit -- python -m json_time_series_extractor_ray.job \\
+        --config job.json
+
+Config schema (all paths may be any fsspec-able URI Ray Data can read)::
+
+    {
+      "input": "/data/corpus/",            # Parquet (doc_id, tokens, n_tok, source)
+      "output_dir": "/data/out/",          # tiers + manifest + chunks under here
+      "options": {"recursive": true, ...}, # ExtractorOptions.from_dict payload
+      "tokenizer": "utf8",
+      "tiers": ["1m", "1h", "1d"],
+      "gap_fill": null,                    # null | "locf" | "linear"
+      "num_shards": 64,                    # checkpoint/partition granularity
+      "fallback_now_ns": 0,                # deterministic fallback timestamp
+      "gorilla_chunks": true,              # also write per-series chunk files
+      "extract_concurrency": null,         # null=tasks, int/(min,max)=actor pool
+      "batch_size": 8192
+    }
+
+The job is resumable: rerunning with the same config skips shards already
+recorded in ``<output_dir>/rollups/_manifest`` (see state/checkpoint.py).
+Exit output is one JSON line of manifest metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def run_job(config: dict) -> dict:
+    import ray
+
+    if not ray.is_initialized():  # standalone runs; the driver/tests own Ray otherwise
+        ray.init(address="local", include_dashboard=False)
+
+    from .pipelines.timeseries import extract_pipeline, gorilla_roundtrip_stats
+    from .state.checkpoint import run_sharded_rollup
+
+    corpus = ray.data.read_parquet(config["input"])
+    samples = extract_pipeline(
+        corpus,
+        config.get("options") or {"recursive": True},
+        tokenizer=config.get("tokenizer", "utf8"),
+        concurrency=config.get("extract_concurrency"),
+        batch_size=config.get("batch_size", 8192),
+        fallback_now_ns=config.get("fallback_now_ns", 0),
+    )
+
+    out_dir = config["output_dir"].rstrip("/")
+    manifest, shards_run, shards_skipped = run_sharded_rollup(
+        samples,
+        f"{out_dir}/rollups",
+        config.get("num_shards", 64),
+        tiers=tuple(config.get("tiers", ("1m", "1h", "1d"))),
+        gap_fill=config.get("gap_fill"),
+    )
+
+    result = {
+        "rollups": manifest.metrics(),
+        "shards_run": shards_run,
+        "shards_skipped": shards_skipped,
+    }
+
+    if config.get("gorilla_chunks", True):
+        # Chunk pass re-derives samples (deterministic) so the rollup path
+        # above never has to materialize the full sample stream twice.
+        samples2 = extract_pipeline(
+            corpus,
+            config.get("options") or {"recursive": True},
+            tokenizer=config.get("tokenizer", "utf8"),
+            concurrency=config.get("extract_concurrency"),
+            batch_size=config.get("batch_size", 8192),
+            fallback_now_ns=config.get("fallback_now_ns", 0),
+        )
+        stats = gorilla_roundtrip_stats(samples2)
+        stats.write_parquet(f"{out_dir}/chunks")
+        result["chunks_written"] = True
+
+    return result
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="json_time_series_extractor_ray.job")
+    ap.add_argument("--config", required=True, help="path to job config JSON")
+    args = ap.parse_args(argv)
+    with open(args.config) as f:
+        config = json.load(f)
+    result = run_job(config)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

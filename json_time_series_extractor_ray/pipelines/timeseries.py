@@ -69,6 +69,7 @@ def extract_and_rollup(
     options: dict | ExtractorOptions | None = None,
     *,
     tiers=TIER_ORDER,
+    gap_fill: str | None = None,
     tokenizer: str = "utf8",
     concurrency=None,
     batch_size: int = 2048,
@@ -83,7 +84,7 @@ def extract_and_rollup(
         batch_size=batch_size,
         **stage_kwargs,
     )
-    return rollup_ladder(samples, tiers=tiers)
+    return rollup_ladder(samples, tiers=tiers, gap_fill=gap_fill)
 
 
 def samples_for_compare(samples_ds, *, with_ordinal: bool = False):
@@ -147,6 +148,71 @@ def rollup_tier_for_compare(rollup_ds, tier: str, *, round_digits: int = 6):
         )
 
     return rollup_ds.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gapfill_tier_for_compare(rollup_ds, tier: str, *, round_digits: int = 6):
+    """Oracle-comparable projection of a gap-filled tier (adds ``fill``)."""
+    import pyarrow.compute as pc
+
+    from ._util import round_half_away
+
+    def _round_col(col):
+        return pa.array(
+            round_half_away(col.to_numpy(zero_copy_only=False), round_digits)
+        )
+
+    def _project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        return pa.table(
+            {
+                "series_key": t.column("series_key"),
+                "window_ns": t.column("window_start").cast(pa.int64()),
+                "fill": t.column("fill"),
+                "min": t.column("min"),
+                "max": t.column("max"),
+                "mean": _round_col(t.column("mean")),
+                "sum": _round_col(t.column("sum")),
+                "count": t.column("count"),
+                "last": t.column("last"),
+                "last_ts_ns": t.column("last_ts").cast(pa.int64()),
+            }
+        )
+
+    return rollup_ds.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gorilla_roundtrip_stats(samples_ds):
+    """Per-series Gorilla chunk stats with a decode-verification flag —
+    the compression sink exercised end-to-end (rows-only driver check)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..state.gorilla import compress_chunk, decompress_chunk
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "doc_id", "sample_ordinal"], kind="stable")
+        num = df[df["value_kind"] == 1]
+        ts = num["ts"].astype("int64").to_numpy()
+        vals = num["value_num"].to_numpy(dtype=np.float64)
+        chunk = compress_chunk(ts, vals)
+        ts2, vals2 = decompress_chunk(chunk)
+        ok = bool(
+            np.array_equal(ts, ts2)
+            and np.array_equal(vals.view(np.uint64), vals2.view(np.uint64))
+        )
+        raw = 16 * len(ts)
+        return pd.DataFrame(
+            {
+                "series_key": [df["series_key"].iloc[0]],
+                "n_points": np.int64(len(ts)),
+                "raw_bytes": np.int64(raw),
+                "chunk_bytes": np.int64(len(chunk)),
+                "ratio": round(raw / len(chunk), 3) if len(chunk) else 0.0,
+                "roundtrip_ok": ok,
+            }
+        )
+
+    return samples_ds.groupby("series_key").map_groups(_stats, batch_format="pandas")
 
 
 def write_tiers(rollup_ds, out_dir: str):

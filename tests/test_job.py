@@ -1,0 +1,55 @@
+"""End-to-end job entry point: config -> resumable run -> resume no-op."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from json_time_series_extractor_ray.corpus import iot_corpus_table
+from json_time_series_extractor_ray.job import run_job
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    pq.write_table(iot_corpus_table(2000, seed=3), str(d / "part-0.parquet"))
+    return str(d)
+
+
+def _config(corpus_dir, out_dir):
+    return {
+        "input": corpus_dir,
+        "output_dir": out_dir,
+        "options": {"recursive": True, "allow_nested_timestamps": True},
+        "tiers": ["1m", "1h"],
+        "num_shards": 8,
+        "gorilla_chunks": True,
+    }
+
+
+def test_job_full_then_resume(ray_session, corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    cfg = _config(corpus_dir, out_dir)
+
+    r1 = run_job(cfg)
+    assert r1["rollups"]["shards_completed"] > 0
+    assert r1["rollups"]["rows"] > 0
+    assert r1["shards_skipped"] == []
+    assert os.path.isdir(f"{out_dir}/rollups/_manifest")
+    assert os.path.isdir(f"{out_dir}/chunks")
+
+    # chunks decoded OK everywhere
+    import glob
+
+    import pyarrow.dataset as pads
+
+    chunks = pads.dataset(f"{out_dir}/chunks").to_table()
+    assert chunks.num_rows > 0
+    assert all(chunks.column("roundtrip_ok").to_pylist())
+
+    # resume: everything skipped, nothing recomputed
+    r2 = run_job(cfg)
+    assert r2["shards_run"] == []
+    assert sorted(r2["shards_skipped"]) == sorted(r1["shards_run"])
+    assert r2["rollups"]["rows"] == r1["rollups"]["rows"]
