@@ -249,6 +249,7 @@ class ExtractionPlan:
         "max_depth",
         "template",
         "filter",
+        "key_cache",
     )
 
     def __init__(self, options: ExtractorOptions):
@@ -266,6 +267,10 @@ class ExtractionPlan:
         )
         self.template = _parse_template(options.template, options.recursive)
         self.filter = options.can_process_element
+        # pointer -> rendered default key.  Document shapes repeat across a
+        # corpus, so the distinct-pointer set is tiny relative to sample
+        # count; bounded in _full_property_name against pathological shapes.
+        self.key_cache: dict = {}
 
 
 class ExtractionContext:
@@ -342,10 +347,18 @@ def _full_property_name(ctx: ExtractionContext, ptr: Pointer, force_local: bool 
     )
     sep = options.path_separator
     if include_all:
+        cache = ctx.plan.key_cache
+        key = cache.get(ptr)
+        if key is not None:
+            return key
         if sep == DEFAULT_PATH_SEPARATOR:
             s = pointer_to_string(ptr)
-            return s[1:] if s.startswith("/") else s
-        return sep.join(ptr)
+            key = s[1:] if s.startswith("/") else s
+        else:
+            key = sep.join(ptr)
+        if len(cache) < 65536:
+            cache[ptr] = key
+        return key
     # Array-index suppression builds the key from the element stack, not the
     # pointer, preserving integer-named object properties (:818-832).
     parts = [entry[0] for entry in stack if entry[0] is not None and not entry[2]]
@@ -442,27 +455,32 @@ def _build_sample(ctx: ExtractionContext, ptr: Pointer, element) -> Optional[Sam
     return Sample(key, ts_ns, source, value, kind)
 
 
-def _samples_core(ctx: ExtractionContext, depth: int, ptr: Pointer) -> Iterator[Sample]:
-    """Recursive element dispatch (``TimeSeriesExtractor.cs:501-541``)."""
+def _samples_core(ctx: ExtractionContext, depth: int, ptr: Pointer, out: list) -> None:
+    """Recursive element dispatch (``TimeSeriesExtractor.cs:501-541``).
+
+    Accumulator style (append to ``out``) rather than nested generators:
+    the 4-level ``yield from`` chain measured ~25% of kernel time.
+    """
     element = ctx.element_stack[-1][1]
     if not ctx.can_process_element(ptr, element):
         return
     if not ctx.options.recursive or depth >= ctx.max_depth:
         sample = _build_sample(ctx, ptr, element)
         if sample is not None:
-            yield sample
+            out.append(sample)
         return
     if isinstance(element, dict):
-        yield from _process_object(ctx, depth, ptr, element)
+        _process_object(ctx, depth, ptr, element, out)
     elif isinstance(element, list):
-        yield from _process_array(ctx, depth, ptr, element)
+        _process_array(ctx, depth, ptr, element, out)
     else:
         sample = _build_sample(ctx, ptr, element)
         if sample is not None:
-            yield sample
+            out.append(sample)
 
 
-def _process_object(ctx: ExtractionContext, depth: int, ptr: Pointer, element: dict):
+def _process_object(ctx: ExtractionContext, depth: int, ptr: Pointer, element: dict,
+                    out: list) -> None:
     """Object traversal + nested timestamps (``TimeSeriesExtractor.cs:546-571``)."""
     options = ctx.options
     pop_timestamp = False
@@ -476,25 +494,26 @@ def _process_object(ctx: ExtractionContext, depth: int, ptr: Pointer, element: d
     stack = ctx.element_stack
     for name, value in element.items():
         stack.append((name, value, False))
-        yield from _samples_core(ctx, depth + 1, ptr + (name,))
+        _samples_core(ctx, depth + 1, ptr + (name,), out)
         stack.pop()
     if pop_timestamp:
         ctx.timestamp_stack.pop()
 
 
-def _process_array(ctx: ExtractionContext, depth: int, ptr: Pointer, element: list):
+def _process_array(ctx: ExtractionContext, depth: int, ptr: Pointer, element: list,
+                   out: list) -> None:
     """Array traversal (``TimeSeriesExtractor.cs:576-593``)."""
     stack = ctx.element_stack
     for index, item in enumerate(element):
         key = str(index)
         stack.append((key, item, True))
-        yield from _samples_core(ctx, depth + 1, ptr + (key,))
+        _samples_core(ctx, depth + 1, ptr + (key,), out)
         stack.pop()
 
 
 def _samples_from_object(
-    element: dict, plan: ExtractionPlan, fallback_now_ns: Optional[int]
-) -> Iterator[Sample]:
+    element: dict, plan: ExtractionPlan, fallback_now_ns: Optional[int], out: list
+) -> None:
     """Root object processing (``GetSamplesCore(JsonElement, options)``,
     ``TimeSeriesExtractor.cs:453-483``)."""
     ctx = ExtractionContext(plan)
@@ -515,19 +534,19 @@ def _samples_from_object(
     ctx.element_stack.append((None, element, False))
     for name, value in element.items():
         ctx.element_stack.append((name, value, False))
-        yield from _samples_core(ctx, 1, (name,))
+        _samples_core(ctx, 1, (name,), out)
         ctx.element_stack.pop()
 
 
-def _samples_from_root(element, plan: ExtractionPlan, fallback_now_ns) -> Iterator[Sample]:
+def _samples_from_root(element, plan: ExtractionPlan, fallback_now_ns, out: list) -> None:
     """Array-of-documents unrolling (``GetSamplesFromRootElement``,
     ``TimeSeriesExtractor.cs:425-438``): non-object/non-array roots emit
     nothing."""
     if isinstance(element, list):
         for item in element:
-            yield from _samples_from_root(item, plan, fallback_now_ns)
+            _samples_from_root(item, plan, fallback_now_ns, out)
     elif isinstance(element, dict):
-        yield from _samples_from_object(element, plan, fallback_now_ns)
+        _samples_from_object(element, plan, fallback_now_ns, out)
 
 
 def extract_samples(
@@ -556,5 +575,7 @@ def extract_samples(
     if plan.start_at is not None:
         document = evaluate_pointer(document, plan.start_at)
         if document is MISSING:
-            return
-    yield from _samples_from_root(document, plan, fallback_now_ns)
+            return iter(())
+    out: list = []
+    _samples_from_root(document, plan, fallback_now_ns, out)
+    return iter(out)

@@ -161,14 +161,34 @@ class PartialRollupStage:
         return partial_rollup_batch(batch, self.window_ns)
 
 
+def _merge_partials_group(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
+    """Salted pre-reduce: merge one (series, salt) group's partial rows into
+    at most one row per window — output is STILL partial-shaped (sum/count
+    carried), so the final per-series cascade stays exact."""
+    series_key = df["series_key"].iloc[0]
+    merged = _merge_windows(df[PARTIAL_COLUMNS[1:]].copy(), window_ns)
+    merged.insert(0, "series_key", series_key)
+    return merged[PARTIAL_COLUMNS]
+
+
 def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
-                  gap_fill: str | None = None):
+                  gap_fill: str | None = None, salt_shards: int | None = None):
     """Dataset of SAMPLE_SCHEMA rows -> Dataset of tiered rollup rows.
 
     One shuffle total: the ``groupby("series_key")`` between the partial
     combiner and the per-series cascade.  ``gap_fill='locf'|'linear'``
     fuses interior gap-filling into the same ``map_groups`` (data is
     already series-local there) — no extra wide operation.
+
+    ``salt_shards=S`` enables explicit hot-key salting (partial+final
+    aggregation): a first ``groupby(series_key, salt)`` with
+    ``salt = window_start mod S`` merges each hot series' partials in S
+    parallel groups (same window always lands in the same salt group, so
+    merging stays exact), and the final per-series group then holds at most
+    one row per window regardless of how hot the key was.  Worth its second
+    shuffle only when single series are hot enough to dominate a reducer —
+    unsalted, a hot series costs one row per (block, window) in its final
+    group, which the per-block combiner already bounds.
     """
     partials = samples_ds.map_batches(
         PartialRollupStage(WINDOW_NS[tiers[0]]),
@@ -176,6 +196,24 @@ def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+    if salt_shards is not None:
+        window_ns = WINDOW_NS[tiers[0]]
+
+        def _add_salt(batch: pa.Table) -> pa.Table:
+            w = batch.column("window_start").to_numpy(zero_copy_only=False)
+            salt = ((w // window_ns) % salt_shards).astype(np.int32)
+            return batch.append_column("salt", pa.array(salt))
+
+        def _pre_reduce(df: pd.DataFrame) -> pd.DataFrame:
+            return _merge_partials_group(df, window_ns)
+
+        salted = partials.map_batches(
+            _add_salt, batch_format="pyarrow", zero_copy_batch=True
+        )
+        partials = salted.groupby(["series_key", "salt"]).map_groups(
+            _pre_reduce, batch_format="pandas"
+        )
 
     if gap_fill is None:
         def _group_fn(df):

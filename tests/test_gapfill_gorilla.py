@@ -129,3 +129,43 @@ class TestGorilla:
         assert out["n_points"].iloc[0] == 4
         ts, vals = decompress_chunk(out["chunk"].iloc[0])
         assert list(vals) == [1.0, 2.0, 3.0, 4.0]  # sorted by ts before encode
+
+
+class TestSaltedRollup:
+    def test_salted_ladder_equals_unsalted(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from json_time_series_extractor_ray.stages.rollup import rollup_ladder
+
+        base = 1_704_067_200 * 10**9
+        n = 5000
+        # one pathologically hot series + a few cold ones
+        keys = ["hot"] * (n - 30) + [f"cold-{i % 3}" for i in range(30)]
+        t = pa.table(
+            {
+                "series_key": pa.array(keys),
+                "ts": pa.array(
+                    [base + (i % 600) * 10**9 + i for i in range(n)], pa.int64()
+                ).cast(pa.timestamp("ns")),
+                "value_num": pa.array([float(i % 97) for i in range(n)]),
+                "value_kind": pa.array([1] * n, pa.int8()),
+                "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+                "sample_ordinal": pa.array([0] * n, pa.int32()),
+            }
+        )
+        cols = ["tier", "series_key", "window_start", "min", "max", "mean",
+                "sum", "count", "last", "last_ts"]
+        plain = (
+            rollup_ladder(ray.data.from_arrow(t))
+            .to_pandas()[cols]
+            .sort_values(cols[:3], ignore_index=True)
+        )
+        salted = (
+            rollup_ladder(ray.data.from_arrow(t), salt_shards=8)
+            .to_pandas()[cols]
+            .sort_values(cols[:3], ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(plain, salted)
