@@ -196,6 +196,51 @@ def _events_filtered(sf_dir: str):
     return samples_for_compare(samples)
 
 
+def _events_startat(sf_dir: str):
+    """``start_at=/props`` re-roots extraction (reference S2): the document
+    becomes ``{"k": ...}``, ``/time`` no longer resolves, so the injected
+    deterministic fallback (0) applies with source=CURRENT_TIME."""
+    corpus = events_corpus_dataset(sf_dir)
+    samples = extract_pipeline(corpus, dict(recursive=True, start_at="/props"))
+    return samples_for_compare(samples)
+
+
+def _events_nested_corpus(sf_dir: str, tokenizer: str = "utf8"):
+    import functools
+
+    import ray
+
+    from json_time_series_extractor_ray.corpus import events_to_nested_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    fn = functools.partial(events_to_nested_corpus, tokenizer=tokenizer)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _events_nested(sf_dir: str):
+    """Array traversal + nested timestamps (reference M4/M5 +
+    AllowNestedTimestamps): each reading carries its own /time."""
+    samples = extract_pipeline(
+        _events_nested_corpus(sf_dir),
+        dict(recursive=True, allow_nested_timestamps=True),
+    )
+    return samples_for_compare(samples)
+
+
+def _events_nested_noidx(sf_dir: str):
+    """Same payloads with IncludeArrayIndexesInSampleKeys=false -> both
+    readings share the key ``data/v`` (reference K2 suppression)."""
+    samples = extract_pipeline(
+        _events_nested_corpus(sf_dir),
+        dict(
+            recursive=True,
+            allow_nested_timestamps=True,
+            include_array_indexes_in_sample_keys=False,
+        ),
+    )
+    return samples_for_compare(samples)
+
+
 def _events_templated(sf_dir: str):
     """Custom key template ``{type}/{$prop-local}`` (document-property
     placeholder + local property name, reference K3/K5 semantics)."""
@@ -226,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
+        "events_extract_startat": _events_startat,
+        "events_extract_nested": _events_nested,
+        "events_extract_nested_noidx": _events_nested_noidx,
     }
     from json_time_series_extractor_ray.pipelines import registry
 
@@ -257,6 +305,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type || '/k', epoch_ns(ts),
                    CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
                    printf('evt-%010d', event_id)
+            FROM events
+        """,
+        # start_at=/props: re-rooted doc {"k":...}; /time unresolvable ->
+        # deterministic fallback ts 0 (CURRENT_TIME source)
+        "events_extract_startat": """
+            SELECT 'k' AS series_key, 0 AS ts_ns,
+                   CAST(json_extract(props, '$.k') AS DOUBLE) AS value_num,
+                   CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evt-%010d', event_id) AS doc_id
+            FROM events
+        """,
+        # nested readings: type at doc ts; each data[i].v at its own nested ts
+        "events_extract_nested": """
+            SELECT 'type' AS series_key, epoch_ns(ts) AS ts_ns,
+                   CAST(NULL AS DOUBLE) AS value_num, event_type AS value_str,
+                   printf('evtn-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT 'data/0/v', epoch_ns(ts + INTERVAL 1 SECOND), value, NULL,
+                   printf('evtn-%010d', event_id)
+            FROM events
+            UNION ALL
+            SELECT 'data/1/v', epoch_ns(ts + INTERVAL 2 SECOND), value * 2, NULL,
+                   printf('evtn-%010d', event_id)
+            FROM events
+        """,
+        # same with array-index suppression: both readings keyed data/v
+        "events_extract_nested_noidx": """
+            SELECT 'type' AS series_key, epoch_ns(ts) AS ts_ns,
+                   CAST(NULL AS DOUBLE) AS value_num, event_type AS value_str,
+                   printf('evtn-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT 'data/v', epoch_ns(ts + INTERVAL 1 SECOND), value, NULL,
+                   printf('evtn-%010d', event_id)
+            FROM events
+            UNION ALL
+            SELECT 'data/v', epoch_ns(ts + INTERVAL 2 SECOND), value * 2, NULL,
+                   printf('evtn-%010d', event_id)
             FROM events
         """,
     }

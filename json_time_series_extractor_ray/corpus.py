@@ -197,6 +197,42 @@ class RenderIotCorpus:
         return pa.concat_tables(out)
 
 
+def events_to_nested_corpus(batch: pa.Table, tokenizer="utf8") -> pa.Table:
+    """Events -> payloads with a nested readings array (F4-ish shape):
+
+    ``{"time": iso, "type": t, "data": [{"time": iso+1s, "v": value},
+    {"time": iso+2s, "v": value*2}]}``
+
+    Exercises array traversal + nested timestamps (reference M4/M5 +
+    ``AllowNestedTimestamps``) on a payload whose extraction is still
+    expressible in ANSI SQL over the original table.
+    """
+    ts = batch.column("ts").cast(pa.timestamp("us"))
+    ts_np = ts.to_numpy()
+    iso0 = [s + "Z" for s in np.datetime_as_string(ts_np, unit="us")]
+    iso1 = [s + "Z" for s in np.datetime_as_string(ts_np + np.timedelta64(1, "s"), unit="us")]
+    iso2 = [s + "Z" for s in np.datetime_as_string(ts_np + np.timedelta64(2, "s"), unit="us")]
+    event_ids = batch.column("event_id").to_pylist()
+    etypes = batch.column("event_type").to_pylist()
+    values = batch.column("value").to_pylist()
+    doc_ids = [f"evtn-{i:010d}" for i in event_ids]
+    texts = [
+        json.dumps(
+            {
+                "time": iso0[i],
+                "type": etypes[i],
+                "data": [
+                    {"time": iso1[i], "v": values[i]},
+                    {"time": iso2[i], "v": values[i] * 2},
+                ],
+            },
+            **_COMPACT,
+        )
+        for i in range(len(event_ids))
+    ]
+    return texts_to_corpus_table(doc_ids, texts, ["events-nested"] * len(doc_ids), tokenizer)
+
+
 def events_to_corpus(batch: pa.Table, tokenizer="utf8") -> pa.Table:
     """Derive corpus rows 1:1 from the driver's ``events`` table.
 
