@@ -21,7 +21,7 @@ Config schema (all paths may be any fsspec-able URI Ray Data can read)::
       "fallback_now_ns": 0,                # deterministic fallback timestamp
       "gorilla_chunks": true,              # also write per-series chunk files
       "extract_concurrency": null,         # null=tasks, int/(min,max)=actor pool
-      "batch_size": 8192
+      "batch_size": null
     }
 
 The job is resumable: rerunning with the same config skips shards already
@@ -51,7 +51,7 @@ def run_job(config: dict) -> dict:
         config.get("options") or {"recursive": True},
         tokenizer=config.get("tokenizer", "utf8"),
         concurrency=config.get("extract_concurrency"),
-        batch_size=config.get("batch_size", 8192),
+        batch_size=config.get("batch_size"),
         fallback_now_ns=config.get("fallback_now_ns", 0),
     )
 
@@ -78,7 +78,7 @@ def run_job(config: dict) -> dict:
             config.get("options") or {"recursive": True},
             tokenizer=config.get("tokenizer", "utf8"),
             concurrency=config.get("extract_concurrency"),
-            batch_size=config.get("batch_size", 8192),
+            batch_size=config.get("batch_size"),
             fallback_now_ns=config.get("fallback_now_ns", 0),
         )
         stats = gorilla_roundtrip_stats(samples2)

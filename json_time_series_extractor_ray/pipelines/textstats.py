@@ -241,3 +241,51 @@ register(
 )
 
 register("doc_lang_id", _q_lang_id)  # heuristic -> rows-only check
+
+
+def _q_events_type_stats(sf_dir: str):
+    """Native Ray Data ``groupby().aggregate(...)`` (no map_groups): the
+    built-in distributed aggregates over the raw events table."""
+    import ray
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    from ._util import round_half_away
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    agg = ds.groupby("event_type").aggregate(
+        Count(), Sum("value"), Min("value"), Max("value"), Mean("value")
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("count()").cast(pa.int64()),
+                "value_sum": pa.array(round_half_away(
+                    batch.column("sum(value)").to_numpy(zero_copy_only=False), 6)),
+                "value_min": batch.column("min(value)"),
+                "value_max": batch.column("max(value)"),
+                "value_mean": pa.array(round_half_away(
+                    batch.column("mean(value)").to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return agg.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+register(
+    "events_type_stats",
+    _q_events_type_stats,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS value_sum,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           round(sum(value) / count(*), 6) AS value_mean
+    FROM events
+    GROUP BY event_type
+    """,
+)

@@ -53,3 +53,28 @@ def test_job_full_then_resume(ray_session, corpus_dir, tmp_path):
     assert r2["shards_run"] == []
     assert sorted(r2["shards_skipped"]) == sorted(r1["shards_run"])
     assert r2["rollups"]["rows"] == r1["rollups"]["rows"]
+
+
+def test_write_tiers_partitioned(ray_session, corpus_dir, tmp_path):
+    import os
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.timeseries import (
+        extract_and_rollup,
+        write_tiers,
+    )
+
+    corpus = ray.data.read_parquet(corpus_dir)
+    rollups = extract_and_rollup(
+        corpus, {"recursive": True, "allow_nested_timestamps": True},
+        tiers=("1m", "1h"),
+    )
+    out = str(tmp_path / "tiers")
+    write_tiers(rollups, out)
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("tier="))
+    assert subdirs == ["tier=1h", "tier=1m"]
+    t = pads.dataset(f"{out}/tier=1m").to_table()
+    assert t.num_rows > 0
+    assert "series_key" in t.column_names
