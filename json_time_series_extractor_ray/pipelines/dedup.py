@@ -146,7 +146,7 @@ class MinHashLshStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sets = shingle_sets(batch.column("text"))
         doc_ids = batch.column("doc_id").to_pylist()
-        bands_col, keys_col, ids_col, sigs_col = [], [], [], []
+        keys_col, ids_col, sigs_col = [], [], []
         for doc_id, shingles in zip(doc_ids, sets):
             sig = self.signature(_hash_shingles(shingles))
             sig_bytes = sig.tobytes()
@@ -154,7 +154,6 @@ class MinHashLshStage:
             for band in range(self.bands):
                 chunk = sig_bytes[band * r * 8 : (band + 1) * r * 8]
                 key = hashlib.blake2b(chunk, digest_size=8).hexdigest()
-                bands_col.append(band)
                 keys_col.append(f"{band}:{key}")
                 ids_col.append(doc_id)
                 sigs_col.append(sig_bytes)

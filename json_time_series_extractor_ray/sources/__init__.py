@@ -1,1 +1,5 @@
-"""sources subpackage."""
+"""Sources: file formats -> the mandated corpus schema."""
+
+from .jsonfiles import corpus_from_json_files, corpus_from_jsonl
+
+__all__ = ["corpus_from_json_files", "corpus_from_jsonl"]
