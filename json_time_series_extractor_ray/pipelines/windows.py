@@ -1,0 +1,159 @@
+"""Event-stream window operators: gap-based sessionization + per-group
+top-k.
+
+Both are per-key local computations after ONE co-locating groupby — no
+global sort anywhere (SURVEY.md §2.6 "global ordering never required").
+
+* ``sessionize``: split each key's event stream at inactivity gaps
+  > ``gap_ns`` (classic session windows).  Per-group body is fully
+  vectorized (numpy diff + cumsum for session ids).
+* ``topk_per_group``: largest-k rows per key with deterministic
+  tie-breaks; the per-group sort is local, bounded by the group's rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+SESSION_GAP_NS = 30 * 60 * 10**9  # 30 min
+
+
+def sessionize_group(df: pd.DataFrame, gap_ns: int) -> pd.DataFrame:
+    """One user's events -> one row per session window."""
+    df = df.sort_values(["ts_ns", "event_id"], kind="stable")
+    ts = df["ts_ns"].to_numpy()
+    new_session = np.ones(len(ts), dtype=np.int64)
+    if len(ts) > 1:
+        new_session[1:] = (np.diff(ts) > gap_ns).astype(np.int64)
+    sid = np.cumsum(new_session)
+    g = pd.DataFrame(
+        {
+            "sid": sid,
+            "ts_ns": ts,
+            "value": df["value"].to_numpy(),
+        }
+    ).groupby("sid", sort=True)
+    out = g.agg(
+        session_start_ns=("ts_ns", "min"),
+        session_end_ns=("ts_ns", "max"),
+        n_events=("ts_ns", "size"),
+        value_sum=("value", "sum"),
+    ).reset_index()
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].iloc[0],
+            "session_id": out["sid"].astype("int64"),
+            "session_start_ns": out["session_start_ns"].astype("int64"),
+            "session_end_ns": out["session_end_ns"].astype("int64"),
+            "n_events": out["n_events"].astype("int64"),
+            "value_sum": round_half_away(out["value_sum"].to_numpy(), 6),
+        }
+    )
+
+
+def sessionize(events_ds, *, gap_ns: int = SESSION_GAP_NS):
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_ns": batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        return sessionize_group(df, gap_ns)
+
+    projected = events_ds.map_batches(
+        _project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return projected.groupby("user_id").map_groups(_fn, batch_format="pandas")
+
+
+def topk_per_group(ds, *, key: str, order_by, k: int, columns):
+    """Largest-k rows per ``key``; ``order_by`` = [(col, ascending), ...]
+    applied in order (deterministic ties via trailing id columns)."""
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(cols, ascending=asc, kind="stable").head(k)[columns]
+
+    return ds.groupby(key).map_groups(_fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries
+# ---------------------------------------------------------------------------
+
+def _q_sessionize(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    return sessionize(ds)
+
+
+def _q_topk(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+    return topk_per_group(
+        ds,
+        key="event_type",
+        order_by=[("value", False), ("event_id", True)],
+        k=3,
+        columns=["event_type", "event_id", "value"],
+    )
+
+
+register(
+    "events_sessionize",
+    _q_sessionize,
+    f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                            > {SESSION_GAP_NS}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts_ns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM x
+    )
+    SELECT user_id, sid AS session_id,
+           min(ts_ns) AS session_start_ns,
+           max(ts_ns) AS session_end_ns,
+           count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM y
+    GROUP BY user_id, sid
+    """,
+)
+
+register(
+    "events_topk_by_type",
+    _q_topk,
+    """
+    SELECT event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id
+    ) <= 3
+    """,
+)

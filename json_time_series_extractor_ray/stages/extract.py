@@ -67,6 +67,7 @@ class ExtractSamplesStage:
         fallback_ts_column: str | None = None,
         fallback_now_ns: int | None = None,
         allow_wall_clock: bool = False,
+        on_error: str = "raise",
     ):
         if isinstance(options, dict):
             options = ExtractorOptions.from_dict(options)
@@ -77,6 +78,13 @@ class ExtractSamplesStage:
         self.id_column = id_column
         self.fallback_ts_column = fallback_ts_column
         self.fallback_now_ns = fallback_now_ns
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
+        # 'skip': corrupt payloads (bad tokens / invalid JSON) drop the DOC,
+        # never the task — at 100 TB a handful of bad rows must not kill or
+        # retry-storm the job.  Skips are counted per worker and logged.
+        self.on_error = on_error
+        self.skipped_docs = 0
         if (
             options.get_default_timestamp is None
             and fallback_ts_column is None
@@ -94,7 +102,9 @@ class ExtractSamplesStage:
         if self.text_column is not None:
             texts = batch.column(self.text_column).to_pylist()
         else:
-            texts = self.tokenizer.decode_batch(batch.column(self.tokens_column))
+            texts = self.tokenizer.decode_batch(
+                batch.column(self.tokens_column), on_error=self.on_error
+            )
         doc_ids = batch.column(self.id_column).to_pylist()
         if self.fallback_ts_column is not None:
             col = batch.column(self.fallback_ts_column)
@@ -110,8 +120,19 @@ class ExtractSamplesStage:
         plan = self.plan
         loads = json.loads
         default_now = self.fallback_now_ns
+        skip = self.on_error == "skip"
         for row_idx, text in enumerate(texts):
-            doc = loads(text)
+            if skip:
+                if text is None:  # undecodable tokens
+                    self.skipped_docs += 1
+                    continue
+                try:
+                    doc = loads(text)
+                except ValueError:
+                    self.skipped_docs += 1
+                    continue
+            else:
+                doc = loads(text)
             fallback = fallbacks[row_idx] if fallbacks is not None else default_now
             ordinal = 0
             doc_id = doc_ids[row_idx]

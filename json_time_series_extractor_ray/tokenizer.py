@@ -54,13 +54,23 @@ class Utf8Tokenizer:
     def decode(self, tokens) -> str:
         return bytes(bytearray(int(t) for t in tokens)).decode("utf-8")
 
-    def decode_batch(self, list_array) -> list:
+    def decode_batch(self, list_array, on_error: str = "raise") -> list:
+        """Decode a whole tokens column.  ``on_error='skip'`` yields ``None``
+        for rows whose bytes are not valid UTF-8 instead of raising."""
         values, offsets = _tokens_to_numpy(list_array)
         data = values.astype(np.uint8).tobytes()
-        return [
-            data[offsets[i]: offsets[i + 1]].decode("utf-8")
-            for i in range(len(offsets) - 1)
-        ]
+        if on_error == "raise":
+            return [
+                data[offsets[i]: offsets[i + 1]].decode("utf-8")
+                for i in range(len(offsets) - 1)
+            ]
+        out = []
+        for i in range(len(offsets) - 1):
+            try:
+                out.append(data[offsets[i]: offsets[i + 1]].decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append(None)
+        return out
 
 
 class BpeTokenizer:
@@ -147,13 +157,19 @@ class BpeTokenizer:
         table = self._id_to_bytes
         return b"".join(table[int(t)] for t in tokens).decode("utf-8")
 
-    def decode_batch(self, list_array) -> list:
+    def decode_batch(self, list_array, on_error: str = "raise") -> list:
         values, offsets = _tokens_to_numpy(list_array)
         table = self._id_to_bytes
+        nvocab = len(table)
         out = []
         for i in range(len(offsets) - 1):
             row = values[offsets[i]: offsets[i + 1]]
-            out.append(b"".join(table[t] for t in row).decode("utf-8"))
+            try:
+                out.append(b"".join(table[t] for t in row).decode("utf-8"))
+            except (IndexError, UnicodeDecodeError):
+                if on_error == "raise":
+                    raise
+                out.append(None)
         return out
 
 

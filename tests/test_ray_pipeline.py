@@ -192,3 +192,33 @@ def test_cascade_exactness():
     assert (merged["max_x"] == merged["max_y"]).all()
     # mean is exactly sum/count of the carried sum
     assert np.allclose(day["mean"], day["sum"] / day["count"], rtol=0, atol=0)
+
+
+def test_extract_on_error_skip(ray_session):
+    """Corrupt rows (bad JSON or undecodable tokens) drop the doc, not the
+    task, under on_error='skip'; on_error='raise' keeps strict parity."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from json_time_series_extractor_ray.corpus import texts_to_corpus_table
+    from json_time_series_extractor_ray.stages.extract import ExtractSamplesStage
+
+    good = '{"time":"2024-01-01T00:00:00Z","v":1.5}'
+    bad_json = '{"time": not json'
+    t = texts_to_corpus_table(["g1", "b1", "g2"], [good, bad_json, good],
+                              ["s"] * 3)
+    # also corrupt one row's tokens to invalid UTF-8 (lone continuation byte)
+    tokens = t.column("tokens").to_pylist()
+    tokens[2] = [0x80, 0x80]
+    t = t.set_column(1, "tokens", pa.array(tokens, pa.list_(pa.int32())))
+
+    strict = ExtractSamplesStage({"recursive": True}, fallback_now_ns=0)
+    with pytest.raises(Exception):
+        strict(t)
+
+    lenient = ExtractSamplesStage({"recursive": True}, fallback_now_ns=0,
+                                  on_error="skip")
+    out = lenient(t)
+    assert out.num_rows == 1  # only g1 survives
+    assert lenient.skipped_docs == 2
