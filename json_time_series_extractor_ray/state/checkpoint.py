@@ -178,18 +178,30 @@ def run_sharded_rollup(samples_ds, out_dir: str, num_shards: int, *,
 
     rollups = rollup_ladder(sharded.drop_columns(["shard"]), tiers=tiers,
                             gap_fill=gap_fill)
-    result = rollups.map_batches(
+    resharded = rollups.map_batches(
         lambda b: add_shard_column(b, num_shards),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    )
 
-    shards_run = []
-    table = pa.concat_tables(
-        [pa.table(b) for b in result.iter_batches(batch_format="pyarrow")]
-    ) if result.count() else None
-    if table is not None:
-        for shard in sorted(set(table.column("shard").to_pylist())):
-            part = table.filter(pc.equal(table.column("shard"), shard))
-            manifest.commit_shard(int(shard), part.drop_columns(["shard"]))
-            shards_run.append(int(shard))
+    # Commit each shard INSIDE its group task (atomic tmp+rename + manifest
+    # record written by the worker) — the driver only collects the tiny
+    # per-shard record summaries, never the data.  Requires the output dir
+    # to be on storage all workers share (true single-node and for any
+    # cluster writing to shared/object storage).
+    out_dir = manifest.out_dir
+
+    def _commit(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        shard = int(df["shard"].iloc[0])
+        table = pa.Table.from_pandas(
+            df.drop(columns=["shard"]), preserve_index=False
+        )
+        rec = CheckpointManifest(out_dir).commit_shard(shard, table)
+        return pd.DataFrame({"shard": [shard], "rows": [rec["rows"]]})
+
+    committed = resharded.groupby("shard").map_groups(
+        _commit, batch_format="pandas"
+    ).to_pandas()
+    shards_run = sorted(int(s) for s in committed["shard"]) if len(committed) else []
     return manifest, shards_run, sorted(done)

@@ -56,13 +56,12 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            bit = (byte >> (7 - (self.pos & 7))) & 1
-            out = (out << 1) | bit
-            self.pos += 1
-        return out
+        # One slice + int.from_bytes per call instead of a per-bit loop.
+        pos = self.pos
+        end = pos + bits
+        chunk = int.from_bytes(self.data[pos >> 3 : (end + 7) >> 3], "big")
+        self.pos = end
+        return (chunk >> ((((end + 7) >> 3) << 3) - end)) & ((1 << bits) - 1)
 
 
 # Delta-of-delta buckets: (prefix, prefix_bits, value_bits).  The final
