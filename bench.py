@@ -91,12 +91,26 @@ def bench_iot_rollup(num_cpus: int, n_docs: int) -> dict:
     mat = rollups.materialize()
     elapsed = time.perf_counter() - t0
     n_points = mat.count()
+    # Per-tier breakdown of the north metric ("rolled-up points/sec across
+    # raw->1m->1h->1d"): the raw tier's point count equals the sum of 1m
+    # 'count' (every numeric sample lands in exactly one 1m window).
+    tier_counts = {
+        r["tier"]: int(r["count()"])
+        for r in mat.groupby("tier").count().take_all()
+    }
+    raw_points = int(
+        sum(r["sum(count)"] for r in
+            mat.filter(expr="tier == '1m'").groupby("tier").sum("count").take_all())
+    )
+    tier_counts["raw"] = raw_points
+    total_points = n_points + raw_points
     return {
         "sec": round(elapsed, 3),
         "rollup_points": n_points,
+        "tier_points": tier_counts,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / elapsed, 1),
-        "points_per_sec": round(n_points / elapsed, 1),
+        "points_per_sec": round(total_points / elapsed, 1),
     }
 
 

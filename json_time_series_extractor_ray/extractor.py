@@ -492,10 +492,26 @@ def _process_object(ctx: ExtractionContext, depth: int, ptr: Pointer, element: d
             )
             pop_timestamp = True
     stack = ctx.element_stack
+    deeper = depth + 1
+    max_depth = ctx.max_depth
     for name, value in element.items():
-        stack.append((name, value, False))
-        _samples_core(ctx, depth + 1, ptr + (name,), out)
-        stack.pop()
+        child_ptr = ptr + (name,)
+        if deeper < max_depth and isinstance(value, (dict, list)):
+            stack.append((name, value, False))
+            _samples_core(ctx, deeper, child_ptr, out)
+            stack.pop()
+        else:
+            # Leaf (or depth-limited container): inline the _samples_core
+            # leaf branch — push, traversal gate, then _build_sample (which
+            # re-checks the filter, as the reference does).  The push
+            # precedes the gate so filter delegates see the same
+            # element-stack state as on the recursive path.
+            stack.append((name, value, False))
+            if ctx.can_process_element(child_ptr, value):
+                sample = _build_sample(ctx, child_ptr, value)
+                if sample is not None:
+                    out.append(sample)
+            stack.pop()
     if pop_timestamp:
         ctx.timestamp_stack.pop()
 

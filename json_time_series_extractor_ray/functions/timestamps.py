@@ -59,12 +59,46 @@ class TimestampSource(enum.IntEnum):
     CURRENT_TIME = 3
 
 
+_DATE_CACHE: dict = {}
+
+
 def parse_iso_timestamp_ns(text: str):
     """Parse an ISO 8601 string to int nanoseconds since epoch (UTC).
 
     Returns ``None`` when the string is not a valid timestamp (mirrors
     ``TryGetDateTimeOffset`` returning ``false``).
     """
+    # Fast path for the dominant machine-generated shape
+    # 'YYYY-MM-DDTHH:MM:SS.ffffffZ' (6-digit fraction, UTC): slice + int,
+    # with a per-process date memo (corpora cluster on few distinct days).
+    # Any malformed input falls through to the full-profile parser.
+    if (
+        len(text) == 27
+        and text[26] == "Z"
+        and text[10] == "T"
+        and text[4] == "-"
+        and text[7] == "-"
+        and text[13] == ":"
+        and text[16] == ":"
+        and text[19] == "."
+    ):
+        hh, mi, ss, frac = text[11:13], text[14:16], text[17:19], text[20:26]
+        if hh.isdigit() and mi.isdigit() and ss.isdigit() and frac.isdigit():
+            date_key = text[:10]
+            day_seconds = _DATE_CACHE.get(date_key)
+            if day_seconds is None:
+                try:
+                    day_seconds = (
+                        _dt.date(int(text[0:4]), int(text[5:7]), int(text[8:10]))
+                        - _EPOCH
+                    ).days * 86400
+                except ValueError:
+                    return None
+                _DATE_CACHE[date_key] = day_seconds
+            h, m_, s = int(hh), int(mi), int(ss)
+            if h > 23 or m_ > 59 or s > 59:
+                return None
+            return (day_seconds + h * 3600 + m_ * 60 + s) * NS_PER_SEC + int(frac) * 1000
     m = _ISO_RE.match(text)
     if m is None:
         return None
