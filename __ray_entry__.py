@@ -99,10 +99,12 @@ def _rollup_tier_sql(window_ns: int) -> str:
     summation order differs between engines.
     """
     ctes = _ROLLUP_CTES.format(window_ns=window_ns)
+    # mean from the ROUNDED sum (see rollup_tier_for_compare: exact decimal
+    # midpoints would otherwise flip on cross-engine summation ULP noise).
     return f"""
     WITH {ctes}
     SELECT series_key, window_ns, min, max,
-           round(mean, 6) AS mean, round(sum, 6) AS sum,
+           round(round(sum, 6) / count, 6) AS mean, round(sum, 6) AS sum,
            count, last, last_ts_ns
     FROM rollup_
     """
@@ -145,7 +147,8 @@ def _rollup_locf_sql(window_ns: int) -> str:
     SELECT series_key, window_ns, fill,
            COALESCE(o_min, carried) AS min,
            COALESCE(o_max, carried) AS max,
-           round(COALESCE(o_mean, carried), 6) AS mean,
+           CASE WHEN o_count IS NULL THEN round(carried, 6)
+                ELSE round(round(o_sum, 6) / o_count, 6) END AS mean,
            round(COALESCE(o_sum, 0), 6) AS sum,
            COALESCE(o_count, 0) AS count,
            carried AS last,

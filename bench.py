@@ -179,20 +179,33 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dic
     return result
 
 
-def run_scaling(low: int, high: int) -> dict:
-    """Same job, same input, two parallelism levels in fresh processes."""
-    results = {}
+def run_scaling(low: int, high: int, *, repeats: int = 2) -> dict:
+    """Same job, same input, two parallelism levels in fresh processes.
+
+    Each level runs ``repeats`` times and keeps the BEST leg: the sandbox
+    host is shared/noisy (observed 2x swings on identical runs), and the
+    fastest observation is the closest estimate of the machine-limited
+    throughput at each level.
+    """
+    results: dict = {}
+    all_secs: dict = {low: [], high: []}
     for cpus in (low, high):
-        out = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__),
-                "--cpus", str(cpus), "--headline-only", "--internal-json",
-            ],
-            capture_output=True, text=True, timeout=3600,
-            cwd=REPO,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        for _ in range(repeats):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--cpus", str(cpus), "--headline-only", "--internal-json",
+                ],
+                capture_output=True, text=True, timeout=3600,
+                cwd=REPO,
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            parsed = json.loads(line)
+            all_secs[cpus].append(parsed["value"])
+            if cpus not in results or parsed["value"] < results[cpus]["value"]:
+                results[cpus] = parsed
     thr_low = results[low]["detail"]["iot_extract_rollup"]["docs_per_sec"]
     thr_high = results[high]["detail"]["iot_extract_rollup"]["docs_per_sec"]
     eff = (thr_high / thr_low) / (high / low)
@@ -206,6 +219,7 @@ def run_scaling(low: int, high: int) -> dict:
         "high_docs_per_sec": thr_high,
         "low_sec": results[low]["value"],
         "high_sec": results[high]["value"],
+        "all_secs": all_secs,
         "docs": IOT_DOCS,
     }
 

@@ -259,16 +259,20 @@ def _q_events_type_stats(sf_dir: str):
     )
 
     def _rename(batch: pa.Table) -> pa.Table:
+        # mean from the ROUNDED sum: midpoint-stable across engines (see
+        # timeseries.rollup_tier_for_compare).
+        sum_r = round_half_away(
+            batch.column("sum(value)").to_numpy(zero_copy_only=False), 6
+        )
+        n = batch.column("count()").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "n": batch.column("count()").cast(pa.int64()),
-                "value_sum": pa.array(round_half_away(
-                    batch.column("sum(value)").to_numpy(zero_copy_only=False), 6)),
+                "value_sum": pa.array(sum_r),
                 "value_min": batch.column("min(value)"),
                 "value_max": batch.column("max(value)"),
-                "value_mean": pa.array(round_half_away(
-                    batch.column("mean(value)").to_numpy(zero_copy_only=False), 6)),
+                "value_mean": pa.array(round_half_away(sum_r / n, 6)),
             }
         )
 
@@ -284,7 +288,7 @@ register(
            round(sum(value), 6) AS value_sum,
            min(value) AS value_min,
            max(value) AS value_max,
-           round(sum(value) / count(*), 6) AS value_mean
+           round(round(sum(value), 6) / count(*), 6) AS value_mean
     FROM events
     GROUP BY event_type
     """,

@@ -133,14 +133,23 @@ def rollup_tier_for_compare(rollup_ds, tier: str, *, round_digits: int = 6):
     def _project(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch.column("tier"), tier)
         t = batch.filter(mask)
+        # mean is recomputed from the ROUNDED sum: decimal-valued inputs
+        # create exact 6-digit midpoints (sum/2^k counts) where the two
+        # engines' summation-order ULP noise would round opposite ways;
+        # rounding the sum first gives both engines an identical dividend.
+        sum_r = round_half_away(
+            t.column("sum").to_numpy(zero_copy_only=False), round_digits
+        )
+        count = t.column("count").to_numpy(zero_copy_only=False)
+        mean_r = round_half_away(sum_r / count, round_digits)
         return pa.table(
             {
                 "series_key": t.column("series_key"),
                 "window_ns": t.column("window_start").cast(pa.int64()),
                 "min": t.column("min"),
                 "max": t.column("max"),
-                "mean": _round_col(t.column("mean")),
-                "sum": _round_col(t.column("sum")),
+                "mean": pa.array(mean_r),
+                "sum": pa.array(sum_r),
                 "count": t.column("count"),
                 "last": t.column("last"),
                 "last_ts_ns": t.column("last_ts").cast(pa.int64()),
@@ -162,7 +171,24 @@ def gapfill_tier_for_compare(rollup_ds, tier: str, *, round_digits: int = 6):
         )
 
     def _project(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         t = batch.filter(pc.equal(batch.column("tier"), tier))
+        # Observed windows: mean from the ROUNDED sum (midpoint-stable, see
+        # rollup_tier_for_compare).  Filled windows (count==0): mean is the
+        # carried value — an exact input double, safe to round directly.
+        sum_r = round_half_away(
+            t.column("sum").to_numpy(zero_copy_only=False), round_digits
+        )
+        count = t.column("count").to_numpy(zero_copy_only=False)
+        carried = round_half_away(
+            t.column("mean").to_numpy(zero_copy_only=False), round_digits
+        )
+        mean_r = np.where(
+            count > 0,
+            round_half_away(sum_r / np.where(count > 0, count, 1), round_digits),
+            carried,
+        )
         return pa.table(
             {
                 "series_key": t.column("series_key"),
@@ -170,8 +196,8 @@ def gapfill_tier_for_compare(rollup_ds, tier: str, *, round_digits: int = 6):
                 "fill": t.column("fill"),
                 "min": t.column("min"),
                 "max": t.column("max"),
-                "mean": _round_col(t.column("mean")),
-                "sum": _round_col(t.column("sum")),
+                "mean": pa.array(mean_r),
+                "sum": pa.array(sum_r),
                 "count": t.column("count"),
                 "last": t.column("last"),
                 "last_ts_ns": t.column("last_ts").cast(pa.int64()),
