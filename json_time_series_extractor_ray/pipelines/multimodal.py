@@ -148,3 +148,82 @@ def decode_media_dataset(media_ds, *, avg_payload_bytes: int = 1 << 20,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+class ResizeStage:
+    """Image-resize stage (actor pool): payload in, resized payload out.
+
+    Real resizing needs an image codec (absent here): ``fake=False``
+    raises at init; the fake path deterministically re-samples the payload
+    bytes to the target pixel count so downstream schema/size behaviour is
+    exercised for real (output payloads shrink/grow exactly as a resize
+    would).
+    """
+
+    def __init__(self, width: int, height: int, *, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "Image resize requires codecs not present in this "
+                "environment; construct ResizeStage(..., fake=True)."
+            )
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        target = self.width * self.height
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            src = np.frombuffer(payload, dtype=np.uint8)
+            if len(src) == 0:
+                out.append(b"")
+                continue
+            idx = np.linspace(0, len(src) - 1, target).astype(np.int64)
+            out.append(src[idx].tobytes())
+        result = batch.drop_columns(["payload", "width", "height"])
+        result = result.append_column("payload", pa.array(out, pa.large_binary()))
+        result = result.append_column(
+            "width", pa.array([self.width] * batch.num_rows, pa.int32())
+        )
+        return result.append_column(
+            "height", pa.array([self.height] * batch.num_rows, pa.int32())
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling stage: one media row -> ``n_frames`` rows.
+
+    The fake path slices the payload into equal-length "frames" and emits
+    every k-th one — the real row-expansion plumbing (one input row fans
+    out to N output rows with frame indexes) without a video codec.
+    """
+
+    def __init__(self, n_frames: int, every_k: int = 1, *, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "Frame sampling requires a video decoder; construct "
+                "FrameSampleStage(..., fake=True)."
+            )
+        self.n_frames = n_frames
+        self.every_k = max(1, every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, frames, indexes = [], [], [], []
+        for media_id, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            size = max(1, len(payload) // self.n_frames)
+            for fi in range(0, self.n_frames, self.every_k):
+                ids.append(media_id)
+                kinds.append(kind)
+                indexes.append(fi)
+                frames.append(payload[fi * size : (fi + 1) * size])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_index": pa.array(indexes, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )

@@ -222,3 +222,34 @@ def test_extract_on_error_skip(ray_session):
     out = lenient(t)
     assert out.num_rows == 1  # only g1 survives
     assert lenient.skipped_docs == 2
+
+
+def test_bpe_corpus_end_to_end(ray_session):
+    """BPE-tokenized corpus -> extraction, token-array equality preserved."""
+    import json
+
+    import numpy as np
+    import ray
+
+    from json_time_series_extractor_ray.corpus import texts_to_corpus_table
+    from json_time_series_extractor_ray.pipelines.timeseries import extract_pipeline
+    from json_time_series_extractor_ray.tokenizer import get_tokenizer
+
+    texts = [
+        json.dumps({"time": f"2024-01-01T00:0{i}:00Z", "temperature": 19.3 + i},
+                   separators=(",", ":"))
+        for i in range(5)
+    ]
+    spec = ("bpe", {"seed": 42, "n_merges": 80})
+    t = texts_to_corpus_table([f"d{i}" for i in range(5)], texts,
+                              ["s"] * 5, tokenizer=spec)
+    # tokens round-trip exactly
+    tok = get_tokenizer(spec)
+    decoded = tok.decode_batch(t.column("tokens").combine_chunks())
+    assert decoded == texts
+    # and extraction over the BPE corpus matches the text values
+    out = extract_pipeline(
+        ray.data.from_arrow(t), dict(recursive=True), tokenizer=spec
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(out) == 5
+    assert np.allclose(out["value_num"], [19.3 + i for i in range(5)])

@@ -219,3 +219,94 @@ class TestGapFilledLadder:
         assert len(m1) == 7
         assert m1["fill"].tolist() == ["", "", "locf", "locf", "locf", "", ""]
         assert m1["last"].tolist() == [1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 4.0]
+
+
+class TestMultimodalStages:
+    def test_resize_changes_payload_size(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.multimodal import ResizeStage
+
+        t = synthesize_media_table(["a", "b"], [5000, 200])
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(
+                ResizeStage,
+                fn_constructor_args=(32, 32),
+                fn_constructor_kwargs={"fake": True},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        assert (out["payload"].apply(len) == 32 * 32).all()
+        assert (out["width"] == 32).all() and (out["height"] == 32).all()
+
+    def test_frame_sample_fans_out(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            FrameSampleStage,
+        )
+
+        t = synthesize_media_table(["v1"], [1200], kind="video")
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(
+                FrameSampleStage,
+                fn_constructor_args=(12,),
+                fn_constructor_kwargs={"every_k": 3, "fake": True},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        assert len(out) == 4  # frames 0,3,6,9
+        assert out["frame_index"].tolist() == [0, 3, 6, 9]
+        assert (out["frame"].apply(len) == 100).all()
+
+    def test_real_paths_are_stubbed(self):
+        import pytest
+
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            FrameSampleStage,
+            ResizeStage,
+        )
+
+        with pytest.raises(NotImplementedError):
+            ResizeStage(8, 8)
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(4)
+
+
+class TestDistributedDelegates:
+    def test_custom_delegates_through_ray_stage(self, ray_session):
+        """The four ExtractorOptions callables must survive cloudpickle into
+        a Ray stage (reference §2.9 extension surface, distributed)."""
+        import pyarrow as pa
+        import ray
+
+        from json_time_series_extractor_ray.corpus import texts_to_corpus_table
+        from json_time_series_extractor_ray.pipelines.timeseries import (
+            extract_pipeline,
+        )
+
+        texts = ['{"ts": 1686559277, "temp": 5, "skipme": 1}'] * 3
+        t = texts_to_corpus_table(["a", "b", "c"], texts, ["s"] * 3)
+
+        from json_time_series_extractor_ray.extractor import ExtractorOptions
+
+        opts = ExtractorOptions(
+            recursive=True,
+            timestamp_property="/ts",
+            timestamp_parser=lambda el: el * 10**9 if isinstance(el, int) else None,
+            can_process_element=lambda ctx, ptr, el: ptr[-1] != "skipme",
+            template="{device}-{$prop}",
+            get_template_replacement=lambda name: "devX" if name == "device" else None,
+        )
+        out = extract_pipeline(
+            ray.data.from_arrow(t), opts
+        ).to_pandas()
+        assert len(out) == 3  # skipme filtered by the delegate
+        assert set(out["series_key"]) == {"devX-temp"}
+        assert (out["ts"].astype("int64") == 1686559277 * 10**9).all()
