@@ -45,18 +45,27 @@ def _words_and_offsets(text_col):
     return words.values, words.offsets.to_numpy(zero_copy_only=False), trimmed
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style split classes, simplified
+#: to a subset both Python ``re`` and DuckDB's RE2 agree on): letter runs,
+#: digit runs, and single non-alnum non-space marks.
+BPE_SPLIT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_chars, n_words, avg_word_len) — all Arrow kernels."""
+    """(doc_id, n_chars, n_words, n_tokens_bpe, avg_word_len) — all Arrow
+    kernels (``count_substring_regex`` for the BPE-ish token count)."""
     text = batch.column("text")
     _, offsets, trimmed = _words_and_offsets(text)
     n_words = np.diff(offsets).astype(np.int64)
     squeezed = pc.replace_substring_regex(trimmed, _WS, "")
     word_chars = pc.utf8_length(squeezed).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_bpe = pc.count_substring_regex(text, BPE_SPLIT).cast(pa.int64())
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": pc.utf8_length(text).cast(pa.int64()),
             "n_words": pa.array(n_words),
+            "n_tokens_bpe": n_bpe,
             "avg_word_len": pa.array(round_half_away(word_chars / n_words, 6)),
         }
     )
@@ -201,6 +210,7 @@ register(
     SELECT doc_id,
            length(text) AS n_chars,
            len(regexp_split_to_array(trim(text), '{_WS}')) AS n_words,
+           len(regexp_extract_all(text, '{BPE_SPLIT}')) AS n_tokens_bpe,
            round(
              CAST(length(regexp_replace(trim(text), '{_WS}', '', 'g')) AS DOUBLE)
              / len(regexp_split_to_array(trim(text), '{_WS}')), 6) AS avg_word_len
@@ -292,4 +302,32 @@ register(
     FROM events
     GROUP BY event_type
     """,
+)
+
+
+def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rabin-Karp polynomial rolling hash of normalized text (64-bit hex):
+    h = sum(b_i * B^(n-1-i)) mod (2^61-1), B=257 — the incremental-update
+    form used for windowed fingerprinting; whole-doc value here."""
+    M = (1 << 61) - 1
+    B = 257
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(batch.column("text")), _WS, " "
+    )
+    fps = []
+    for s in norm.to_pylist():
+        h = 0
+        for byte in s.encode("utf-8"):
+            h = (h * B + byte) % M
+        fps.append(f"{h:016x}")
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "rolling_fp": pa.array(fps, pa.string())}
+    )
+
+
+register(
+    "doc_rolling_fingerprint",  # rows-only: no SQL-side 61-bit modular hash
+    lambda sf: _read_documents(sf, ["doc_id", "text"]).map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    ),
 )
