@@ -1,0 +1,112 @@
+"""Enrichment patterns: broadcast small-side join + distinct.
+
+* :func:`broadcast_join` — THE scale pattern for dimension lookups: the
+  small side is read driver-side once, put in the object store
+  (``ray.put``), and every ``map_batches`` task dereferences the same
+  shared copy for a vectorized hash lookup.  No shuffle; the big side
+  streams.  (A ``groupby``-based join would move every event row.)
+* ``distinct`` — project + one groupby on the projected key(s); the
+  per-block combiner (Arrow ``group_by``) collapses duplicates before the
+  shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .registry import register
+
+
+def broadcast_join(big_ds, lookup: dict, *, key: str, value_name: str,
+                   value_type=pa.string(), drop_misses: bool = True):
+    """Map ``big_ds[key]`` through a broadcast dict (vectorized via a
+    pandas-backed index map per worker task)."""
+    import ray
+
+    lookup_ref = ray.put(lookup)  # one object-store copy, shared by all tasks
+
+    def _join(batch: pa.Table) -> pa.Table:
+        table = ray.get(lookup_ref)  # zero-copy-ish local dereference
+        keys = batch.column(key).to_pandas()
+        mapped = keys.map(table)
+        out = batch.append_column(value_name, pa.array(mapped, value_type))
+        if drop_misses:
+            out = out.filter(pc.is_valid(out.column(value_name)))
+        return out
+
+    return big_ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct(ds, columns):
+    """Distinct rows over ``columns`` — per-block Arrow combiner, then one
+    groupby keyed on all columns."""
+    cols = list(columns)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][cols]
+
+    local = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+    return local.groupby(cols).map_groups(_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries
+# ---------------------------------------------------------------------------
+
+def _q_events_user_nation(sf_dir: str):
+    """Each event enriched with its user's nation name: customer+nation is
+    the broadcast small side (read driver-side, shipped once via ray.put);
+    the events stream is never shuffled."""
+    import duckdb
+    import ray
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        SELECT c.c_custkey, n.n_name
+        FROM '{sf_dir}/customer.parquet' c
+        JOIN '{sf_dir}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        """
+    ).fetchall()
+    con.close()
+    lookup = {k: v for k, v in pairs}
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return broadcast_join(
+        events, lookup, key="user_id", value_name="nation_name"
+    )
+
+
+def _q_distinct_lang_source(sf_dir: str):
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return distinct(docs, ["lang", "source"])
+
+
+register(
+    "events_user_nation",
+    _q_events_user_nation,
+    """
+    SELECT e.event_id, e.user_id, n.n_name AS nation_name
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+
+register(
+    "distinct_lang_source",
+    _q_distinct_lang_source,
+    "SELECT DISTINCT lang, source FROM documents",
+)

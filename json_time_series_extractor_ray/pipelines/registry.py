@@ -39,4 +39,4 @@ def _load_all() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import asof, dedup, similarity, textstats, windows  # noqa: F401
+    from . import asof, dedup, enrich, similarity, textstats, windows  # noqa: F401
