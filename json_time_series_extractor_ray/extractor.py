@@ -570,8 +570,10 @@ def extract_samples(
     options: Union[ExtractorOptions, ExtractionPlan, None] = None,
     *,
     fallback_now_ns: Optional[int] = None,
-) -> Iterator[Sample]:
-    """Extract time-series samples from one JSON document.
+) -> "list[Sample]":
+    """Extract time-series samples from one JSON document (document-order
+    list; materialized, not lazy — documents are small and the hot path
+    wants ``len``/``extend``).
 
     ``document`` may be JSON text (``GetSamples(string, ...)``,
     ``TimeSeriesExtractor.cs:356-359``) or an already-parsed value
@@ -591,7 +593,7 @@ def extract_samples(
     if plan.start_at is not None:
         document = evaluate_pointer(document, plan.start_at)
         if document is MISSING:
-            return iter(())
+            return []
     out: list = []
     _samples_from_root(document, plan, fallback_now_ns, out)
-    return iter(out)
+    return out

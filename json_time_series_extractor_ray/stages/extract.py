@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 
 from ..extractor import (
@@ -114,13 +115,13 @@ class ExtractSamplesStage:
         else:
             fallbacks = None
 
-        keys, ts_vals, sources, nums, strs, bools, kinds, out_ids, ordinals = (
-            [], [], [], [], [], [], [], [], [],
-        )
         plan = self.plan
         loads = json.loads
         default_now = self.fallback_now_ns
         skip = self.on_error == "skip"
+        n_rows = batch.num_rows
+        flat: list = []
+        counts = np.zeros(n_rows, dtype=np.int64)
         for row_idx, text in enumerate(texts):
             if skip:
                 if text is None:  # undecodable tokens
@@ -134,36 +135,45 @@ class ExtractSamplesStage:
             else:
                 doc = loads(text)
             fallback = fallbacks[row_idx] if fallbacks is not None else default_now
-            ordinal = 0
-            doc_id = doc_ids[row_idx]
-            for s in extract_samples(doc, plan, fallback_now_ns=fallback):
-                keys.append(s.key)
-                ts_vals.append(s.ts_ns)
-                sources.append(s.ts_source)
-                kind = s.value_kind
-                kinds.append(kind)
-                if kind == 1:
-                    nums.append(s.value); strs.append(None); bools.append(None)
-                elif kind in (2, 4):
-                    nums.append(None); strs.append(s.value); bools.append(None)
-                elif kind == 3:
-                    nums.append(None); strs.append(None); bools.append(s.value)
-                else:
-                    nums.append(None); strs.append(None); bools.append(None)
-                out_ids.append(doc_id)
-                ordinals.append(ordinal)
-                ordinal += 1
+            samples = extract_samples(doc, plan, fallback_now_ns=fallback)
+            counts[row_idx] = len(samples)
+            flat.extend(samples)
+
+        # Columnar rebuild: one C-speed comprehension per column beats a
+        # single Python loop doing 9 appends + branching per sample; the
+        # lineage columns are pure-Arrow/numpy (take + arange arithmetic).
+        n = len(flat)
+        indices = np.repeat(np.arange(n_rows), counts)
+        starts = np.cumsum(counts) - counts
+        ordinal = (
+            np.arange(n, dtype=np.int32)
+            - np.repeat(starts, counts).astype(np.int32)
+            if n
+            else np.empty(0, dtype=np.int32)
+        )
+        id_col = batch.column(self.id_column)
+        if isinstance(id_col, pa.ChunkedArray):
+            id_col = id_col.combine_chunks()
         return pa.table(
             {
-                "series_key": pa.array(keys, pa.string()),
-                "ts": pa.array(ts_vals, pa.int64()).cast(pa.timestamp("ns")),
-                "ts_source": pa.array(sources, pa.int8()),
-                "value_num": pa.array(nums, pa.float64()),
-                "value_str": pa.array(strs, pa.string()),
-                "value_bool": pa.array(bools, pa.bool_()),
-                "value_kind": pa.array(kinds, pa.int8()),
-                "doc_id": pa.array(out_ids, pa.string()),
-                "sample_ordinal": pa.array(ordinals, pa.int32()),
+                "series_key": pa.array([s[0] for s in flat], pa.string()),
+                "ts": pa.array([s[1] for s in flat], pa.int64()).cast(
+                    pa.timestamp("ns")
+                ),
+                "ts_source": pa.array([s[2] for s in flat], pa.int8()),
+                "value_num": pa.array(
+                    [s[3] if s[4] == 1 else None for s in flat], pa.float64()
+                ),
+                "value_str": pa.array(
+                    [s[3] if s[4] == 2 or s[4] == 4 else None for s in flat],
+                    pa.string(),
+                ),
+                "value_bool": pa.array(
+                    [s[3] if s[4] == 3 else None for s in flat], pa.bool_()
+                ),
+                "value_kind": pa.array([s[4] for s in flat], pa.int8()),
+                "doc_id": id_col.take(pa.array(indices)),
+                "sample_ordinal": pa.array(ordinal, pa.int32()),
             },
             schema=SAMPLE_SCHEMA,
         )
