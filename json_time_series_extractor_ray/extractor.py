@@ -250,6 +250,7 @@ class ExtractionPlan:
         "template",
         "filter",
         "key_cache",
+        "fast_leaf",
     )
 
     def __init__(self, options: ExtractorOptions):
@@ -271,6 +272,33 @@ class ExtractionPlan:
         # corpus, so the distinct-pointer set is tiny relative to sample
         # count; bounded in _full_property_name against pathological shapes.
         self.key_cache: dict = {}
+        # Fast leaf path eligibility: with no user filter, the default
+        # template, and array indexes kept in keys, a leaf sample reduces to
+        # suppression-check + cached pointer->key lookup + value coercion —
+        # the element-stack push and double filter check are observably
+        # side-effect-free and are skipped in _process_object_items.
+        self.fast_leaf = (
+            self.filter is None
+            and self.template.is_default
+            and options.include_array_indexes_in_sample_keys
+            and options.recursive
+        )
+
+    def key_for_pointer(self, ptr: Pointer) -> str:
+        """Default-template key for ``ptr`` (the include-all branch of
+        ``GetFullPropertyName``, ``TimeSeriesExtractor.cs:778-837``), cached."""
+        key = self.key_cache.get(ptr)
+        if key is not None:
+            return key
+        sep = self.options.path_separator
+        if sep == DEFAULT_PATH_SEPARATOR:
+            s = pointer_to_string(ptr)
+            key = s[1:] if s.startswith("/") else s
+        else:
+            key = sep.join(ptr)
+        if len(self.key_cache) < 65536:
+            self.key_cache[ptr] = key
+        return key
 
 
 class ExtractionContext:
@@ -347,18 +375,7 @@ def _full_property_name(ctx: ExtractionContext, ptr: Pointer, force_local: bool 
     )
     sep = options.path_separator
     if include_all:
-        cache = ctx.plan.key_cache
-        key = cache.get(ptr)
-        if key is not None:
-            return key
-        if sep == DEFAULT_PATH_SEPARATOR:
-            s = pointer_to_string(ptr)
-            key = s[1:] if s.startswith("/") else s
-        else:
-            key = sep.join(ptr)
-        if len(cache) < 65536:
-            cache[ptr] = key
-        return key
+        return ctx.plan.key_for_pointer(ptr)
     # Array-index suppression builds the key from the element stack, not the
     # pointer, preserving integer-named object properties (:818-832).
     parts = [entry[0] for entry in stack if entry[0] is not None and not entry[2]]
@@ -491,9 +508,56 @@ def _process_object(ctx: ExtractionContext, depth: int, ptr: Pointer, element: d
                 (ts, TimestampSource.DOCUMENT, ptr + ctx.plan.timestamp_property)
             )
             pop_timestamp = True
+    _process_object_items(ctx, depth, ptr, element, out)
+    if pop_timestamp:
+        ctx.timestamp_stack.pop()
+
+
+def _process_object_items(ctx: ExtractionContext, depth: int, ptr: Pointer,
+                          element: dict, out: list) -> None:
+    """Property loop shared by nested objects and the document root
+    (``TimeSeriesExtractor.cs:471-482,560-567``)."""
+    plan = ctx.plan
     stack = ctx.element_stack
     deeper = depth + 1
     max_depth = ctx.max_depth
+    if plan.fast_leaf:
+        # The top of the timestamp stack is loop-invariant (child calls
+        # push/pop in balance), so hoist it; leaves reduce to suppression
+        # check + cached key + coercion.  tuple.__new__ skips the generated
+        # NamedTuple __new__ wrapper (~1 us/sample under profile).
+        ts_ns, ts_source, ts_ptr = ctx.timestamp_stack[-1]
+        key_for_pointer = plan.key_for_pointer
+        new_sample = tuple.__new__
+        for name, value in element.items():
+            child_ptr = ptr + (name,)
+            if deeper < max_depth and isinstance(value, (dict, list)):
+                stack.append((name, value, False))
+                _samples_core(ctx, deeper, child_ptr, out)
+                stack.pop()
+            else:
+                if ts_ptr is not None and child_ptr == ts_ptr:
+                    continue
+                # Inline coercion for the dominant exact types (json.loads
+                # emits exact float/str/int); subclasses and containers fall
+                # back to the full _coerce_value switch.
+                tv = type(value)
+                if tv is float:
+                    value_coerced, kind = value, 1
+                elif tv is str:
+                    value_coerced, kind = value, 2
+                elif tv is int:
+                    value_coerced, kind = float(value), 1
+                else:
+                    value_coerced, kind = _coerce_value(value)
+                out.append(
+                    new_sample(
+                        Sample,
+                        (key_for_pointer(child_ptr), ts_ns, ts_source,
+                         value_coerced, kind),
+                    )
+                )
+        return
     for name, value in element.items():
         child_ptr = ptr + (name,)
         if deeper < max_depth and isinstance(value, (dict, list)):
@@ -512,18 +576,21 @@ def _process_object(ctx: ExtractionContext, depth: int, ptr: Pointer, element: d
                 if sample is not None:
                     out.append(sample)
             stack.pop()
-    if pop_timestamp:
-        ctx.timestamp_stack.pop()
+
+
+_INDEX_STRINGS = tuple(map(str, range(4096)))
 
 
 def _process_array(ctx: ExtractionContext, depth: int, ptr: Pointer, element: list,
                    out: list) -> None:
     """Array traversal (``TimeSeriesExtractor.cs:576-593``)."""
     stack = ctx.element_stack
+    deeper = depth + 1
+    index_strings = _INDEX_STRINGS
     for index, item in enumerate(element):
-        key = str(index)
+        key = index_strings[index] if index < 4096 else str(index)
         stack.append((key, item, True))
-        _samples_core(ctx, depth + 1, ptr + (key,), out)
+        _samples_core(ctx, deeper, ptr + (key,), out)
         stack.pop()
 
 
@@ -548,10 +615,7 @@ def _samples_from_object(
         default = (ts, TimestampSource.DOCUMENT, plan.timestamp_property)
     ctx.timestamp_stack.append(default)
     ctx.element_stack.append((None, element, False))
-    for name, value in element.items():
-        ctx.element_stack.append((name, value, False))
-        _samples_core(ctx, 1, (name,), out)
-        ctx.element_stack.pop()
+    _process_object_items(ctx, 0, (), element, out)
 
 
 def _samples_from_root(element, plan: ExtractionPlan, fallback_now_ns, out: list) -> None:

@@ -60,6 +60,7 @@ class TimestampSource(enum.IntEnum):
 
 
 _DATE_CACHE: dict = {}
+_MINUTE_CACHE: dict = {}
 
 
 def parse_iso_timestamp_ns(text: str):
@@ -82,6 +83,18 @@ def parse_iso_timestamp_ns(text: str):
         and text[16] == ":"
         and text[19] == "."
     ):
+        # Minute-prefix memo: corpora cluster on a narrow time range, so the
+        # distinct 'YYYY-MM-DDTHH:MM' prefixes are few — one dict hit
+        # replaces date construction + hour/minute validation.
+        minute_seconds = _MINUTE_CACHE.get(text[:16])
+        if minute_seconds is not None:
+            ss, frac = text[17:19], text[20:26]
+            if ss.isdigit() and frac.isdigit():
+                s = int(ss)
+                if s > 59:
+                    return None
+                return (minute_seconds + s) * NS_PER_SEC + int(frac) * 1000
+            return None
         hh, mi, ss, frac = text[11:13], text[14:16], text[17:19], text[20:26]
         if hh.isdigit() and mi.isdigit() and ss.isdigit() and frac.isdigit():
             date_key = text[:10]
@@ -98,6 +111,8 @@ def parse_iso_timestamp_ns(text: str):
             h, m_, s = int(hh), int(mi), int(ss)
             if h > 23 or m_ > 59 or s > 59:
                 return None
+            if len(_MINUTE_CACHE) < 65536:
+                _MINUTE_CACHE[text[:16]] = day_seconds + h * 3600 + m_ * 60
             return (day_seconds + h * 3600 + m_ * 60 + s) * NS_PER_SEC + int(frac) * 1000
     m = _ISO_RE.match(text)
     if m is None:
