@@ -1,0 +1,136 @@
+"""Shared DuckDB oracle fragments for the tokenized events pipeline.
+
+``events_to_corpus`` renders each driver ``events`` row as the compact
+payload ``{"time": <iso us>, "type": <event_type>, "user": <user_id>,
+"value": <value>, "props": {"k": <int>}}`` tokenized to
+``(doc_id, tokens, n_tok, source)``.  Extraction with recursive defaults
+emits, per document and in document order: ``type`` (string), ``user``
+(number), ``value`` (number), ``props/k`` (number), with ``/time`` consumed
+as the timestamp (timestamp-property suppression).  Both ``__ray_entry__``
+and the pipeline registries build their oracle SQL from these fragments so
+the payload contract lives in exactly one place.
+"""
+
+from __future__ import annotations
+
+EVENTS_SAMPLES_SQL = """
+    SELECT 'type' AS series_key, epoch_ns(ts) AS ts_ns,
+           CAST(NULL AS DOUBLE) AS value_num, event_type AS value_str,
+           printf('evt-%010d', event_id) AS doc_id, 0 AS ordinal
+    FROM events
+    UNION ALL
+    SELECT 'user', epoch_ns(ts), CAST(user_id AS DOUBLE), NULL,
+           printf('evt-%010d', event_id), 1
+    FROM events
+    UNION ALL
+    SELECT 'value', epoch_ns(ts), value, NULL,
+           printf('evt-%010d', event_id), 2
+    FROM events
+    UNION ALL
+    SELECT 'props/k', epoch_ns(ts),
+           CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+           printf('evt-%010d', event_id), 3
+    FROM events
+"""
+
+#: Numeric samples only (the rollup/downsample value domain).
+EVENTS_NUMERIC_SQL = f"""
+    SELECT series_key, ts_ns, value_num, doc_id, ordinal
+    FROM ({EVENTS_SAMPLES_SQL})
+    WHERE value_num IS NOT NULL
+"""
+
+ROLLUP_CTES = f"""
+    s AS ({EVENTS_SAMPLES_SQL}),
+    num AS (SELECT * FROM s WHERE value_num IS NOT NULL),
+    b AS (
+        SELECT series_key, ts_ns, value_num AS v, doc_id, ordinal,
+               ts_ns - (ts_ns % {{window_ns}}) AS window_ns
+        FROM num
+    ),
+    rn_ AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY series_key, window_ns
+            ORDER BY ts_ns DESC, doc_id DESC, ordinal DESC
+        ) AS rn
+        FROM b
+    ),
+    rollup_ AS (
+        SELECT series_key, window_ns,
+               min(v) AS min, max(v) AS max,
+               sum(v) / count(*) AS mean,
+               sum(v) AS sum,
+               count(*) AS count,
+               max(CASE WHEN rn = 1 THEN v END) AS last,
+               max(CASE WHEN rn = 1 THEN ts_ns END) AS last_ts_ns
+        FROM rn_
+        GROUP BY series_key, window_ns
+    )
+"""
+
+
+def rollup_tier_sql(window_ns: int) -> str:
+    """Tumbling-window rollup over the numeric series of the events payloads.
+
+    Mirrors stages/rollup.py: only numeric samples participate; ``last`` is
+    the value at maximal (ts, doc_id, ordinal); mean is sum/count (exact
+    cascade); float sum/mean rounded to 6 decimals on both sides because
+    summation order differs between engines, with mean computed from the
+    ROUNDED sum (exact decimal midpoints would otherwise flip on
+    cross-engine summation ULP noise).
+    """
+    ctes = ROLLUP_CTES.format(window_ns=window_ns)
+    return f"""
+    WITH {ctes}
+    SELECT series_key, window_ns, min, max,
+           round(round(sum, 6) / count, 6) AS mean, round(sum, 6) AS sum,
+           count, last, last_ts_ns
+    FROM rollup_
+    """
+
+
+def rollup_locf_sql(window_ns: int) -> str:
+    """Gap-filled (LOCF) 1-tier rollup: the per-series window grid spans
+    first..last observed window; interior misses carry the previous
+    window's ``last`` (stages/gapfill.py semantics: filled min/max/mean =
+    carried value, sum = 0, count = 0)."""
+    ctes = ROLLUP_CTES.format(window_ns=window_ns)
+    return f"""
+    WITH {ctes},
+    grid AS (
+        SELECT series_key,
+               unnest(generate_series(min(window_ns), max(window_ns),
+                                      {window_ns})) AS window_ns
+        FROM rollup_
+        GROUP BY series_key
+    ),
+    j AS (
+        SELECT g.series_key, g.window_ns,
+               r.min AS o_min, r.max AS o_max, r.mean AS o_mean,
+               r.sum AS o_sum, r.count AS o_count, r.last AS o_last,
+               r.last_ts_ns AS o_last_ts
+        FROM grid g
+        LEFT JOIN rollup_ r
+          ON r.series_key = g.series_key AND r.window_ns = g.window_ns
+    ),
+    f AS (
+        SELECT series_key, window_ns,
+               CASE WHEN o_count IS NULL THEN 'locf' ELSE '' END AS fill,
+               last_value(o_last IGNORE NULLS) OVER w AS carried,
+               last_value(o_last_ts IGNORE NULLS) OVER w AS carried_ts,
+               o_min, o_max, o_mean, o_sum, o_count
+        FROM j
+        WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT series_key, window_ns, fill,
+           COALESCE(o_min, carried) AS min,
+           COALESCE(o_max, carried) AS max,
+           CASE WHEN o_count IS NULL THEN round(carried, 6)
+                ELSE round(round(o_sum, 6) / o_count, 6) END AS mean,
+           round(COALESCE(o_sum, 0), 6) AS sum,
+           COALESCE(o_count, 0) AS count,
+           carried AS last,
+           carried_ts AS last_ts_ns
+    FROM f
+    """

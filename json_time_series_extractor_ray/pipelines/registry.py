@@ -39,4 +39,12 @@ def _load_all() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import asof, dedup, enrich, similarity, textstats, windows  # noqa: F401
+    from . import (  # noqa: F401
+        asof,
+        dedup,
+        downsample,
+        enrich,
+        similarity,
+        textstats,
+        windows,
+    )
