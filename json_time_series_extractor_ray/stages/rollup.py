@@ -52,41 +52,59 @@ PARTIAL_COLUMNS = [
 
 
 def partial_rollup_batch(batch: pa.Table, window_ns: int = WINDOW_NS["1m"]) -> pa.Table:
-    """Collapse one sample block to per-(series, window) partials."""
-    cols = ["series_key", "ts", "value_num", "value_kind", "doc_id", "sample_ordinal"]
-    df = batch.select(cols).to_pandas()
-    df = df[df["value_kind"] == 1]
-    if df.empty:
+    """Collapse one sample block to per-(series, window) partials.
+
+    Pure numpy kernel: strings are factorized to codes once, rows are
+    ordered by the deterministic ``(ts, doc_id, ordinal)`` total order via
+    one numeric ``lexsort``, and every aggregate is a ``reduceat`` over
+    contiguous group segments — float sums therefore run in that same
+    sorted order, keeping repeated runs bit-identical (SURVEY.md §7.3.3).
+    """
+    import pyarrow.compute as pc
+
+    t = batch.filter(pc.equal(batch.column("value_kind"), 1))
+    if t.num_rows == 0:
         return pa.Table.from_pandas(
-            pd.DataFrame({c: pd.Series(dtype=t) for c, t in _partial_dtypes().items()}),
+            pd.DataFrame({c: pd.Series(dtype=t_) for c, t_ in _partial_dtypes().items()}),
             preserve_index=False,
         )
-    ts_ns = df["ts"].astype("int64")
-    df = pd.DataFrame(
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    values = t.column("value_num").to_numpy(zero_copy_only=False)
+    ordinal = t.column("sample_ordinal").cast(pa.int64()).to_numpy()
+    series = t.column("series_key").to_pandas()
+    docs = t.column("doc_id").to_pandas()
+    window = ts - (ts % window_ns)
+
+    # Lexicographic doc ranks (sort=True => codes order == string order).
+    doc_codes, doc_uniques = pd.factorize(docs, sort=True)
+    skey_codes, skey_uniques = pd.factorize(series, sort=True)
+    win_codes, win_uniques = pd.factorize(window, sort=True)
+
+    # Deterministic total order, then stable partition into groups: within
+    # each (series, window) segment rows stay in (ts, doc, ordinal) order.
+    order = np.lexsort((ordinal, doc_codes, ts))
+    group = skey_codes[order].astype(np.int64) * len(win_uniques) + win_codes[order]
+    seg_order = np.argsort(group, kind="stable")
+    idx = order[seg_order]
+    group = group[seg_order]
+
+    starts = np.flatnonzero(np.r_[True, group[1:] != group[:-1]])
+    ends = np.r_[starts[1:], len(group)] - 1
+    v = values[idx]
+    out = pd.DataFrame(
         {
-            "series_key": df["series_key"].to_numpy(),
-            "window_start": ts_ns - (ts_ns % window_ns),
-            "value": df["value_num"].to_numpy(),
-            "ts_ns": ts_ns.to_numpy(),
-            "doc_id": df["doc_id"].to_numpy(),
-            "ordinal": df["sample_ordinal"].to_numpy(),
+            "series_key": skey_uniques[group[starts] // len(win_uniques)],
+            "window_start": np.asarray(win_uniques)[group[starts] % len(win_uniques)],
+            "sum": np.add.reduceat(v, starts),
+            "count": (ends - starts + 1).astype(np.int64),
+            "min": np.minimum.reduceat(v, starts),
+            "max": np.maximum.reduceat(v, starts),
+            "last": v[ends],
+            "last_ts": ts[idx][ends],
+            "last_doc": np.asarray(doc_uniques, dtype=object)[doc_codes[idx][ends]],
+            "last_ord": ordinal[idx][ends],
         }
     )
-    # Deterministic in-block order: the 'last' aggregate is the value at the
-    # maximal (ts, doc_id, ordinal).
-    df.sort_values(["ts_ns", "doc_id", "ordinal"], inplace=True, kind="stable")
-    g = df.groupby(["series_key", "window_start"], sort=False)
-    out = g.agg(
-        sum=("value", "sum"),
-        count=("value", "size"),
-        min=("value", "min"),
-        max=("value", "max"),
-        last=("value", "last"),
-        last_ts=("ts_ns", "last"),
-        last_doc=("doc_id", "last"),
-        last_ord=("ordinal", "last"),
-    ).reset_index()
-    out["count"] = out["count"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
