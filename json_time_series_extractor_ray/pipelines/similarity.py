@@ -221,3 +221,127 @@ register(
 )
 
 register("ann_cosine_topk_ivf", _q_ivf)  # approximate -> rows-only check
+
+
+# ---------------------------------------------------------------------------
+# K-means-trained IVF (the 100 TB scale path: no label column needed)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(emb_ds, *, n_clusters: int, n_iters: int = 5, seed: int = 7,
+               init_sample: int = 4096) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) over the embedding column.
+
+    Each iteration is ONE streaming pass: every batch assigns its vectors
+    to the nearest current centroid (one matmul) and emits k partial
+    ``(sum_vector, count)`` rows — the combiner pattern — which the driver
+    merges into new centroids (k x d floats, tiny).  No shuffle at any
+    point; centroids are broadcast by value each pass.  Deterministic:
+    seeded init from an id-strided sample, fixed iteration count.
+    """
+    # Init: deterministic strided sample of the corpus (cheap filter), then
+    # seeded choice of k starting centroids.
+    n_total = emb_ds.count()
+    stride = max(1, n_total // init_sample)
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()).to_numpy()
+        return batch.filter(pa.array(ids % stride == 0))
+
+    sample = emb_ds.map_batches(_sample, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    S = _normalize(sample["embedding"].to_numpy())
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(S), size=min(n_clusters, len(S)), replace=False)
+    C = S[np.sort(pick)].copy()  # (k, d), normalized
+
+    for _ in range(n_iters):
+        Cn = C  # already normalized each round
+
+        def _partial(batch: pa.Table, Cn=Cn) -> pa.Table:
+            E = _normalize(batch.column("embedding").to_pylist())
+            assign = np.argmax(E @ Cn.T, axis=1)
+            k, d = Cn.shape
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, E)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k), pa.int64()),
+                    "vec_sum": pa.array(list(sums)),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = emb_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # tiny: k rows per batch
+        k, d = C.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[row["cluster"]] += np.asarray(row["vec_sum"])
+            counts[row["cluster"]] += row["count"]
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        C = C / np.where(norms == 0, 1.0, norms)
+    return C
+
+
+def ivf_kmeans_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K,
+                    n_clusters: int = 16, nprobe: int = 4, n_iters: int = 5):
+    """IVF with a k-means-trained coarse quantizer: assign + prune + score
+    in a single ``map_batches`` pass against broadcast centroids.  Unlike
+    ``ivf_topk`` this needs no pre-existing ``label`` cells, so it is the
+    quantizer a 100 TB corpus would actually train."""
+    C = kmeans_fit(emb_ds, n_clusters=n_clusters, n_iters=n_iters)
+    # Per-query probe sets over the trained centroids.
+    probe_order = np.argsort(-(query_matrix @ C.T), axis=1)[:, :nprobe]
+    probe_sets = {
+        int(qid): set(map(int, probe_order[qi]))
+        for qi, qid in enumerate(query_ids)
+    }
+
+    class _Stage(PartialTopKStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            En = _normalize(batch.column("embedding").to_pylist())
+            assign = np.argmax(En @ C.T, axis=1)
+            S = self.Q @ En.T
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                cell_mask = np.isin(assign, list(probe_sets[int(qid)]))
+                mask = cell_mask & (ids != qid)
+                cand_ids = ids[mask]
+                cand_sims = S[qi][mask]
+                k2 = min(self.k, len(cand_ids))
+                if k2 == 0:
+                    continue
+                top = np.lexsort((cand_ids, -cand_sims))[:k2]
+                out_q.extend([qid] * k2)
+                out_n.extend(cand_ids[top])
+                out_s.extend(cand_sims[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = emb_ds.map_batches(
+        _Stage(query_ids, query_matrix, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+def _q_ivf_kmeans(sf_dir: str):
+    qids, Q = _load_query_matrix(sf_dir, N_QUERIES)
+    return ivf_kmeans_topk(_read_embeddings(sf_dir), qids, Q)
+
+
+register("ann_cosine_topk_ivf_kmeans", _q_ivf_kmeans)  # approximate -> rows-only

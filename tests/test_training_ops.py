@@ -163,6 +163,38 @@ class TestSimilarity:
             hits += len(a & b)
         assert hits / (4 * 5) >= 0.5
 
+    def test_ivf_kmeans_recall_and_determinism(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.similarity import (
+            ivf_kmeans_topk,
+            kmeans_fit,
+        )
+
+        t, E = _emb_table()
+        En = E.astype(np.float64)
+        En /= np.linalg.norm(En, axis=1, keepdims=True)
+        qids = np.arange(4, dtype=np.int64)
+
+        C = kmeans_fit(ray.data.from_arrow(t), n_clusters=8, n_iters=4)
+        assert C.shape == (8, 16)
+        np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0, rtol=1e-9)
+        # Same seed + same data -> identical centroids (retry safety).
+        C2 = kmeans_fit(ray.data.from_arrow(t), n_clusters=8, n_iters=4)
+        np.testing.assert_array_equal(C, C2)
+
+        brute = brute_force_topk(ray.data.from_arrow(t), qids, En[:4], k=5).to_pandas()
+        approx = ivf_kmeans_topk(
+            ray.data.from_arrow(t), qids, En[:4], k=5, n_clusters=8, nprobe=4
+        ).to_pandas()
+        hits = 0
+        for qi in range(4):
+            b = set(brute[brute["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            hits += len(a & b)
+        # nprobe=4 of 8 trained cells: expect decent (not perfect) recall.
+        assert hits / (4 * 5) >= 0.5
+
 
 class TestMultimodal:
     def test_batch_size_inverse_to_payload(self):
