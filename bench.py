@@ -75,7 +75,14 @@ def bench_iot_rollup(num_cpus: int, n_docs: int) -> dict:
     corpus_path = _ensure_iot_corpus(n_docs)
     t0 = time.perf_counter()
     # Prune at the read: the pipeline needs only lineage id + tokens.
-    ds = ray.data.read_parquet(corpus_path, columns=["doc_id", "tokens"])
+    # 8 blocks per CPU: the fused extract tasks average well under a second
+    # each, so wave quantization and per-task skew (2-3x between blocks)
+    # stop costing a straggler tail at the end of the run.
+    ds = ray.data.read_parquet(
+        corpus_path,
+        columns=["doc_id", "tokens"],
+        override_num_blocks=8 * num_cpus,
+    )
     # Stateless tasks (one precompiled plan shipped in the closure) measured
     # ~40% faster end-to-end than an actor pool for this options set: the
     # compiled state is tiny, so pool spin-up dominates.  Actor pools remain
@@ -235,7 +242,9 @@ def main():
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.scaling_low, args.cpus)))
+        repeats = int(os.environ.get("JTSE_SCALING_REPEATS", "2"))
+        print(json.dumps(run_scaling(args.scaling_low, args.cpus,
+                                     repeats=repeats)))
         return
 
     result = run_bench(args.sf_dir, args.cpus, headline_only=args.headline_only)
