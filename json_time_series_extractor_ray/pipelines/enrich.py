@@ -110,3 +110,55 @@ register(
     _q_distinct_lang_source,
     "SELECT DISTINCT lang, source FROM documents",
 )
+
+
+def global_extremes(events_ds, *, n: int = 50):
+    """Global top-n and bottom-n rows by ``(value, event_id)`` via Ray
+    Data's distributed ``sort`` (range-partitioned sample sort — the one
+    operator family the rest of the engine deliberately avoids; kept here
+    both for API coverage and because top/bottom-n genuinely needs a global
+    order).  ``limit`` stops pulling blocks once ``n`` rows are taken, and
+    the two sides are combined with ``union`` (zero-copy block concat)."""
+    import pyarrow as pa
+
+    def _tag(side):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array([side] * batch.num_rows, pa.string())
+            )
+
+        return _fn
+
+    top = (
+        events_ds.sort(["value", "event_id"], descending=[True, False])
+        .limit(n)
+        .map_batches(_tag("top"), batch_format="pyarrow")
+    )
+    bottom = (
+        events_ds.sort(["value", "event_id"], descending=[False, False])
+        .limit(n)
+        .map_batches(_tag("bottom"), batch_format="pyarrow")
+    )
+    return top.union(bottom)
+
+
+def _q_value_extremes(sf_dir: str):
+    import ray
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return global_extremes(events, n=50)
+
+
+register(
+    "events_value_extremes",
+    _q_value_extremes,
+    """
+    (SELECT event_id, value, 'top' AS side
+     FROM events ORDER BY value DESC, event_id LIMIT 50)
+    UNION ALL
+    (SELECT event_id, value, 'bottom' AS side
+     FROM events ORDER BY value ASC, event_id LIMIT 50)
+    """,
+)
