@@ -42,7 +42,7 @@ def run_job(config: dict) -> dict:
     if not ray.is_initialized():  # standalone runs; the driver/tests own Ray otherwise
         ray.init(address="local", include_dashboard=False)
 
-    from .pipelines.timeseries import extract_pipeline, gorilla_roundtrip_stats
+    from .pipelines.timeseries import extract_pipeline
     from .state.checkpoint import run_sharded_rollup
 
     corpus = ray.data.read_parquet(config["input"])
@@ -81,8 +81,10 @@ def run_job(config: dict) -> dict:
             batch_size=config.get("batch_size"),
             fallback_now_ns=config.get("fallback_now_ns", 0),
         )
-        stats = gorilla_roundtrip_stats(samples2)
-        stats.write_parquet(f"{out_dir}/chunks")
+        from .state.gorilla import compress_series_dataset
+
+        chunks = compress_series_dataset(samples2)
+        chunks.write_parquet(f"{out_dir}/chunks")
         result["chunks_written"] = True
 
     return result

@@ -39,14 +39,19 @@ def test_job_full_then_resume(ray_session, corpus_dir, tmp_path):
     assert os.path.isdir(f"{out_dir}/rollups/_manifest")
     assert os.path.isdir(f"{out_dir}/chunks")
 
-    # chunks decoded OK everywhere
-    import glob
-
+    # real chunk bytes on disk, every one decodable back to its points
     import pyarrow.dataset as pads
+
+    from json_time_series_extractor_ray.state.gorilla import decompress_chunk
 
     chunks = pads.dataset(f"{out_dir}/chunks").to_table()
     assert chunks.num_rows > 0
-    assert all(chunks.column("roundtrip_ok").to_pylist())
+    for row in chunks.to_pylist():
+        ts, vals = decompress_chunk(row["chunk"])
+        assert len(ts) == row["n_points"] == len(vals)
+        if len(ts):
+            assert ts[0] == row["t_min"] and ts[-1] == row["t_max"]
+            assert len(row["chunk"]) < row["raw_bytes"]  # it actually compresses
 
     # resume: everything skipped, nothing recomputed
     r2 = run_job(cfg)
