@@ -35,6 +35,8 @@ Timestamps are ``int`` nanoseconds since epoch UTC throughout (see
 from __future__ import annotations
 
 import json
+
+from .functions.jsonio import loads as _json_loads
 from dataclasses import dataclass, field, replace
 from typing import Any, Callable, Iterator, NamedTuple, Optional, Sequence, Union
 
@@ -653,7 +655,7 @@ def extract_samples(
     else:
         plan = ExtractionPlan(options if options is not None else ExtractorOptions())
     if isinstance(document, (str, bytes)):
-        document = json.loads(document)
+        document = _json_loads(document)
     if plan.start_at is not None:
         document = evaluate_pointer(document, plan.start_at)
         if document is MISSING:

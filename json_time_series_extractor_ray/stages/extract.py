@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import json
 
+from ..functions.jsonio import loads as _json_loads
+
 import numpy as np
 import pyarrow as pa
 
@@ -116,7 +118,7 @@ class ExtractSamplesStage:
             fallbacks = None
 
         plan = self.plan
-        loads = json.loads
+        loads = _json_loads
         default_now = self.fallback_now_ns
         skip = self.on_error == "skip"
         n_rows = batch.num_rows
