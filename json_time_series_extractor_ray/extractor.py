@@ -253,6 +253,7 @@ class ExtractionPlan:
         "filter",
         "key_cache",
         "fast_leaf",
+        "ts_prop_single",
     )
 
     def __init__(self, options: ExtractorOptions):
@@ -284,6 +285,14 @@ class ExtractionPlan:
             and self.template.is_default
             and options.include_array_indexes_in_sample_keys
             and options.recursive
+        )
+        # Single-segment timestamp pointers (the default /time, and most
+        # real configs) resolve with one dict lookup — no pointer walk.
+        self.ts_prop_single = (
+            self.timestamp_property[0]
+            if self.timestamp_property is not None
+            and len(self.timestamp_property) == 1
+            else None
         )
 
     def key_for_pointer(self, ptr: Pointer) -> str:
@@ -338,7 +347,11 @@ def _try_get_timestamp(element, plan: ExtractionPlan) -> Optional[int]:
     ptr = plan.timestamp_property
     if ptr is None or not isinstance(element, dict):
         return None
-    value = evaluate_pointer(element, ptr)
+    single = plan.ts_prop_single
+    if single is not None:
+        value = element.get(single, MISSING)
+    else:
+        value = evaluate_pointer(element, ptr)
     if value is MISSING:
         return None
     parser = plan.options.timestamp_parser
