@@ -85,6 +85,29 @@ def _events_startat(sf_dir: str):
     return samples_for_compare(samples)
 
 
+def _events_fallback_col(sf_dir: str):
+    """Per-row deterministic fallback timestamp (reference T3 through the
+    whole tokenized path): payloads carry no /time, so every sample's ts
+    comes from the corpus ``ingest_ts`` sidecar column
+    (source=CURRENT_TIME, deterministically injected)."""
+    import functools
+
+    import ray
+
+    from json_time_series_extractor_ray.corpus import events_to_corpus_nots
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    corpus = ds.map_batches(
+        functools.partial(events_to_corpus_nots),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    samples = extract_pipeline(
+        corpus, dict(recursive=True), fallback_ts_column="ingest_ts"
+    )
+    return samples_for_compare(samples)
+
+
 def _events_nested_corpus(sf_dir: str, tokenizer: str = "utf8"):
     import functools
 
@@ -152,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
         "events_extract_startat": _events_startat,
+        "events_extract_fallback_col": _events_fallback_col,
         "events_extract_nested": _events_nested,
         "events_extract_nested_noidx": _events_nested_noidx,
     }
@@ -194,6 +218,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract(props, '$.k') AS DOUBLE) AS value_num,
                    CAST(NULL AS VARCHAR) AS value_str,
                    printf('evt-%010d', event_id) AS doc_id
+            FROM events
+        """,
+        # no /time in payload -> per-row fallback ts from ingest_ts sidecar
+        "events_extract_fallback_col": """
+            SELECT 'type' AS series_key, epoch_ns(ts) AS ts_ns,
+                   CAST(NULL AS DOUBLE) AS value_num, event_type AS value_str,
+                   printf('evtf-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT 'user', epoch_ns(ts), CAST(user_id AS DOUBLE), NULL,
+                   printf('evtf-%010d', event_id)
+            FROM events
+            UNION ALL
+            SELECT 'value', epoch_ns(ts), value, NULL,
+                   printf('evtf-%010d', event_id)
+            FROM events
+            UNION ALL
+            SELECT 'props/k', epoch_ns(ts),
+                   CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+                   printf('evtf-%010d', event_id)
             FROM events
         """,
         # nested readings: type at doc ts; each data[i].v at its own nested ts

@@ -263,3 +263,34 @@ def events_to_corpus(batch: pa.Table, tokenizer="utf8") -> pa.Table:
         for i in range(len(event_ids))
     ]
     return texts_to_corpus_table(doc_ids, texts, ["events"] * len(doc_ids), tokenizer)
+
+
+def events_to_corpus_nots(batch: pa.Table, tokenizer="utf8") -> pa.Table:
+    """Corpus rows whose payloads carry NO ``/time`` property, plus an
+    ``ingest_ts`` sidecar column — the shape that exercises the per-row
+    deterministic fallback timestamp (``fallback_ts_column``, reference T3:
+    ``GetDefaultTimestamp`` / ``DateTimeOffset.UtcNow`` at
+    ``TimeSeriesExtractor.cs:458-463``, replaced by an injected ingest
+    watermark for distributed determinism, SURVEY.md §7.3.5)."""
+    event_ids = batch.column("event_id").to_pylist()
+    users = batch.column("user_id").to_pylist()
+    etypes = batch.column("event_type").to_pylist()
+    values = batch.column("value").to_pylist()
+    props = batch.column("props").to_pylist()
+    doc_ids = [f"evtf-{i:010d}" for i in event_ids]
+    texts = [
+        json.dumps(
+            {
+                "type": etypes[i],
+                "user": users[i],
+                "value": values[i],
+                "props": json.loads(props[i]),
+            },
+            **_COMPACT,
+        )
+        for i in range(len(event_ids))
+    ]
+    out = texts_to_corpus_table(doc_ids, texts, ["events"] * len(doc_ids), tokenizer)
+    return out.append_column(
+        "ingest_ts", batch.column("ts").cast(pa.timestamp("ns"))
+    )
