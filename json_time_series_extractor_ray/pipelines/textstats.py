@@ -250,7 +250,48 @@ register(
     """,
 )
 
-register("doc_lang_id", _q_lang_id)  # heuristic -> rows-only check
+def _lang_id_sql() -> str:
+    """The marker-hit-rate heuristic is plain relational algebra: split on
+    the same RE2 ``\\s+``, score = hits / max(n_words, 1), argmax with
+    first-wins ties in ``_LANG_ORDER``."""
+    score_cols = []
+    for lang in _LANG_ORDER:
+        markers = _LANG_MARKERS[lang]
+        if not markers:
+            score_cols.append(f"0.0 AS s_{lang}")
+            continue
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"count(*) FILTER (WHERE word IN ({inlist})) "
+            f"/ CAST(greatest(count(*), 1) AS DOUBLE) AS s_{lang}"
+        )
+    langs = list(_LANG_ORDER)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = " ".join(cases)
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'
+               )) AS word
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, {', '.join(score_cols)}
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE {case_sql} ELSE '{langs[-1]}' END AS pred_lang
+    FROM sc
+    """
+
+
+register("doc_lang_id", _q_lang_id, _lang_id_sql())
 
 
 def _q_events_type_stats(sf_dir: str):
