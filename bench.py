@@ -168,6 +168,13 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dic
             ("minhash_lsh_dups", lambda: bench_query("minhash_lsh_dups", sf_dir)),
             ("ann_cosine_topk", lambda: bench_query("ann_cosine_topk", sf_dir)),
             ("doc_quality", lambda: bench_query("doc_quality", sf_dir)),
+            ("events_hopping_5m_1m",
+             lambda: bench_query("events_hopping_5m_1m", sf_dir)),
+            ("events_retention_expire",
+             lambda: bench_query("events_retention_expire", sf_dir)),
+            ("events_value_extremes",
+             lambda: bench_query("events_value_extremes", sf_dir)),
+            ("doc_lang_id", lambda: bench_query("doc_lang_id", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

@@ -239,6 +239,10 @@ def retention_expire(rollup_ds, ttl_ns: dict[str, int] | None = None,
     """
     ttl_ns = dict(DEFAULT_TTL_NS if ttl_ns is None else ttl_ns)
     if watermark_ns is None:
+        # The max() aggregate executes the upstream pipeline; without
+        # pinning the ladder output (tiny: #series x windows), the expiry
+        # filter below would re-execute extraction + rollup a second time.
+        rollup_ds = rollup_ds.materialize()
         wm = rollup_ds.max("last_ts")
         watermark_ns = int(pd.Timestamp(wm).value)
     cutoffs = {tier: watermark_ns - ttl for tier, ttl in ttl_ns.items()}
