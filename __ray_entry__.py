@@ -55,6 +55,18 @@ def _events_rollup_locf(sf_dir: str):
     return gapfill_tier_for_compare(rollups, "1m")
 
 
+def _events_rollup_linear(sf_dir: str):
+    """Linear-interpolated gap fill.  Rows-only driver check: interpolation
+    mixes the two engines' unrounded window means, whose summation-order
+    ULP noise cannot be value-hashed across engines (the LOCF twin carries
+    exact ``last`` values and IS hash-checked).  The grid shape, fill
+    flags, and count/sum columns are still pinned by the row count here
+    and by tests/test_gapfill_gorilla.py exactness tests."""
+    corpus = events_corpus_dataset(sf_dir)
+    rollups = extract_and_rollup(corpus, tiers=("1m",), gap_fill="linear")
+    return gapfill_tier_for_compare(rollups, "1m")
+
+
 def _events_gorilla(sf_dir: str):
     corpus = events_corpus_dataset(sf_dir)
     return gorilla_roundtrip_stats(extract_pipeline(corpus))
@@ -171,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h": lambda sf: _events_rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
         "events_rollup_1m_locf": _events_rollup_locf,
+        "events_rollup_1m_linear": _events_rollup_linear,
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,

@@ -372,3 +372,134 @@ register(
         rolling_fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top-k n-grams (the canonical pre-aggregate-before-shuffle op)
+# ---------------------------------------------------------------------------
+
+def ngram_counts_batch(batch: pa.Table, n: int = 3) -> pa.Table:
+    """One document block -> per-batch partial n-gram counts.
+
+    Vectorized: one Arrow whitespace split for the whole block, numpy
+    within-document masking, one pandas factorize+bincount for the local
+    count — so the shuffle after this combiner moves (ngram, count)
+    partials, never word streams.
+    """
+    import pandas as pd
+
+    flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+    words = flat_words.to_numpy(zero_copy_only=False)
+    if len(words) == 0:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    # Candidate n-gram start positions: those whose whole window stays
+    # inside one document (offsets mark document boundaries in flat_words).
+    doc_id_per_word = np.repeat(
+        np.arange(len(offsets) - 1), np.diff(offsets)
+    )
+    valid = np.flatnonzero(
+        (np.arange(len(words)) + n <= len(words))
+        & (doc_id_per_word == doc_id_per_word[
+            np.minimum(np.arange(len(words)) + n - 1, len(words) - 1)])
+    )
+    if len(valid) == 0:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    grams = words[valid].astype(object)
+    for i in range(1, n):
+        grams = grams + " "
+        grams = grams + words[valid + i].astype(object)
+    codes, uniques = pd.factorize(pd.Series(grams))
+    counts = np.bincount(codes).astype(np.int64)
+    return pa.table(
+        {"ngram": pa.array(uniques, pa.string()), "n": pa.array(counts, pa.int64())}
+    )
+
+
+def top_ngrams(docs_ds, *, n: int = 3, k: int = 100):
+    """Global top-``k`` ``n``-grams by count (ties broken by n-gram text).
+
+    Shape: per-batch combiner (above) -> ``groupby("ngram").sum`` (the one
+    shuffle, over bounded partials) -> global ``sort`` + ``limit`` over the
+    aggregated (distinct-ngram-sized) table.
+    """
+    import functools
+
+    partials = docs_ds.map_batches(
+        functools.partial(ngram_counts_batch, n=n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = partials.groupby("ngram").sum("n")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ngram": batch.column("ngram"),
+             "n": batch.column("sum(n)").cast(pa.int64())}
+        )
+
+    return (
+        totals.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+register(
+    "doc_top_trigrams",
+    lambda sf: top_ngrams(_read_documents(sf, ["doc_id", "text"]), n=3, k=100),
+    r"""
+    WITH w AS (
+        SELECT string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               ) AS ws
+        FROM documents
+    ),
+    t AS (
+        SELECT ws[g] || ' ' || ws[g + 1] || ' ' || ws[g + 2] AS ngram
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS g
+        )
+    )
+    SELECT ngram, count(*) AS n
+    FROM t GROUP BY ngram
+    ORDER BY n DESC, ngram LIMIT 100
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing (vectorized text transform)
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible patterns, shared verbatim with the DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    """Replace emails/URLs with placeholder tokens (training-data hygiene);
+    two Arrow RE2 kernels, no Python per row."""
+    text = batch.column("text")
+    text = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    text = pc.replace_substring_regex(text, URL_RE, "<URL>")
+    return pa.table({"doc_id": batch.column("doc_id"), "scrubbed": text})
+
+
+register(
+    "doc_scrub_pii",
+    lambda sf: _read_documents(sf, ["doc_id", "text"]).map_batches(
+        scrub_batch, batch_format="pyarrow", zero_copy_batch=True
+    ),
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{URL_RE}', '<URL>', 'g'
+           ) AS scrubbed
+    FROM documents
+    """,
+)
