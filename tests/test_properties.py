@@ -87,3 +87,35 @@ def test_depth_limited_values_reparse(doc):
     for s in extract_samples(doc, plan, fallback_now_ns=0):
         if s.value_kind == ValueKind.JSON_TEXT:
             assert json.loads(s.value) == doc[s.key]
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc=st.dictionaries(_keys, _json_docs, max_size=6))
+def test_fast_json_parser_matches_stdlib(doc):
+    """functions/jsonio.loads (orjson + stdlib fallback) must be value-
+    identical to json.loads for every document the engine can see, and the
+    extraction output must be parser-independent."""
+    from json_time_series_extractor_ray.functions.jsonio import loads
+
+    text = json.dumps(doc)
+    assert loads(text) == json.loads(text)
+
+    plan = ExtractionPlan(ExtractorOptions(recursive=True))
+    via_text = list(extract_samples(text, plan, fallback_now_ns=0))
+    via_parsed = list(extract_samples(json.loads(text), plan, fallback_now_ns=0))
+    assert via_text == via_parsed
+
+
+def test_fast_json_parser_stdlib_superset():
+    """Inputs orjson rejects but stdlib accepts must still parse (the
+    fallback keeps the accepted-input surface identical)."""
+    from json_time_series_extractor_ray.functions.jsonio import loads
+
+    big = 2**70
+    assert loads(f'{{"v": {big}}}') == {"v": big}
+    out = loads('{"v": NaN, "w": Infinity}')
+    assert out["v"] != out["v"] and out["w"] == float("inf")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        loads("{not json")
