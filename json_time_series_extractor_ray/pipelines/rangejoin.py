@@ -1,0 +1,215 @@
+"""Range (interval) join: the second time-series join Ray Data has no
+primitive for (the first is ``asof.py``).
+
+``range_join(left, right, by=..., ...)`` attaches, to every left row,
+EVERY right interval of the same ``by`` key that contains the left
+timestamp (``start <= ts <= end``, both inclusive — SQL ``BETWEEN``
+semantics).  One left row can match many intervals; unmatched left rows
+drop (inner semantics).
+
+Composition mirrors the as-of join: project both sides onto a tagged
+union schema, ONE ``groupby(by)`` as the co-partitioning step (Ray Data
+has no cogroup), then a per-group vectorized double-``searchsorted``
+sweep — for each interval, the contained left rows are one contiguous
+slice of the ts-sorted left side, materialized with a repeat/arange
+gather (no Python loop over rows).
+
+PARTITIONING ASSUMPTION (documented per the custom-operator rule): all
+rows of one ``by`` key — both sides — must fit in one group task, the
+same contract as the as-of join.  For keys with huge interval sets,
+bucket intervals by coarse time range first so each group sees one
+bucket (the hopping-window trick in ``downsample.hopping_rollup``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .asof import _project_side
+
+
+def _project_intervals(ds, by: str, start: str, end: str, cols, all_cols):
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+
+        def _ns(name):
+            col = batch.column(name)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("ns"))
+            return col.cast(pa.int64())
+
+        # Column order MUST equal the left side's (union concatenates
+        # blocks; schema order is part of the contract): __by, __ts,
+        # __side, carried columns, then __end.
+        out = {
+            "__by": batch.column(by),
+            "__ts": _ns(start),  # interval start rides the shared ts slot
+            "__side": pa.array(["r"] * n, pa.string()),
+        }
+        for name, typ in all_cols:
+            if name in cols:
+                out[name] = batch.column(name).cast(typ)
+            else:
+                out[name] = pa.nulls(n, typ)
+        out["__end"] = _ns(end)
+        return pa.table(out)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_join(left_ds, right_ds, *, by: str, left_ts: str,
+               right_start: str, right_end: str,
+               left_cols: dict, right_cols: dict):
+    """Inner interval join (``right.start <= left.ts <= right.end``).
+
+    ``left_cols`` / ``right_cols``: {column_name: pyarrow_type} carried
+    from each side.
+    """
+    all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
+    l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
+
+    def _add_end(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__end", pa.nulls(batch.num_rows, pa.int64()))
+
+    l = l.map_batches(_add_end, batch_format="pyarrow", zero_copy_batch=True)
+    r = _project_intervals(right_ds, by, right_start, right_end,
+                           set(right_cols), all_cols)
+    unioned = l.union(r)
+
+    left_names = list(left_cols)
+    right_names = list(right_cols)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == "l"]
+        right = df[df["__side"] == "r"]
+        empty = pd.DataFrame({
+            **{c: pd.Series(dtype=left[c].dtype) for c in left_names},
+            **{c: pd.Series(dtype=right[c].dtype) for c in right_names},
+            "__by": pd.Series(dtype=df["__by"].dtype),
+            "__ts": pd.Series(dtype="int64"),
+        })
+        if left.empty or right.empty:
+            return empty
+        left = left.sort_values("__ts", kind="stable")
+        l_ts = left["__ts"].to_numpy()
+        starts = right["__ts"].to_numpy()
+        ends = right["__end"].to_numpy()
+        lo = np.searchsorted(l_ts, starts, side="left")
+        hi = np.searchsorted(l_ts, ends, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # Gather: interval i contributes left rows lo[i]..hi[i] — one
+        # repeat/arange construction, no per-interval Python loop.
+        r_idx = np.repeat(np.arange(len(starts)), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        l_idx = np.arange(total) - np.repeat(cum, counts) + np.repeat(lo, counts)
+        left_m = left.iloc[l_idx]
+        right_m = right.iloc[r_idx]
+        out = {c: left_m[c].to_numpy() for c in left_names}
+        out.update({c: right_m[c].to_numpy() for c in right_names})
+        out["__by"] = left_m["__by"].to_numpy()
+        out["__ts"] = left_m["__ts"].to_numpy()
+        return pd.DataFrame(out)
+
+    joined = unioned.groupby("__by").map_groups(_merge, batch_format="pandas")
+
+    # The tagged union holds nulls in the other side's columns, so pandas
+    # upcasts int columns to float inside the group frames; restore every
+    # carried column to its declared Arrow type on the way out.
+    def _restore_types(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            declared = dict(all_cols).get(name)
+            cols[name] = col.cast(declared) if declared is not None else col
+        return pa.table(cols)
+
+    return joined.map_batches(
+        _restore_types, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver query: assign every event to its containing session window — the
+# sessionize output (gap-based intervals) interval-joined back onto the
+# event stream of the same user.
+# ---------------------------------------------------------------------------
+
+def _q_events_session_assign(sf_dir: str):
+    import ray
+
+    from .windows import SESSION_GAP_NS, sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    sessions = sessionize(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        ),
+        gap_ns=SESSION_GAP_NS,
+    )
+
+    joined = range_join(
+        events,
+        sessions,
+        by="user_id",
+        left_ts="ts",
+        right_start="session_start_ns",
+        right_end="session_end_ns",
+        left_cols={"event_id": pa.int64()},
+        right_cols={"session_id": pa.int64()},
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ts_ns": batch.column("__ts"),
+                "user_id": batch.column("__by").cast(pa.int64()),
+                "session_id": batch.column("session_id"),
+            }
+        )
+
+    return joined.map_batches(_shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+from .registry import register  # noqa: E402
+from .windows import SESSION_GAP_NS as _GAP  # noqa: E402
+
+register(
+    "events_session_assign",
+    _q_events_session_assign,
+    f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {_GAP}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts_ns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM x
+    ),
+    sess AS (
+        SELECT user_id, sid AS session_id,
+               min(ts_ns) AS s_start, max(ts_ns) AS s_end
+        FROM y GROUP BY user_id, sid
+    )
+    SELECT e.event_id, epoch_ns(e.ts) AS ts_ns, e.user_id, s.session_id
+    FROM events e
+    JOIN sess s
+      ON e.user_id = s.user_id
+     AND epoch_ns(e.ts) BETWEEN s.s_start AND s.s_end
+    """,
+)

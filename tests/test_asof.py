@@ -67,3 +67,56 @@ def test_asof_key_isolation_and_tie_break(ray_session):
     assert len(out) == 1  # key b has no right rows -> dropped
     assert out["__by"].tolist() == ["a"]
     assert out["rval"].tolist() == [9]
+
+
+class TestRangeJoin:
+    def test_multi_match_and_unmatched(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.rangejoin import range_join
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([100, 250, 900, 50], pa.int64()).cast(pa.timestamp("ns")),
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+        }))
+        # Overlapping intervals for k=1: ts=250 falls in BOTH; ts=900 in
+        # neither (drops); k=2 has no intervals at all.
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "start_ns": pa.array([0, 200], pa.int64()),
+            "end_ns": pa.array([300, 400], pa.int64()),
+            "iv": pa.array([7, 8], pa.int64()),
+        }))
+        out = range_join(
+            left, right, by="k", left_ts="ts",
+            right_start="start_ns", right_end="end_ns",
+            left_cols={"event_id": pa.int64()}, right_cols={"iv": pa.int64()},
+        ).to_pandas().sort_values(["event_id", "iv"], ignore_index=True)
+        got = list(zip(out["event_id"], out["iv"]))
+        assert got == [(10, 7), (11, 7), (11, 8)]
+        assert out["event_id"].dtype == "int64" and out["iv"].dtype == "int64"
+
+    def test_inclusive_bounds(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.rangejoin import range_join
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([100, 200], pa.int64()).cast(pa.timestamp("ns")),
+            "event_id": pa.array([1, 2], pa.int64()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1], pa.int64()),
+            "start_ns": pa.array([100], pa.int64()),
+            "end_ns": pa.array([200], pa.int64()),
+            "iv": pa.array([9], pa.int64()),
+        }))
+        out = range_join(
+            left, right, by="k", left_ts="ts",
+            right_start="start_ns", right_end="end_ns",
+            left_cols={"event_id": pa.int64()}, right_cols={"iv": pa.int64()},
+        ).to_pandas()
+        # BETWEEN semantics: both boundary timestamps match.
+        assert sorted(out["event_id"]) == [1, 2]
