@@ -46,6 +46,7 @@ def _load_all() -> None:
         enrich,
         rangejoin,
         similarity,
+        sketches,
         textstats,
         windows,
     )

@@ -342,3 +342,67 @@ class TestDistributedDelegates:
         assert len(out) == 3  # skipme filtered by the delegate
         assert set(out["series_key"]) == {"devX-temp"}
         assert (out["ts"].astype("int64") == 1686559277 * 10**9).all()
+
+
+class TestSketches:
+    def test_hll_error_bound(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            hll_distinct,
+        )
+
+        for true_n in (500, 20_000):
+            t = pa.table({"v": pa.array(
+                [f"item-{i}" for i in range(true_n)] * 2  # duplicates
+            )})
+            est = hll_distinct(ray.data.from_arrow(t), column="v")
+            # 2^12 registers -> ~1.6% standard error; allow 5 sigma.
+            assert abs(est - true_n) / true_n < 0.08, (true_n, est)
+
+    def test_hll_merge_is_order_independent(self):
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            hll_estimate,
+            hll_partial_batch,
+        )
+
+        a = hll_partial_batch(pa.table({"v": pa.array([f"a{i}" for i in range(1000)])}), "v")
+        b = hll_partial_batch(pa.table({"v": pa.array([f"b{i}" for i in range(1000)])}), "v")
+        blob_a = a.column("registers")[0].as_py()
+        blob_b = b.column("registers")[0].as_py()
+        assert hll_estimate([blob_a, blob_b]) == hll_estimate([blob_b, blob_a])
+        # merging a sketch with itself changes nothing (idempotent max)
+        assert hll_estimate([blob_a, blob_a]) == hll_estimate([blob_a])
+
+    def test_percentile_rule_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            group_percentiles,
+        )
+
+        rng = np.random.default_rng(13)
+        # Odd/even/tiny group sizes to stress the index rule.
+        rows = []
+        for key, n in (("a", 7), ("b", 100), ("c", 1), ("d", 2)):
+            for v in rng.normal(size=n):
+                rows.append((key, float(v)))
+        t = pa.table({
+            "k": pa.array([r[0] for r in rows]),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+        })
+        got = (
+            group_percentiles(ray.data.from_arrow(t), key="k", value="v")
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute(
+            "SELECT k, count(*) AS n, quantile_disc(v, 0.5) AS p50, "
+            "quantile_disc(v, 0.9) AS p90, quantile_disc(v, 0.99) AS p99 "
+            "FROM t GROUP BY k ORDER BY k"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), exp.astype({"n": "int64"})
+        )
