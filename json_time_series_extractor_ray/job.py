@@ -20,6 +20,10 @@ Config schema (all paths may be any fsspec-able URI Ray Data can read)::
       "num_shards": 64,                    # checkpoint/partition granularity
       "fallback_now_ns": 0,                # deterministic fallback timestamp
       "gorilla_chunks": true,              # also write per-series chunk files
+      "retention": {"1m": ..., "1h": ...}, # per-tier TTL ns (true = defaults);
+                                           # writes <out>/rollups_current with
+                                           # expired windows dropped, watermark
+                                           # taken from the shard manifests
       "extract_concurrency": null,         # null=tasks, int/(min,max)=actor pool
       "batch_size": null
     }
@@ -69,6 +73,30 @@ def run_job(config: dict) -> dict:
         "shards_run": shards_run,
         "shards_skipped": shards_skipped,
     }
+
+    retention = config.get("retention")
+    if retention:
+        # Retention pass over the STORED tiers (the shape a 100 TB ladder
+        # needs: expire what is on disk, pruning whole shards via manifest
+        # watermarks first in principle, then row-filtering the rest).
+        # Watermark comes from the manifest (max committed window_start) —
+        # no recompute of the pipeline.
+        from .pipelines.downsample import DEFAULT_TTL_NS, retention_expire
+
+        ttl_ns = (
+            dict(DEFAULT_TTL_NS)
+            if retention is True
+            else {tier: int(v) for tier, v in retention.items()}
+        )
+        wm = result["rollups"]["watermark_max"]
+        rollups_ds = ray.data.read_parquet(f"{out_dir}/rollups")
+        current = retention_expire(rollups_ds, ttl_ns=ttl_ns, watermark_ns=int(wm))
+        current.write_parquet(f"{out_dir}/rollups_current")
+        result["retention"] = {
+            "watermark_ns": int(wm),
+            "ttl_ns": ttl_ns,
+            "rows_before": result["rollups"]["rows"],
+        }
 
     if config.get("gorilla_chunks", True):
         # Chunk pass re-derives samples (deterministic) so the rollup path

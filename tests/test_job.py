@@ -83,3 +83,33 @@ def test_write_tiers_partitioned(ray_session, corpus_dir, tmp_path):
     t = pads.dataset(f"{out}/tier=1m").to_table()
     assert t.num_rows > 0
     assert "series_key" in t.column_names
+
+
+def test_job_retention_pass(ray_session, corpus_dir, tmp_path):
+    import pyarrow.dataset as pads
+
+    from json_time_series_extractor_ray.stages.rollup import WINDOW_NS
+
+    out_dir = str(tmp_path / "out_ret")
+    five_min = 5 * WINDOW_NS["1m"]
+    cfg = _config(corpus_dir, out_dir)
+    cfg["gorilla_chunks"] = False
+    # 1m tier keeps five minutes before the watermark (the test corpus
+    # spans ~16 minutes); 1h keeps everything.
+    cfg["retention"] = {"1m": five_min, "1h": 365 * WINDOW_NS["1d"]}
+
+    r = run_job(cfg)
+    assert r["retention"]["watermark_ns"] == r["rollups"]["watermark_max"]
+
+    full = pads.dataset(f"{out_dir}/rollups").to_table().to_pandas()
+    cur = pads.dataset(f"{out_dir}/rollups_current").to_table().to_pandas()
+    wm = r["retention"]["watermark_ns"]
+
+    # 1h tier untouched; 1m tier pruned to windows within five minutes
+    # of the manifest watermark; nothing else changed.
+    assert len(cur[cur["tier"] == "1h"]) == len(full[full["tier"] == "1h"])
+    kept_1m = cur[cur["tier"] == "1m"]["window_start"].astype("int64")
+    assert (kept_1m >= wm - five_min).all()
+    expect_1m = full[full["tier"] == "1m"]["window_start"].astype("int64")
+    assert len(kept_1m) == (expect_1m >= wm - five_min).sum()
+    assert len(kept_1m) < len(expect_1m)  # something actually expired
