@@ -1,5 +1,6 @@
 """As-of join operator semantics."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -120,3 +121,41 @@ class TestRangeJoin:
         ).to_pandas()
         # BETWEEN semantics: both boundary timestamps match.
         assert sorted(out["event_id"]) == [1, 2]
+
+    def test_matches_bruteforce_on_random_data(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.rangejoin import range_join
+
+        rng = np.random.default_rng(99)
+        n_l, n_r = 300, 60
+        l_keys = rng.integers(0, 8, n_l)
+        l_ts = rng.integers(0, 10_000, n_l)
+        r_keys = rng.integers(0, 8, n_r)
+        r_start = rng.integers(0, 9_000, n_r)
+        r_end = r_start + rng.integers(0, 2_000, n_r)
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(l_keys, pa.int64()),
+            "ts": pa.array(l_ts, pa.int64()).cast(pa.timestamp("ns")),
+            "event_id": pa.array(np.arange(n_l), pa.int64()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array(r_keys, pa.int64()),
+            "start_ns": pa.array(r_start, pa.int64()),
+            "end_ns": pa.array(r_end, pa.int64()),
+            "iv": pa.array(np.arange(n_r), pa.int64()),
+        }))
+        out = range_join(
+            left, right, by="k", left_ts="ts",
+            right_start="start_ns", right_end="end_ns",
+            left_cols={"event_id": pa.int64()}, right_cols={"iv": pa.int64()},
+        ).to_pandas()
+        got = set(zip(out["event_id"], out["iv"]))
+        expect = {
+            (e, i)
+            for e in range(n_l)
+            for i in range(n_r)
+            if l_keys[e] == r_keys[i] and r_start[i] <= l_ts[e] <= r_end[i]
+        }
+        assert got == expect
