@@ -55,6 +55,22 @@ def _events_rollup_locf(sf_dir: str):
     return gapfill_tier_for_compare(rollups, "1m")
 
 
+def _events_rollup_recent(sf_dir: str):
+    """Predicate pushdown at the read (prune-at-the-read rule): only events
+    from Jan 15 on leave storage — row-group pruning + row filtering in
+    the parquet scan — then the normal 1m rollup."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cutoff = _dt.datetime(2024, 1, 15)
+    corpus = events_corpus_dataset(
+        sf_dir, filter=pads.field("ts") >= cutoff
+    )
+    rollups = extract_and_rollup(corpus, tiers=("1m",))
+    return rollup_tier_for_compare(rollups, "1m")
+
+
 def _events_rollup_linear(sf_dir: str):
     """Linear-interpolated gap fill.  Rows-only driver check: interpolation
     mixes the two engines' unrounded window means, whose summation-order
@@ -184,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
         "events_rollup_1m_locf": _events_rollup_locf,
         "events_rollup_1m_linear": _events_rollup_linear,
+        "events_rollup_1m_recent": _events_rollup_recent,
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
@@ -205,6 +222,9 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1h": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1d": _rollup_tier_sql(_WINDOW_NS["1d"]),
         "events_rollup_1m_locf": _rollup_locf_sql(_WINDOW_NS["1m"]),
+        "events_rollup_1m_recent": _rollup_tier_sql(
+            _WINDOW_NS["1m"], where="ts >= TIMESTAMP '2024-01-15'"
+        ),
         # include /props/+ and /value, exclude /props/k -> only 'value' left
         "events_extract_filtered": """
             SELECT 'value' AS series_key, epoch_ns(ts) AS ts_ns,

@@ -13,25 +13,33 @@ the payload contract lives in exactly one place.
 
 from __future__ import annotations
 
-EVENTS_SAMPLES_SQL = """
+def events_samples_sql(where: str = "") -> str:
+    """The extracted-samples relation, optionally over a filtered events
+    table (``where`` is a SQL predicate, e.g. ``ts >= '2024-01-15'`` —
+    the oracle twin of predicate pushdown at the parquet read)."""
+    w = f"WHERE {where}" if where else ""
+    return f"""
     SELECT 'type' AS series_key, epoch_ns(ts) AS ts_ns,
            CAST(NULL AS DOUBLE) AS value_num, event_type AS value_str,
            printf('evt-%010d', event_id) AS doc_id, 0 AS ordinal
-    FROM events
+    FROM events {w}
     UNION ALL
     SELECT 'user', epoch_ns(ts), CAST(user_id AS DOUBLE), NULL,
            printf('evt-%010d', event_id), 1
-    FROM events
+    FROM events {w}
     UNION ALL
     SELECT 'value', epoch_ns(ts), value, NULL,
            printf('evt-%010d', event_id), 2
-    FROM events
+    FROM events {w}
     UNION ALL
     SELECT 'props/k', epoch_ns(ts),
            CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
            printf('evt-%010d', event_id), 3
-    FROM events
-"""
+    FROM events {w}
+    """
+
+
+EVENTS_SAMPLES_SQL = events_samples_sql()
 
 #: Numeric samples only (the rollup/downsample value domain).
 EVENTS_NUMERIC_SQL = f"""
@@ -40,12 +48,18 @@ EVENTS_NUMERIC_SQL = f"""
     WHERE value_num IS NOT NULL
 """
 
-ROLLUP_CTES = f"""
-    s AS ({EVENTS_SAMPLES_SQL}),
+def rollup_ctes(where: str = "") -> str:
+    return _ROLLUP_CTES_TEMPLATE.replace(
+        "__SAMPLES__", events_samples_sql(where)
+    )
+
+
+_ROLLUP_CTES_TEMPLATE = """
+    s AS (__SAMPLES__),
     num AS (SELECT * FROM s WHERE value_num IS NOT NULL),
     b AS (
         SELECT series_key, ts_ns, value_num AS v, doc_id, ordinal,
-               ts_ns - (ts_ns % {{window_ns}}) AS window_ns
+               ts_ns - (ts_ns % {window_ns}) AS window_ns
         FROM num
     ),
     rn_ AS (
@@ -68,8 +82,10 @@ ROLLUP_CTES = f"""
     )
 """
 
+ROLLUP_CTES = rollup_ctes()
 
-def rollup_tier_sql(window_ns: int) -> str:
+
+def rollup_tier_sql(window_ns: int, where: str = "") -> str:
     """Tumbling-window rollup over the numeric series of the events payloads.
 
     Mirrors stages/rollup.py: only numeric samples participate; ``last`` is
@@ -79,7 +95,7 @@ def rollup_tier_sql(window_ns: int) -> str:
     ROUNDED sum (exact decimal midpoints would otherwise flip on
     cross-engine summation ULP noise).
     """
-    ctes = ROLLUP_CTES.format(window_ns=window_ns)
+    ctes = rollup_ctes(where).format(window_ns=window_ns)
     return f"""
     WITH {ctes}
     SELECT series_key, window_ns, min, max,

@@ -33,11 +33,15 @@ from ..stages.rollup import TIER_ORDER, rollup_ladder
 EVENTS_OPTIONS = dict(recursive=True)
 
 
-def events_corpus_dataset(sf_dir: str, tokenizer: str = "utf8"):
-    """Driver ``events`` table -> mandated tokenized corpus Dataset."""
+def events_corpus_dataset(sf_dir: str, tokenizer: str = "utf8", *, filter=None):
+    """Driver ``events`` table -> mandated tokenized corpus Dataset.
+
+    ``filter`` is a pyarrow dataset expression pushed into the parquet
+    scan (row-group pruning + row filtering at the read — rows outside
+    the predicate never leave storage)."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", filter=filter)
     fn = functools.partial(events_to_corpus, tokenizer=tokenizer)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
