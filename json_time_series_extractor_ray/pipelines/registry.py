@@ -47,6 +47,7 @@ def _load_all() -> None:
         rangejoin,
         similarity,
         sketches,
+        split,
         textstats,
         windows,
     )
