@@ -122,8 +122,9 @@ def _hash_shingles(shingles) -> np.ndarray:
 class MinHashLshStage:
     """documents batches -> LSH band rows (band, band_key, doc_id, sig).
 
-    Coefficients are derived once per actor from a fixed seed; the per-doc
-    signature is one vectorized ``(a*x[:,None] + b) % p`` min-reduce.
+    Coefficients are derived once per actor from a fixed seed; signatures
+    for the WHOLE batch are computed in one vectorized pass (see
+    ``_batch_signatures``) — no per-document Python in the hot path.
     Emits ``LSH_BANDS`` rows per doc; each row's ``band_key`` is a stable
     hash of that band's signature slice, and carries the full signature so
     candidate verification after the groupby needs no second join.
@@ -143,14 +144,50 @@ class MinHashLshStage:
         x = (shingle_hashes % _P31)[:, None]  # (n_shingles, 1)
         return ((self.a[None, :] * x + self.b[None, :]) % _P31).min(axis=0)
 
+    def _batch_signatures(self, text_col) -> np.ndarray:
+        """All documents' signatures in one vectorized pass: one Arrow
+        split, numpy within-doc trigram construction, per-doc unique via
+        ``drop_duplicates``, one stable vectorized hash
+        (``pd.util.hash_array`` — fixed-key siphash, process-independent),
+        then per-permutation ``minimum.reduceat`` over doc segments."""
+        from .textstats import _words_and_offsets
+
+        flat_words, offsets, _ = _words_and_offsets(text_col)
+        n_docs = len(offsets) - 1
+        words = flat_words.to_numpy(zero_copy_only=False)
+        k = 3
+        sigs = np.full((n_docs, self.n_perm), _P31, dtype=np.uint64)
+        if len(words) < k:
+            return sigs
+        doc_per_word = np.repeat(np.arange(n_docs), np.diff(offsets))
+        pos = np.arange(len(words) - k + 1)
+        valid = doc_per_word[pos] == doc_per_word[pos + k - 1]
+        vpos = pos[valid]
+        if not len(vpos):
+            return sigs
+        grams = words[vpos].astype(object)
+        for i in range(1, k):
+            grams = grams + " "
+            grams = grams + words[vpos + i].astype(object)
+        dd = pd.DataFrame(
+            {"d": doc_per_word[vpos], "g": grams}
+        ).drop_duplicates()
+        d = dd["d"].to_numpy()  # non-decreasing (order preserved)
+        x = pd.util.hash_array(dd["g"].to_numpy()) % np.uint64(_P31)
+        present, seg_starts = np.unique(d, return_index=True)
+        p = np.uint64(_P31)
+        for j in range(self.n_perm):
+            vals = (self.a[j] * x + self.b[j]) % p
+            sigs[present, j] = np.minimum.reduceat(vals, seg_starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sets = shingle_sets(batch.column("text"))
+        sigs = self._batch_signatures(batch.column("text"))
         doc_ids = batch.column("doc_id").to_pylist()
         keys_col, ids_col, sigs_col = [], [], []
-        for doc_id, shingles in zip(doc_ids, sets):
-            sig = self.signature(_hash_shingles(shingles))
+        r = self.rows_per_band
+        for doc_id, sig in zip(doc_ids, sigs):
             sig_bytes = sig.tobytes()
-            r = self.rows_per_band
             for band in range(self.bands):
                 chunk = sig_bytes[band * r * 8 : (band + 1) * r * 8]
                 key = hashlib.blake2b(chunk, digest_size=8).hexdigest()
