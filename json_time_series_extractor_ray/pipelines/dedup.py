@@ -115,6 +115,43 @@ def _hash_shingles(shingles) -> np.ndarray:
     )
 
 
+def _batch_gram_hashes(text_col, k: int = 3):
+    """Per-document UNIQUE word k-gram hashes for a whole block, fully
+    vectorized: one Arrow whitespace split, numpy within-document gram
+    construction, ``drop_duplicates`` for per-doc sets, one stable
+    vectorized hash (``pd.util.hash_array`` — fixed-key siphash, never the
+    process-salted ``hash()``).
+
+    Returns ``(n_docs, present_docs, segment_starts, hashes)`` where
+    ``hashes`` is grouped by document in ``segment_starts`` segments
+    (``present_docs`` lists docs with at least one gram).
+    """
+    from .textstats import _words_and_offsets
+
+    flat_words, offsets, _ = _words_and_offsets(text_col)
+    n_docs = len(offsets) - 1
+    words = flat_words.to_numpy(zero_copy_only=False)
+    empty = (n_docs, np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64))
+    if len(words) < k:
+        return empty
+    doc_per_word = np.repeat(np.arange(n_docs), np.diff(offsets))
+    pos = np.arange(len(words) - k + 1)
+    valid = doc_per_word[pos] == doc_per_word[pos + k - 1]
+    vpos = pos[valid]
+    if not len(vpos):
+        return empty
+    grams = words[vpos].astype(object)
+    for i in range(1, k):
+        grams = grams + " "
+        grams = grams + words[vpos + i].astype(object)
+    dd = pd.DataFrame({"d": doc_per_word[vpos], "g": grams}).drop_duplicates()
+    d = dd["d"].to_numpy()  # non-decreasing (order preserved)
+    x = pd.util.hash_array(dd["g"].to_numpy())
+    present, seg_starts = np.unique(d, return_index=True)
+    return n_docs, present, seg_starts, x
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -145,36 +182,14 @@ class MinHashLshStage:
         return ((self.a[None, :] * x + self.b[None, :]) % _P31).min(axis=0)
 
     def _batch_signatures(self, text_col) -> np.ndarray:
-        """All documents' signatures in one vectorized pass: one Arrow
-        split, numpy within-doc trigram construction, per-doc unique via
-        ``drop_duplicates``, one stable vectorized hash
-        (``pd.util.hash_array`` — fixed-key siphash, process-independent),
-        then per-permutation ``minimum.reduceat`` over doc segments."""
-        from .textstats import _words_and_offsets
-
-        flat_words, offsets, _ = _words_and_offsets(text_col)
-        n_docs = len(offsets) - 1
-        words = flat_words.to_numpy(zero_copy_only=False)
-        k = 3
+        """All documents' signatures in one vectorized pass (shared gram
+        hashing in :func:`_batch_gram_hashes`), then per-permutation
+        ``minimum.reduceat`` over doc segments."""
+        n_docs, present, seg_starts, x = _batch_gram_hashes(text_col)
         sigs = np.full((n_docs, self.n_perm), _P31, dtype=np.uint64)
-        if len(words) < k:
+        if not len(x):
             return sigs
-        doc_per_word = np.repeat(np.arange(n_docs), np.diff(offsets))
-        pos = np.arange(len(words) - k + 1)
-        valid = doc_per_word[pos] == doc_per_word[pos + k - 1]
-        vpos = pos[valid]
-        if not len(vpos):
-            return sigs
-        grams = words[vpos].astype(object)
-        for i in range(1, k):
-            grams = grams + " "
-            grams = grams + words[vpos + i].astype(object)
-        dd = pd.DataFrame(
-            {"d": doc_per_word[vpos], "g": grams}
-        ).drop_duplicates()
-        d = dd["d"].to_numpy()  # non-decreasing (order preserved)
-        x = pd.util.hash_array(dd["g"].to_numpy()) % np.uint64(_P31)
-        present, seg_starts = np.unique(d, return_index=True)
+        x = x % np.uint64(_P31)
         p = np.uint64(_P31)
         for j in range(self.n_perm):
             vals = (self.a[j] * x + self.b[j]) % p
@@ -394,8 +409,20 @@ def simhash64(shingle_hashes: np.ndarray) -> int:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    sets = shingle_sets(batch.column("text"))
-    hashes = [simhash64(_hash_shingles(s)) for s in sets]
+    """Whole-block SimHash: shared vectorized gram hashing, then 64
+    per-bit vote sums via ``add.reduceat`` over doc segments."""
+    n_docs, present, seg_starts, x = _batch_gram_hashes(batch.column("text"))
+    hashes = np.zeros(n_docs, dtype=np.uint64)
+    if len(x):
+        seg_ends = np.r_[seg_starts[1:], len(x)]
+        n_grams = (seg_ends - seg_starts).astype(np.int64)
+        sim = np.zeros(len(present), dtype=np.uint64)
+        for j in range(64):
+            bit = ((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bit, seg_starts)
+            # sign of sum(2*bit - 1) > 0  <=>  ones*2 > n_grams
+            sim |= ((ones * 2 > n_grams).astype(np.uint64) << np.uint64(j))
+        hashes[present] = sim
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
