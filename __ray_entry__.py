@@ -43,6 +43,16 @@ def _events_samples(sf_dir: str):
     return samples_for_compare(samples, with_ordinal=True)
 
 
+def _events_samples_actors(sf_dir: str):
+    """Same extraction as events_extract_samples but through a stateful
+    ACTOR POOL (`map_batches(Cls, concurrency=(1, 2))` — compiled plan
+    built once per actor in __init__), pinned against the identical
+    oracle: the task-based and actor-based paths must agree exactly."""
+    corpus = events_corpus_dataset(sf_dir)
+    samples = extract_pipeline(corpus, concurrency=(1, 2))
+    return samples_for_compare(samples, with_ordinal=True)
+
+
 def _events_rollup(sf_dir: str, tier: str):
     corpus = events_corpus_dataset(sf_dir)
     rollups = extract_and_rollup(corpus, tiers=("1m", "1h", "1d"))
@@ -195,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # -- tokenized time-series pipeline (SURVEY.md §2.1-2.5, §2.6 ladder)
         "events_extract_samples": _events_samples,
+        "events_extract_samples_actors": _events_samples_actors,
         "events_rollup_1m": lambda sf: _events_rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: _events_rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
@@ -218,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     o = {
         "events_extract_samples": f"SELECT * FROM ({_EVENTS_SAMPLES_SQL})",
+        "events_extract_samples_actors":
+            f"SELECT * FROM ({_EVENTS_SAMPLES_SQL})",
         "events_rollup_1m": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1h": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1d": _rollup_tier_sql(_WINDOW_NS["1d"]),
