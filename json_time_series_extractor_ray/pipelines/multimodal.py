@@ -26,6 +26,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .registry import register
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),
@@ -187,6 +189,94 @@ class ResizeStage:
         return result.append_column(
             "height", pa.array([self.height] * batch.num_rows, pa.int32())
         )
+
+# ---------------------------------------------------------------------------
+# Driver-visible queries: media synthesized deterministically from the
+# ``documents`` table (payload length = n_chars), decoded / frame-sampled
+# through the real actor-pool stages.  The checksum + feature columns are
+# non-SQL (blake2b) and pinned by tests; the metadata the decode derives
+# (width/height = floor(sqrt(bytes)), frame byte counts) IS SQL-expressible,
+# so those queries get exact DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+_FRAMES, _EVERY_K = 8, 2
+
+
+def _media_dataset(sf_dir: str):
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_media_table(
+            batch.column("doc_id").to_pylist(),
+            batch.column("n_chars").to_pylist(),
+        )
+
+    return docs.map_batches(_synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_decode_meta(sf_dir: str):
+    decoded = decode_media_dataset(
+        _media_dataset(sf_dir), avg_payload_bytes=4096, concurrency=(1, 2)
+    )
+    return decoded.select_columns(["media_id", "kind", "width", "height", "n_bytes"])
+
+
+def _media_frame_sample(sf_dir: str):
+    import pyarrow.compute as pc
+
+    frames = _media_dataset(sf_dir).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(n_frames=_FRAMES, every_k=_EVERY_K, fake=True),
+        batch_size=media_batch_size(4096),
+        concurrency=(1, 2),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _lens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_index": batch.column("frame_index"),
+                "frame_bytes": pc.binary_length(batch.column("frame")),
+            }
+        )
+
+    return frames.map_batches(_lens, batch_format="pyarrow", zero_copy_batch=True)
+
+
+register(
+    "media_decode_meta",
+    _media_decode_meta,
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+           CAST(floor(sqrt(GREATEST(n_chars, 1))) AS INTEGER) AS width,
+           CAST(floor(sqrt(GREATEST(n_chars, 1))) AS INTEGER) AS height,
+           n_chars AS n_bytes
+    FROM documents
+    """,
+)
+
+register(
+    "media_frame_sample",
+    _media_frame_sample,
+    f"""
+    WITH f AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               GREATEST(1, n_chars // {_FRAMES}) AS fsize, n_chars,
+               unnest(generate_series(0, {_FRAMES - 1}, {_EVERY_K})) AS fi
+        FROM documents
+    )
+    SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+           CAST(GREATEST(0, LEAST(fsize, n_chars - fi * fsize)) AS BIGINT)
+               AS frame_bytes
+    FROM f
+    """,
+)
 
 
 class FrameSampleStage:

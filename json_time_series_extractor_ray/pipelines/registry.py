@@ -44,6 +44,7 @@ def _load_all() -> None:
         dedup,
         downsample,
         enrich,
+        multimodal,
         rangejoin,
         similarity,
         sketches,
