@@ -1,0 +1,72 @@
+"""Driver-gate parity inside the pytest contract.
+
+The driver compares every ``__ray_entry__.queries()`` entry against its
+``oracle_sql()`` twin (row count, column names, order-insensitive values)
+at sf0.01.  ``scripts/check_oracle.py`` is the full local stand-in; this
+test wires a REPRESENTATIVE subset — one query per operator family,
+including every family added late (multimodal, splits, downsampling) —
+into ``python -m pytest -x -q`` at sf0.001 so a broken oracle contract
+fails the test suite, not just the next driver round.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+# One per family: extraction, rollup ladder, gap-fill, native aggregates,
+# as-of join, sessionize, dedup, text stats, similarity, split, multimodal.
+SUBSET = [
+    "events_extract_samples",
+    "events_rollup_1h",
+    "events_rollup_1m_locf",
+    "events_type_stats",
+    "events_asof_orders",
+    "events_sessionize",
+    "exact_dedup",
+    "doc_token_stats",
+    "embedding_near_dups",
+    "doc_train_val_split",
+    "media_decode_meta",
+    "media_frame_sample",
+]
+
+
+def _load_checker():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(REPO, "scripts", "check_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def oracle_env(ray_session):
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entry
+
+    checker = _load_checker()
+    con = duckdb.connect()
+    for t in checker.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield entry, checker, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(oracle_env, name):
+    entry, checker, con = oracle_env
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    assert name in queries, f"{name} missing from queries()"
+    assert name in oracles, f"{name} missing from oracle_sql()"
+    ours = checker.to_pandas(queries[name](SF_DIR))
+    oracle = con.execute(oracles[name]).fetchdf()
+    assert checker.compare(name, ours, oracle), f"{name} diverged from oracle"
