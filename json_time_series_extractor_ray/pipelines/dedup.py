@@ -598,6 +598,89 @@ register(
     lambda sf: simhash_dups(_read(sf, "documents", ["doc_id", "text"])),
 )
 
+def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU):
+    """Connected components over the near-duplicate pair graph: every
+    vector gets ``cluster_id`` = min vec_id reachable through pairs with
+    cosine >= tau (singletons cluster with themselves).
+
+    Scale shape: the pair list is the SMALL side — the sparse output of
+    the blocked similarity join — so it is collected driver-side and
+    union-found there (edges ≪ rows even at 100 TB corpus scale, because
+    blocking/LSH bounds candidate pairs); the label map is then broadcast
+    ONCE via ``ray.put`` and the full embeddings table streams through a
+    ``map_batches`` assignment without ever materializing.
+    """
+    import ray
+
+    edges = embedding_near_dups(emb_ds, tau=tau).select_columns(
+        ["vec_a", "vec_b"]
+    ).take_all()
+
+    parent: dict = {}
+
+    def _find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edges:
+        ra, rb = _find(int(e["vec_a"])), _find(int(e["vec_b"]))
+        if ra != rb:
+            # min-root convention -> cluster_id is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = {x: _find(x) for x in list(parent)}
+    labels_ref = ray.put(labels)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(labels_ref)
+        ids = batch.column("vec_id").to_pandas()
+        cluster = ids.map(table).fillna(ids).astype("int64")
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster_id": pa.array(cluster, pa.int64()),
+            }
+        )
+
+    return emb_ds.select_columns(["vec_id"]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+register(
+    "near_dup_clusters",
+    lambda sf: near_dup_clusters(
+        _read(sf, "embeddings", ["vec_id", "embedding", "label"])
+    ),
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= {EMB_NEAR_DUP_TAU}
+    ),
+    edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    walk(u, l) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.u, w.l FROM walk w JOIN edges e ON e.v = w.u
+    )
+    SELECT u AS vec_id, min(l) AS cluster_id FROM walk GROUP BY u
+    """,
+)
+
+
 register(
     "embedding_near_dups",
     lambda sf: embedding_near_dups(

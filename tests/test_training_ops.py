@@ -11,6 +11,7 @@ from json_time_series_extractor_ray.pipelines.dedup import (
     exact_dedup,
     jaccard_block_pairs,
     minhash_lsh_dups,
+    near_dup_clusters,
     shingle_sets,
     simhash_dups,
     _hash_shingles,
@@ -123,6 +124,40 @@ def _emb_table(n=200, d=16, seed=9):
             "label": pa.array((np.arange(n) % 5).astype(np.int32)),
         }
     ), E
+
+
+class TestNearDupClusters:
+    def test_planted_components(self, ray_session):
+        """Two planted chains + noise: 0~1~2 (transitively via pairwise
+        near-identical vectors) and 10~11 cluster to their minima; every
+        other vector is its own singleton cluster."""
+        import ray
+
+        rng = np.random.default_rng(3)
+        E = rng.standard_normal((20, 8)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True) * 0.5  # keep norms sane
+        # chain A: 1 and 2 are tiny perturbations of 0 (all pairwise close)
+        E[1] = E[0] + 1e-4
+        E[2] = E[0] - 1e-4
+        # chain B
+        E[11] = E[10] + 1e-4
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in E],
+                                      pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(20, np.int32)),  # one block
+            }
+        )
+        out = near_dup_clusters(
+            ray.data.from_arrow(t), tau=0.999
+        ).to_pandas().sort_values("vec_id", ignore_index=True)
+        got = dict(zip(out["vec_id"], out["cluster_id"]))
+        assert got[0] == got[1] == got[2] == 0
+        assert got[10] == got[11] == 10
+        singles = [i for i in range(20) if i not in (0, 1, 2, 10, 11)]
+        for i in singles:
+            assert got[i] == i, f"vec {i} unexpectedly clustered to {got[i]}"
 
 
 class TestSimilarity:
