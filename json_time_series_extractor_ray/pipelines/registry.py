@@ -41,6 +41,7 @@ def _load_all() -> None:
     _LOADED = True
     from . import (  # noqa: F401
         asof,
+        curation,
         dedup,
         downsample,
         enrich,

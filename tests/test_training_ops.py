@@ -126,6 +126,43 @@ def _emb_table(n=200, d=16, seed=9):
     ), E
 
 
+class TestCorpusCuration:
+    def test_dedup_filter_split_composed(self, ray_session):
+        """Planted corpus: docs 0/3 share identical (normalized) text ->
+        only min id 0 survives; doc 4's two-word text scores below the
+        quality floor and is dropped; every survivor carries the md5
+        train/val tag."""
+        import hashlib
+
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.curation import (
+            curate_corpus,
+        )
+
+        rich = ("quick brown fox jumps over lazy dog near river bank "
+                "while birds sing merry tunes beyond green hills ") * 3
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [rich, rich + "extra words here", rich + "other tail",
+                     "  " + rich + " ",  # dup of 0 modulo whitespace
+                     "tiny doc"],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en"] * 5, pa.string()),
+            }
+        )
+        out = curate_corpus(ray.data.from_arrow(t)).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2]
+        for _, row in out.iterrows():
+            expect = ("val" if hashlib.md5(str(row["doc_id"]).encode())
+                      .hexdigest()[0] in ("0", "1") else "train")
+            assert row["split"] == expect
+        assert (out["quality"] >= 0.75).all()
+
+
 class TestNearDupClusters:
     def test_planted_components(self, ray_session):
         """Two planted chains + noise: 0~1~2 (transitively via pairwise
