@@ -168,6 +168,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dic
             ("minhash_lsh_dups", lambda: bench_query("minhash_lsh_dups", sf_dir)),
             ("ann_cosine_topk", lambda: bench_query("ann_cosine_topk", sf_dir)),
             ("doc_quality", lambda: bench_query("doc_quality", sf_dir)),
+            ("corpus_curation",
+             lambda: bench_query("corpus_curation", sf_dir)),
             ("events_hopping_5m_1m",
              lambda: bench_query("events_hopping_5m_1m", sf_dir)),
             ("events_retention_expire",
