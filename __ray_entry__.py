@@ -98,6 +98,27 @@ def _events_gorilla(sf_dir: str):
     return gorilla_roundtrip_stats(extract_pipeline(corpus))
 
 
+def _events_gorilla_readback(sf_dir: str):
+    """Full compressed-storage cycle, oracle-checked: extract -> Gorilla
+    chunk files on disk -> chunk SOURCE decodes them back to samples.  The
+    codec is bit-exact, so the read-back must hash-match the plain numeric
+    samples relation."""
+    import tempfile
+
+    from json_time_series_extractor_ray.sources.gorilla_chunks import (
+        read_gorilla_chunks,
+    )
+    from json_time_series_extractor_ray.state.gorilla import (
+        compress_series_dataset,
+    )
+
+    corpus = events_corpus_dataset(sf_dir)
+    chunks = compress_series_dataset(extract_pipeline(corpus))
+    out = tempfile.mkdtemp(prefix="jtse_gorilla_rb_")
+    chunks.write_parquet(out)
+    return read_gorilla_chunks(out)
+
+
 def _events_filtered(sf_dir: str):
     """Include/exclude pointer filters through the whole tokenized path:
     include MQTT-style ``/props/+`` and literal ``/value``, exclude
@@ -213,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m_linear": _events_rollup_linear,
         "events_rollup_1m_recent": _events_rollup_recent,
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
+        "events_gorilla_readback": _events_gorilla_readback,
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
         "events_extract_startat": _events_startat,
@@ -238,6 +260,13 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1m_recent": _rollup_tier_sql(
             _WINDOW_NS["1m"], where="ts >= TIMESTAMP '2024-01-15'"
         ),
+        # Gorilla codec is bit-exact: chunk files read back == the plain
+        # numeric-samples relation (series_key, ts_ns, value_num)
+        "events_gorilla_readback": f"""
+            SELECT series_key, ts_ns, value_num
+            FROM ({_EVENTS_SAMPLES_SQL})
+            WHERE value_num IS NOT NULL
+        """,
         # include /props/+ and /value, exclude /props/k -> only 'value' left
         "events_extract_filtered": """
             SELECT 'value' AS series_key, epoch_ns(ts) AS ts_ns,

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from json_time_series_extractor_ray.stages.gapfill import (
@@ -129,6 +130,51 @@ class TestGorilla:
         assert out["n_points"].iloc[0] == 4
         ts, vals = decompress_chunk(out["chunk"].iloc[0])
         assert list(vals) == [1.0, 2.0, 3.0, 4.0]  # sorted by ts before encode
+
+
+class TestGorillaChunkSource:
+    def test_readback_with_time_pruning(self, ray_session, tmp_path):
+        """Chunks written per series read back exactly; a min_ts_ns filter
+        prunes whole chunks via t_min/t_max before any decode."""
+        import ray
+
+        from json_time_series_extractor_ray.sources.gorilla_chunks import (
+            read_gorilla_chunks,
+        )
+        from json_time_series_extractor_ray.state.gorilla import (
+            compress_series_dataset,
+        )
+
+        sec = 10**9
+        rows = []
+        for s, t0 in (("early", 0), ("late", 10_000)):
+            for i in range(50):
+                rows.append((s, (t0 + i) * sec, float(i)))
+        t = pa.table(
+            {
+                "series_key": pa.array([r[0] for r in rows]),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("ns")
+                ),
+                "value_num": pa.array([r[2] for r in rows]),
+                "value_kind": pa.array([1] * len(rows), pa.int8()),
+                "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+                "sample_ordinal": pa.array([0] * len(rows), pa.int32()),
+            }
+        )
+        out = str(tmp_path / "chunks")
+        compress_series_dataset(ray.data.from_arrow(t)).write_parquet(out)
+
+        full = read_gorilla_chunks(out).to_pandas()
+        assert len(full) == 100
+        assert sorted(full["value_num"]) == sorted([r[2] for r in rows])
+
+        pruned = read_gorilla_chunks(out, min_ts_ns=5_000 * sec).to_pandas()
+        assert set(pruned["series_key"]) == {"late"}
+        assert len(pruned) == 50
+        assert list(np.sort(pruned["ts_ns"])) == [
+            (10_000 + i) * sec for i in range(50)
+        ]
 
 
 class TestSaltedRollup:
