@@ -59,6 +59,22 @@ def _events_rollup(sf_dir: str, tier: str):
     return rollup_tier_for_compare(rollups, tier)
 
 
+def _events_rollup_salted(sf_dir: str):
+    """Hot-key salting proof through the driver gate: the 1m rollup with
+    two-phase salted aggregation (salt_shards=8 splits each series across
+    8 partial reducers, then a final per-key merge) must hash-match the
+    SAME oracle as the unsalted path — salting changes the shuffle layout,
+    never the values."""
+    from json_time_series_extractor_ray.pipelines.timeseries import (
+        extract_pipeline as _ep,
+    )
+    from json_time_series_extractor_ray.stages.rollup import rollup_ladder
+
+    corpus = events_corpus_dataset(sf_dir)
+    rollups = rollup_ladder(_ep(corpus), tiers=("1m",), salt_shards=8)
+    return rollup_tier_for_compare(rollups, "1m")
+
+
 def _events_rollup_locf(sf_dir: str):
     corpus = events_corpus_dataset(sf_dir)
     rollups = extract_and_rollup(corpus, tiers=("1m",), gap_fill="locf")
@@ -230,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m": lambda sf: _events_rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: _events_rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
+        "events_rollup_1m_salted": _events_rollup_salted,
         "events_rollup_1m_locf": _events_rollup_locf,
         "events_rollup_1m_linear": _events_rollup_linear,
         "events_rollup_1m_recent": _events_rollup_recent,
@@ -256,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1m": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1h": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1d": _rollup_tier_sql(_WINDOW_NS["1d"]),
+        "events_rollup_1m_salted": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1m_locf": _rollup_locf_sql(_WINDOW_NS["1m"]),
         "events_rollup_1m_recent": _rollup_tier_sql(
             _WINDOW_NS["1m"], where="ts >= TIMESTAMP '2024-01-15'"
