@@ -36,6 +36,10 @@ SUBSET = [
     "doc_train_val_split",
     "media_decode_meta",
     "media_frame_sample",
+    "events_gorilla_readback",
+    "events_rollup_1m_salted",
+    "near_dup_clusters",
+    "corpus_curation",
 ]
 
 
