@@ -104,6 +104,106 @@ def hll_distinct(ds, *, column: str, p: int = HLL_P):
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items sketch)
+# ---------------------------------------------------------------------------
+
+MG_CAP = 65536
+
+
+def mg_summarize(counts: dict, m: int) -> tuple[dict, int]:
+    """Shrink a count map to at most ``m`` counters, Misra-Gries style:
+    subtract the (m+1)-th largest count from every counter and drop the
+    non-positive ones.  Returns ``(summary, error)`` — every surviving
+    counter undercounts its true frequency by at most ``error``
+    (mergeable-summaries result, Agarwal et al., PODS'12)."""
+    if len(counts) <= m:
+        return counts, 0
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    thresh = int(np.partition(vals, len(vals) - m - 1)[len(vals) - m - 1])
+    out = {k: c - thresh for k, c in counts.items() if c > thresh}
+    return out, thresh
+
+
+def mg_merge(a: dict, b: dict, m: int) -> tuple[dict, int]:
+    """Merge two summaries: add counters, then re-summarize to ``m``."""
+    merged = dict(a)
+    for k, c in b.items():
+        merged[k] = merged.get(k, 0) + c
+    return mg_summarize(merged, m)
+
+
+def heavy_hitters(ds, *, column: str, m: int = MG_CAP, top: int | None = None):
+    """Frequent items of ``column``: per-block exact counts collapse to a
+    Misra-Gries summary INSIDE ``map_batches`` (the combiner — at most
+    ``m`` rows leave each block regardless of block size), then a tiny
+    driver-side merge.  No shuffle at any point.
+
+    When ``m`` exceeds the distinct-key count the total error is 0 and
+    counts are exact (that configuration is what the driver oracle
+    checks); undersized ``m`` degrades gracefully to the classic
+    guarantee — every key with true frequency > N/(m+1) survives, each
+    count low by at most the accumulated error (returned separately by
+    ``heavy_hitters_with_error``).
+    """
+    table, _err = heavy_hitters_with_error(ds, column=column, m=m, top=top)
+    return table
+
+
+def heavy_hitters_with_error(ds, *, column: str, m: int = MG_CAP,
+                             top: int | None = None):
+    import functools
+
+    def _partial(batch: pa.Table, column: str, m: int) -> pa.Table:
+        vc = batch.column(column).value_counts()
+        counts = dict(
+            zip(
+                vc.field("values").to_pylist(),
+                (int(c) for c in vc.field("counts").to_pylist()),
+            )
+        )
+        summary, err = mg_summarize(counts, m)
+        keys = list(summary.keys())
+        cnts = list(summary.values())
+        if err:  # one sentinel row carries this block's summarization error
+            keys.append(None)
+            cnts.append(err)
+        key_type = batch.schema.field(column).type
+        return pa.table(
+            {
+                "key": pa.array(keys, key_type),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        functools.partial(_partial, column=column, m=m),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # <= m+1 rows per block — kilobytes at any corpus size
+
+    acc: dict = {}
+    total_err = 0
+    for row in parts:
+        if row["key"] is None:
+            total_err += row["cnt"]
+        else:
+            acc[row["key"]] = acc.get(row["key"], 0) + row["cnt"]
+    acc, merge_err = mg_summarize(acc, m)
+    total_err += merge_err
+
+    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    if top is not None:
+        items = items[:top]
+    table = pa.table(
+        {
+            column: pa.array([k for k, _ in items]),
+            "n": pa.array([c for _, c in items], pa.int64()),
+        }
+    )
+    return table, total_err
+
+
+# ---------------------------------------------------------------------------
 # Driver queries
 # ---------------------------------------------------------------------------
 
@@ -136,3 +236,28 @@ register(
 )
 
 register("events_hll_distinct_users", _q_hll_users)  # approximate -> rows-only
+
+
+def _q_heavy_users(sf_dir: str):
+    """Top-20 users by event count via the Misra-Gries combiner path.
+    Capacity (65536) exceeds the distinct-user count at every test SF, so
+    the sketch is provably exact here and gets a plain GROUP BY oracle;
+    the SAME code under-capacity degrades to the epsilon-guarantee pinned
+    in TestMisraGries."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ds, column="user_id", top=20)
+
+
+register(
+    "events_heavy_users",
+    _q_heavy_users,
+    """
+    SELECT user_id, count(*) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+)

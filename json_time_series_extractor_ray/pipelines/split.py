@@ -51,6 +51,49 @@ def shuffle_corpus(ds, *, seed: int = 42):
     return ds.random_shuffle(seed=seed)
 
 
+def sample_corpus(ds, *, k: int, id_column: str = "doc_id", salt: str = ""):
+    """Deterministic uniform k-sample: keep the k smallest md5 ranks.
+
+    Hash-rank sampling is the scale-safe sampling shape: the rank is a
+    pure per-row function (no coordination, no RNG state), every block
+    prunes itself to its local k candidates inside ``map_batches``, and
+    only ``n_blocks * k`` tiny rows reach the final global ``sort.limit``
+    — the full corpus is never shuffled or materialized.  Deterministic
+    (``salt`` selects a different sample), stable under resume/retry, and
+    exactly reproducible in SQL (``ORDER BY md5(id) LIMIT k``).
+    """
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        ranks = [
+            hashlib.md5((salt + str(i)).encode()).hexdigest()
+            for i in batch.column(id_column).to_pylist()
+        ]
+        t = pa.table(
+            {
+                id_column: batch.column(id_column),
+                "rank_key": pa.array(ranks, pa.string()),
+            }
+        )
+        # local prune: at most k candidates leave each block
+        idx = pa.compute.array_sort_indices(t.column("rank_key"))[:k]
+        return t.take(idx)
+
+    return (
+        ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("rank_key")
+        .limit(k)
+    )
+
+
+def _q_sample(sf_dir: str):
+    import ray
+
+    return sample_corpus(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        k=100,
+    )
+
+
 def _q_split(sf_dir: str):
     import ray
 
@@ -76,6 +119,17 @@ register(
                      IN ({', '.join(f"'{h}'" for h in VAL_HEX)})
                 THEN 'val' ELSE 'train' END AS split
     FROM documents
+    """,
+)
+
+register(
+    "doc_sample_k",
+    _q_sample,
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_key
+    FROM documents
+    ORDER BY rank_key
+    LIMIT 100
     """,
 )
 

@@ -126,6 +126,57 @@ def _emb_table(n=200, d=16, seed=9):
     ), E
 
 
+class TestMisraGries:
+    def test_undersized_capacity_guarantee(self, ray_session):
+        """Zipf-ish planted counts with m far below the distinct-key count:
+        every key with true frequency > N/(m+1) must survive, and every
+        reported count must lie in [true - err, true]."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            heavy_hitters_with_error,
+        )
+
+        rng = np.random.default_rng(5)
+        # 20 heavy keys (~300 each) + 2000 singletons-ish tail
+        vals = np.concatenate(
+            [np.repeat(np.arange(20), 300),
+             rng.integers(1000, 3000, size=4000)]
+        ).astype(np.int64)
+        rng.shuffle(vals)
+        t = pa.table({"k": pa.array(vals, pa.int64())})
+        m = 64
+        n = len(vals)
+        summary, err = heavy_hitters_with_error(
+            ray.data.from_arrow(t).repartition(4), column="k", m=m
+        )
+        got = dict(zip(summary["k"].to_pylist(), summary["n"].to_pylist()))
+        true = pd.Series(vals).value_counts()
+        threshold = n / (m + 1)
+        for key, freq in true.items():
+            if freq > threshold:
+                assert key in got, f"heavy key {key} (freq {freq}) missing"
+        for key, cnt in got.items():
+            assert cnt <= true[key], f"overcount for {key}"
+            assert cnt >= true[key] - err, f"undercount beyond bound for {key}"
+
+    def test_exact_when_capacity_sufficient(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            heavy_hitters_with_error,
+        )
+
+        vals = np.repeat(np.arange(50), np.arange(1, 51))
+        t = pa.table({"k": pa.array(vals, pa.int64())})
+        summary, err = heavy_hitters_with_error(
+            ray.data.from_arrow(t).repartition(3), column="k", m=1024
+        )
+        assert err == 0
+        got = dict(zip(summary["k"].to_pylist(), summary["n"].to_pylist()))
+        assert got == {int(k): int(k) + 1 for k in range(50)}
+
+
 class TestCorpusCuration:
     def test_dedup_filter_split_composed(self, ray_session):
         """Planted corpus: docs 0/3 share identical (normalized) text ->
