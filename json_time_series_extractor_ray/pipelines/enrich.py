@@ -112,6 +112,67 @@ register(
 )
 
 
+def broadcast_semi_join(big_ds, keys, *, key: str, anti: bool = False):
+    """Semi/anti-join against a broadcast key set: the set ships once via
+    ``ray.put``; each task filters its block with a vectorized ``is_in``.
+    The big side streams — membership joins never shuffle."""
+    import ray
+
+    keys_ref = ray.put(pa.array(sorted(keys)))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(keys_ref)
+        return batch.filter(pc.is_in(batch.column(key), value_set=value_set))
+
+    def _filter_anti(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(keys_ref)
+        mask = pc.is_in(batch.column(key), value_set=value_set)
+        return batch.filter(pc.invert(mask.fill_null(False)))
+
+    return big_ds.map_batches(
+        _filter_anti if anti else _filter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_heavy_user_events(sf_dir: str):
+    """Composition: Misra-Gries top-20 users (driver-side, exact at this
+    capacity) -> broadcast SEMI-join filters the event stream to those
+    users.  Two stages, zero shuffles."""
+    import ray
+
+    from .sketches import heavy_hitters
+
+    users_ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    top = heavy_hitters(users_ds, column="user_id", top=20)
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return broadcast_semi_join(
+        events, top.column("user_id").to_pylist(), key="user_id"
+    )
+
+
+register(
+    "events_heavy_user_events",
+    _q_heavy_user_events,
+    """
+    SELECT event_id, user_id
+    FROM events
+    WHERE user_id IN (
+        SELECT user_id FROM (
+            SELECT user_id, count(*) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 20
+        )
+    )
+    """,
+)
+
+
 def global_extremes(events_ds, *, n: int = 50):
     """Global top-n and bottom-n rows by ``(value, event_id)`` via Ray
     Data's distributed ``sort`` (range-partitioned sample sort — the one

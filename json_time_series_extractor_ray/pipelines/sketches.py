@@ -204,6 +204,77 @@ def heavy_hitters_with_error(ds, *, column: str, m: int = MG_CAP,
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # 128 KiB of bits
+BLOOM_K = 7
+
+
+def _bloom_positions(values: pd.Series, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per value via double hashing of two stable 64-bit
+    hashes (Kirsch-Mitzenmacher): g_i = h1 + i*h2 mod m."""
+    s = values.astype(str)
+    h1 = pd.util.hash_array(s.to_numpy(dtype=object), hash_key="0123456789123456")
+    h2 = pd.util.hash_array(s.to_numpy(dtype=object), hash_key="6543210987654321")
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_partial_batch(batch: pa.Table, column: str,
+                        m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> pa.Table:
+    """One block -> one bloom bitmap row (the combiner; OR-mergeable)."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    vals = batch.column(column).to_pandas()
+    if len(vals):
+        pos = _bloom_positions(vals, m_bits, k).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+
+def bloom_build(ds, *, column: str, m_bits: int = BLOOM_BITS,
+                k: int = BLOOM_K) -> bytes:
+    """Distributed build: per-block partial bitmaps, driver-side OR-merge
+    (each partial is m_bits/8 bytes regardless of block size)."""
+    import functools
+
+    partials = ds.map_batches(
+        functools.partial(bloom_partial_batch, column=column,
+                          m_bits=m_bits, k=k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in partials:
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_filter_out(big_ds, bloom_bits: bytes, *, column: str,
+                     m_bits: int = BLOOM_BITS, k: int = BLOOM_K):
+    """Keep rows whose ``column`` is NOT (probably) in the bloom — the
+    cross-run dedup shape: the previous run's fingerprints live in a
+    fixed-size bitmap broadcast once via ``ray.put``; no shuffle, no join.
+    False positives (rate ~(1-e^{-kn/m})^k) drop a few genuinely-new rows;
+    false negatives are impossible — nothing already seen gets through."""
+    import ray
+
+    bits_ref = ray.put(bloom_bits)
+
+    def _keep_new(batch: pa.Table) -> pa.Table:
+        bits = np.frombuffer(ray.get(bits_ref), dtype=np.uint8)
+        vals = batch.column(column).to_pandas()
+        if not len(vals):
+            return batch
+        pos = _bloom_positions(vals, m_bits, k)
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        member = hit.all(axis=0)  # all k bits set -> probably seen
+        return batch.filter(pa.array(~member))
+
+    return big_ds.map_batches(_keep_new, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # Driver queries
 # ---------------------------------------------------------------------------
 
@@ -248,6 +319,40 @@ def _q_heavy_users(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return heavy_hitters(ds, column="user_id", top=20)
+
+
+def _q_bloom_new_docs(sf_dir: str):
+    """Cross-run dedup: a bloom of the even-doc_id fingerprints (the
+    "previous run") filters the odd-doc_id stream down to genuinely-new
+    content.  Deterministic but not SQL-expressible (siphash + bitmap) ->
+    rows-only driver check; no-false-negative + FP-bound behaviour is
+    pinned in TestBloom."""
+    import ray
+
+    from .textstats import fingerprint_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    fps = docs.map_batches(fingerprint_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _half(parity):
+        def _fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return _fn
+
+    seen = fps.map_batches(_half(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    candidates = fps.map_batches(_half(1), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    bloom = bloom_build(seen, column="fingerprint")
+    return bloom_filter_out(candidates, bloom, column="fingerprint")
+
+
+register("doc_bloom_new_docs", _q_bloom_new_docs)  # rows-only (hash bitmap)
 
 
 register(

@@ -126,6 +126,37 @@ def _emb_table(n=200, d=16, seed=9):
     ), E
 
 
+class TestBloom:
+    def test_no_false_negatives_and_fp_bound(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            bloom_build,
+            bloom_filter_out,
+        )
+
+        members = [f"seen-{i}" for i in range(2000)]
+        fresh = [f"new-{i}" for i in range(2000)]
+        seen_t = pa.table({"fp": pa.array(members)})
+        mixed_t = pa.table({"fp": pa.array(members + fresh)})
+        m_bits = 1 << 14  # deliberately tight so FPs are measurable
+        bloom = bloom_build(
+            ray.data.from_arrow(seen_t).repartition(4), column="fp",
+            m_bits=m_bits,
+        )
+        out = bloom_filter_out(
+            ray.data.from_arrow(mixed_t), bloom, column="fp", m_bits=m_bits
+        ).to_pandas()
+        survivors = set(out["fp"])
+        # no false negatives: every member was filtered out
+        assert not survivors.intersection(members)
+        # false-positive rate within a loose multiple of the analytic bound
+        fp_rate = 1 - len(survivors) / len(fresh)
+        k, n = 7, len(members)
+        analytic = (1 - np.exp(-k * n / m_bits)) ** k
+        assert fp_rate < 4 * analytic + 0.01, (fp_rate, analytic)
+
+
 class TestMisraGries:
     def test_undersized_capacity_guarantee(self, ray_session):
         """Zipf-ish planted counts with m far below the distinct-key count:
