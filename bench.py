@@ -177,6 +177,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dic
             ("events_value_extremes",
              lambda: bench_query("events_value_extremes", sf_dir)),
             ("doc_lang_id", lambda: bench_query("doc_lang_id", sf_dir)),
+            ("events_heavy_users",
+             lambda: bench_query("events_heavy_users", sf_dir)),
             ("events_asof_orders",
              lambda: bench_query("events_asof_orders", sf_dir)),
             ("events_session_assign",

@@ -38,6 +38,7 @@ SUBSET = [
     "media_frame_sample",
     "events_gorilla_readback",
     "events_rollup_1m_salted",
+    "events_heavy_users",
     "near_dup_clusters",
     "corpus_curation",
 ]
