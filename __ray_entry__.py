@@ -75,6 +75,38 @@ def _events_rollup_salted(sf_dir: str):
     return rollup_tier_for_compare(rollups, "1m")
 
 
+def _events_rollup_incremental(sf_dir: str, tier: str):
+    """Incremental continuous-aggregate maintenance through the driver
+    gate: the corpus is split by doc parity, each half rolled up
+    independently, and the two ladders merged with ``merge_tier_rollups``
+    (union of 1m partial-shaped rows -> per-series re-cascade).  The
+    result must hash-match the SAME oracle as the one-shot batch rollup —
+    merging yesterday's tiers with today's increment is exact."""
+    import pyarrow as pa
+
+    from json_time_series_extractor_ray.stages.rollup import (
+        merge_tier_rollups,
+    )
+
+    def _half(parity: int):
+        corpus = events_corpus_dataset(sf_dir)
+
+        def _f(batch: pa.Table) -> pa.Table:
+            last_digit = batch.column("doc_id").to_pandas().str[-1].astype(int)
+            return batch.filter(
+                pa.array((last_digit % 2 == parity).to_numpy())
+            )
+
+        return corpus.map_batches(_f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    ladders = [
+        extract_and_rollup(_half(p), tiers=("1m", "1h", "1d"))
+        for p in (0, 1)
+    ]
+    return rollup_tier_for_compare(merge_tier_rollups(ladders), tier)
+
+
 def _events_rollup_locf(sf_dir: str):
     corpus = events_corpus_dataset(sf_dir)
     rollups = extract_and_rollup(corpus, tiers=("1m",), gap_fill="locf")
@@ -247,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h": lambda sf: _events_rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
         "events_rollup_1m_salted": _events_rollup_salted,
+        "events_rollup_1m_incremental":
+            lambda sf: _events_rollup_incremental(sf, "1m"),
+        "events_rollup_1h_incremental":
+            lambda sf: _events_rollup_incremental(sf, "1h"),
         "events_rollup_1m_locf": _events_rollup_locf,
         "events_rollup_1m_linear": _events_rollup_linear,
         "events_rollup_1m_recent": _events_rollup_recent,
@@ -274,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1h": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1d": _rollup_tier_sql(_WINDOW_NS["1d"]),
         "events_rollup_1m_salted": _rollup_tier_sql(_WINDOW_NS["1m"]),
+        "events_rollup_1m_incremental": _rollup_tier_sql(_WINDOW_NS["1m"]),
+        "events_rollup_1h_incremental": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1m_locf": _rollup_locf_sql(_WINDOW_NS["1m"]),
         "events_rollup_1m_recent": _rollup_tier_sql(
             _WINDOW_NS["1m"], where="ts >= TIMESTAMP '2024-01-15'"

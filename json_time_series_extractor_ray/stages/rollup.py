@@ -160,9 +160,12 @@ def cascade_series_group(df: pd.DataFrame, tiers=TIER_ORDER) -> pd.DataFrame:
         frames.append(out)
     result = pd.concat(frames, ignore_index=True)
     result["mean"] = result["sum"] / result["count"]
+    # last_doc/last_ord ride along so tier outputs stay MERGEABLE: an
+    # incremental update (merge_tier_rollups) needs the full 'last'
+    # tie-break triple to pick the same winner a batch recompute would.
     result = result[
         ["tier", "series_key", "window_start", "min", "max", "mean", "sum",
-         "count", "last", "last_ts"]
+         "count", "last", "last_ts", "last_doc", "last_ord"]
     ].copy()
     result["window_start"] = result["window_start"].astype("datetime64[ns]")
     result["last_ts"] = result["last_ts"].astype("datetime64[ns]")
@@ -245,6 +248,57 @@ def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
 
     return partials.groupby("series_key").map_groups(
         _group_fn, batch_format="pandas"
+    )
+
+
+def merge_tier_rollups(rollup_dss, tiers=TIER_ORDER):
+    """Incremental continuous-aggregate maintenance: merge ladder outputs
+    computed over DISJOINT sample sets into the ladder of their union,
+    without touching any sample.  Exact on every order-independent
+    aggregate (count/min/max/last via the carried tie-break triple);
+    sum/mean differ from a batch recompute only by float reassociation
+    (different partial grouping) — identical after the 6-decimal rounding
+    every consumer applies.
+
+    Only the finest ('1m') tier rows of each input are consumed; they are
+    partial-shaped (sum+count carried, full ``(last_ts, last_doc,
+    last_ord)`` tie-break triple), so re-running the per-series cascade
+    over their union reproduces what a batch recompute over all samples
+    would emit.  This is the nightly-append shape at 100 TB: yesterday's
+    tiers merge with today's increment in one ``groupby(series_key)``
+    over tiny rollup rows — the historical corpus is never re-read.
+    """
+    import pyarrow.compute as pc
+
+    def _to_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), "1m"))
+        return pa.table(
+            {
+                "series_key": t.column("series_key"),
+                "window_start": t.column("window_start").cast(pa.int64()),
+                "sum": t.column("sum"),
+                "count": t.column("count"),
+                "min": t.column("min"),
+                "max": t.column("max"),
+                "last": t.column("last"),
+                "last_ts": t.column("last_ts").cast(pa.int64()),
+                "last_doc": t.column("last_doc"),
+                "last_ord": t.column("last_ord"),
+            }
+        )
+
+    parts = [
+        ds.map_batches(_to_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        for ds in rollup_dss
+    ]
+    unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def _recascade(df: pd.DataFrame) -> pd.DataFrame:
+        return cascade_series_group(df[PARTIAL_COLUMNS].copy(), tiers)
+
+    return unioned.groupby("series_key").map_groups(
+        _recascade, batch_format="pandas"
     )
 
 

@@ -253,3 +253,46 @@ def test_bpe_corpus_end_to_end(ray_session):
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     assert len(out) == 5
     assert np.allclose(out["value_num"], [19.3 + i for i in range(5)])
+
+
+def test_incremental_merge_equals_batch(ray_session):
+    """merge_tier_rollups over a 3-way split of the corpus reproduces the
+    one-shot ladder: bit-for-bit on every order-independent column
+    (count/min/max/last/last_ts + the last_doc/last_ord tie-break), and
+    within float-reassociation ULP noise on sum/mean (different partial
+    groupings sum in a different order; identical after the 6-decimal
+    rounding every consumer applies — pinned by the driver oracle)."""
+    import ray
+
+    from json_time_series_extractor_ray.corpus import iot_corpus_table
+    from json_time_series_extractor_ray.stages.extract import extract_dataset
+    from json_time_series_extractor_ray.stages.rollup import (
+        merge_tier_rollups,
+        rollup_ladder,
+    )
+
+    corpus = iot_corpus_table(3000)
+    key_cols = ["tier", "series_key", "window_start"]
+
+    def _ladder(table):
+        samples = extract_dataset(
+            ray.data.from_arrow(table), IOT_OPTIONS,
+            fallback_now_ns=BASE_TS_NS,
+        )
+        return rollup_ladder(samples)
+
+    batch = _ladder(corpus).to_pandas().sort_values(key_cols, ignore_index=True)
+    thirds = [
+        corpus.slice(0, 1000), corpus.slice(1000, 1000), corpus.slice(2000),
+    ]
+    merged = (
+        merge_tier_rollups([_ladder(t) for t in thirds])
+        .to_pandas()
+        .sort_values(key_cols, ignore_index=True)
+    )
+    float_cols = ["sum", "mean"]
+    exact = [c for c in batch.columns if c not in float_cols]
+    pd.testing.assert_frame_equal(batch[exact], merged[exact],
+                                  check_exact=True)
+    for c in float_cols:
+        np.testing.assert_allclose(batch[c], merged[c], rtol=1e-12)
