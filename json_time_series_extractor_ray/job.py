@@ -20,6 +20,10 @@ Config schema (all paths may be any fsspec-able URI Ray Data can read)::
       "num_shards": 64,                    # checkpoint/partition granularity
       "fallback_now_ns": 0,                # deterministic fallback timestamp
       "gorilla_chunks": true,              # also write per-series chunk files
+      "update_input": "/data/new/",        # incremental mode: roll up ONLY
+                                           # these fragments and merge into
+                                           # the stored tiers (nightly
+                                           # append; writes rollups_updated)
       "retention": {"1m": ..., "1h": ...}, # per-tier TTL ns (true = defaults);
                                            # writes <out>/rollups_current with
                                            # expired windows dropped, watermark
@@ -49,6 +53,39 @@ def run_job(config: dict) -> dict:
     from .pipelines.timeseries import extract_pipeline
     from .state.checkpoint import run_sharded_rollup
 
+    out_dir = config["output_dir"].rstrip("/")
+    tiers = tuple(config.get("tiers", ("1m", "1h", "1d")))
+
+    update_input = config.get("update_input")
+    if update_input:
+        # Incremental update (nightly-append shape): roll up ONLY the new
+        # corpus fragments and merge them into the stored tiers with
+        # merge_tier_rollups — the historical corpus is never re-read.
+        # Stored tiers must come from this engine (they carry the
+        # last_doc/last_ord tie-break triple that makes the merge exact).
+        # Output goes to <out>/rollups_updated; promoting it over
+        # rollups/ is the operator's explicit (atomic rename) action.
+        from .stages.rollup import merge_tier_rollups, rollup_ladder
+
+        stored = ray.data.read_parquet(f"{out_dir}/rollups")
+        inc_samples = extract_pipeline(
+            ray.data.read_parquet(update_input),
+            config.get("options") or {"recursive": True},
+            tokenizer=config.get("tokenizer", "utf8"),
+            concurrency=config.get("extract_concurrency"),
+            batch_size=config.get("batch_size"),
+            fallback_now_ns=config.get("fallback_now_ns", 0),
+        )
+        increment = rollup_ladder(inc_samples, tiers=tiers)
+        merged = merge_tier_rollups([stored, increment], tiers=tiers)
+        merged = merged.materialize()  # small rollup rows; consumed twice
+        merged.write_parquet(f"{out_dir}/rollups_updated")
+        return {
+            "updated_rows": merged.count(),
+            "update_input": update_input,
+            "output": f"{out_dir}/rollups_updated",
+        }
+
     corpus = ray.data.read_parquet(config["input"])
     samples = extract_pipeline(
         corpus,
@@ -59,12 +96,11 @@ def run_job(config: dict) -> dict:
         fallback_now_ns=config.get("fallback_now_ns", 0),
     )
 
-    out_dir = config["output_dir"].rstrip("/")
     manifest, shards_run, shards_skipped = run_sharded_rollup(
         samples,
         f"{out_dir}/rollups",
         config.get("num_shards", 64),
-        tiers=tuple(config.get("tiers", ("1m", "1h", "1d"))),
+        tiers=tiers,
         gap_fill=config.get("gap_fill"),
     )
 

@@ -113,3 +113,55 @@ def test_job_retention_pass(ray_session, corpus_dir, tmp_path):
     expect_1m = full[full["tier"] == "1m"]["window_start"].astype("int64")
     assert len(kept_1m) == (expect_1m >= wm - five_min).sum()
     assert len(kept_1m) < len(expect_1m)  # something actually expired
+
+
+def test_job_incremental_update(ray_session, tmp_path):
+    """Nightly-append shape: job on the first half of the corpus, then an
+    update_input run merging the second half — rollups_updated must match
+    a one-shot job over the full corpus (exact on order-independent
+    columns; sum/mean within float-reassociation tolerance)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    full = iot_corpus_table(2000, seed=9)
+    d_full = tmp_path / "full"; d_full.mkdir()
+    d_a = tmp_path / "a"; d_a.mkdir()
+    d_b = tmp_path / "b"; d_b.mkdir()
+    pq.write_table(full, str(d_full / "part-0.parquet"))
+    pq.write_table(full.slice(0, 1000), str(d_a / "part-0.parquet"))
+    pq.write_table(full.slice(1000), str(d_b / "part-0.parquet"))
+
+    def cfg(inp, out):
+        return {
+            "input": inp, "output_dir": out,
+            "options": {"recursive": True, "allow_nested_timestamps": True},
+            "tiers": ["1m", "1h"], "num_shards": 4, "gorilla_chunks": False,
+        }
+
+    out_half = str(tmp_path / "out_half")
+    run_job(cfg(str(d_a), out_half))
+    upd = run_job({**cfg(str(d_a), out_half), "update_input": str(d_b)})
+    assert upd["updated_rows"] > 0
+
+    out_full = str(tmp_path / "out_full")
+    run_job(cfg(str(d_full), out_full))
+
+    key = ["tier", "series_key", "window_start"]
+    got = (
+        pads.dataset(f"{out_half}/rollups_updated").to_table().to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    want = (
+        pads.dataset(f"{out_full}/rollups").to_table().to_pandas()
+        .drop(columns=["shard"], errors="ignore")
+        .sort_values(key, ignore_index=True)
+    )
+    assert len(got) == len(want)
+    exact = [c for c in want.columns if c not in ("sum", "mean")]
+    pd.testing.assert_frame_equal(
+        got[exact].reset_index(drop=True), want[exact].reset_index(drop=True),
+        check_exact=True, check_dtype=False, check_categorical=False,
+    )
+    for c in ("sum", "mean"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12)
