@@ -157,3 +157,94 @@ register(
     ) <= 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (reshape): tier rollups -> one wide row per window
+# ---------------------------------------------------------------------------
+
+PIVOT_SERIES = ("value", "user", "props/k")
+
+
+def pivot_tier_means(rollup_ds, *, tier: str = "1m",
+                     series=PIVOT_SERIES, shards: int = 256):
+    """Wide reshape of one rollup tier: one row per window, one
+    ``<series>_mean`` column per series (the dashboard/export shape).
+
+    Means are the oracle-comparable rounded means (round(round(sum,6)/
+    count,6) — see rollup_tier_for_compare).  The pivot itself never
+    groups on the raw window key (hundreds of thousands of near-singleton
+    Ray groups are pathologically slow): a ``window % shards`` column
+    co-locates ~n/shards windows per group and pandas pivots each shard
+    vectorized.
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        window = t.column("window_start").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sum_r = round_half_away(
+            t.column("sum").to_numpy(zero_copy_only=False), 6
+        )
+        count = t.column("count").to_numpy(zero_copy_only=False)
+        mean = round_half_away(sum_r / count, 6)
+        return pa.table(
+            {
+                "window_ns": pa.array(window, pa.int64()),
+                "series_key": t.column("series_key"),
+                "mean": pa.array(mean, pa.float64()),
+                "shard": pa.array((window // 60_000_000_000) % shards,
+                                  pa.int32()),
+            }
+        )
+
+    col_names = {s: f"{s.replace('/', '_')}_mean" for s in series}
+
+    def _pivot(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index="window_ns", columns="series_key",
+                              values="mean", aggfunc="first")
+        out = pd.DataFrame({"window_ns": wide.index.to_numpy()})
+        for s in series:
+            out[col_names[s]] = (
+                wide[s].to_numpy() if s in wide.columns else np.nan
+            )
+        return out
+
+    partial = rollup_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return partial.groupby("shard").map_groups(_pivot, batch_format="pandas")
+
+
+def _q_pivot(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    rollups = extract_and_rollup(corpus, tiers=("1m",))
+    return pivot_tier_means(rollups, tier="1m")
+
+
+def _pivot_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    cases = ",\n           ".join(
+        f"max(CASE WHEN series_key = '{s}' THEN mean END)"
+        f" AS {s.replace('/', '_')}_mean"
+        for s in PIVOT_SERIES
+    )
+    return f"""
+    WITH {ctes},
+    r AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS mean
+        FROM rollup_
+    )
+    SELECT window_ns,
+           {cases}
+    FROM r GROUP BY window_ns
+    """
+
+
+register("events_pivot_1m_means", _q_pivot, _pivot_sql())
