@@ -179,6 +179,10 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dic
             ("doc_lang_id", lambda: bench_query("doc_lang_id", sf_dir)),
             ("events_heavy_users",
              lambda: bench_query("events_heavy_users", sf_dir)),
+            ("events_pivot_1m_means",
+             lambda: bench_query("events_pivot_1m_means", sf_dir)),
+            ("events_rollup_1m_incremental",
+             lambda: bench_query("events_rollup_1m_incremental", sf_dir)),
             ("events_asof_orders",
              lambda: bench_query("events_asof_orders", sf_dir)),
             ("events_session_assign",

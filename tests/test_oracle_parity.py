@@ -39,6 +39,8 @@ SUBSET = [
     "events_gorilla_readback",
     "events_rollup_1m_salted",
     "events_heavy_users",
+    "events_rollup_1h_incremental",
+    "events_pivot_1m_means",
     "near_dup_clusters",
     "corpus_curation",
 ]
