@@ -248,3 +248,54 @@ def _pivot_sql() -> str:
 
 
 register("events_pivot_1m_means", _q_pivot, _pivot_sql())
+
+
+def unpivot_means(wide_ds, *, series=PIVOT_SERIES):
+    """Inverse reshape (melt): wide per-window rows back to long
+    ``(window_ns, series_key, mean)`` rows.  Stateless ``map_batches`` —
+    each block melts independently, no shuffle; NULL cells (window had no
+    value for that series) produce no row, mirroring SQL UNPIVOT."""
+
+    col_names = {s: f"{s.replace('/', '_')}_mean" for s in series}
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        windows, keys, means = [], [], []
+        w = batch.column("window_ns").to_numpy(zero_copy_only=False)
+        for s in series:
+            col = batch.column(col_names[s]).to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(col)
+            windows.append(w[ok])
+            keys.extend([s] * int(ok.sum()))
+            means.append(col[ok])
+        return pa.table(
+            {
+                "window_ns": pa.array(np.concatenate(windows), pa.int64()),
+                "series_key": pa.array(keys, pa.string()),
+                "mean": pa.array(np.concatenate(means), pa.float64()),
+            }
+        )
+
+    return wide_ds.map_batches(_melt, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _q_unpivot(sf_dir: str):
+    """Pivot then melt: the round trip must reproduce the long rollup-mean
+    relation exactly."""
+    return unpivot_means(_q_pivot(sf_dir))
+
+
+def _unpivot_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    return f"""
+    WITH {ctes}
+    SELECT window_ns, series_key,
+           round(round(sum, 6) / count, 6) AS mean
+    FROM rollup_
+    WHERE series_key IN ({', '.join(f"'{s}'" for s in PIVOT_SERIES)})
+    """
+
+
+register("events_unpivot_roundtrip", _q_unpivot, _unpivot_sql())
