@@ -299,3 +299,80 @@ def _unpivot_sql() -> str:
 
 
 register("events_unpivot_roundtrip", _q_unpivot, _unpivot_sql())
+
+
+def cumulative_tier(rollup_ds, *, tier: str = "1m"):
+    """Running aggregates per series over one tier's windows: cumulative
+    event count and cumulative (rounded) sum in window order — the
+    monitoring-counter shape.  Same wide-op budget as the ladder: tier
+    rows co-locate per series in ONE groupby, the cumsum is a local
+    vectorized pass.
+
+    Rounding: the cumsum runs over per-window sums already rounded to 6
+    decimals, and both engines add the same rounded doubles in the same
+    window order, so the comparison is stable (sums of exact 1e-6
+    multiples never land on a rounding midpoint)."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        return pa.table(
+            {
+                "series_key": t.column("series_key"),
+                "window_ns": t.column("window_start").cast(pa.int64()),
+                "count": t.column("count"),
+                "sum_r": pa.array(
+                    round_half_away(
+                        t.column("sum").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def _cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        return pd.DataFrame(
+            {
+                "series_key": df["series_key"],
+                "window_ns": df["window_ns"],
+                "cum_count": df["count"].cumsum().astype(np.int64),
+                "cum_sum": round_half_away(
+                    df["sum_r"].to_numpy().cumsum(), 6
+                ),
+            }
+        )
+
+    partial = rollup_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return partial.groupby("series_key").map_groups(_cum,
+                                                    batch_format="pandas")
+
+
+def _q_cumsum(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return cumulative_tier(extract_and_rollup(corpus, tiers=("1m",)))
+
+
+def _cumsum_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    return f"""
+    WITH {ctes},
+    r AS (
+        SELECT series_key, window_ns, count, round(sum, 6) AS sum_r
+        FROM rollup_
+    )
+    SELECT series_key, window_ns,
+           sum(count) OVER w AS cum_count,
+           round(sum(sum_r) OVER w, 6) AS cum_sum
+    FROM r
+    WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+register("events_cumsum_1m", _q_cumsum, _cumsum_sql())
