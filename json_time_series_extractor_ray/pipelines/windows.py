@@ -376,3 +376,82 @@ def _cumsum_sql() -> str:
 
 
 register("events_cumsum_1m", _q_cumsum, _cumsum_sql())
+
+
+def moving_average_tier(rollup_ds, *, tier: str = "1m", width: int = 5):
+    """Row-based moving average per series: over the last ``width``
+    OBSERVED windows (ROWS semantics — gaps don't widen the frame; pair
+    with gap-fill first for time-based frames).  Sample-weighted: the
+    frame's summed (rounded) sums divided by its summed counts, mirroring
+    the ladder's exact-mean rule."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        return pa.table(
+            {
+                "series_key": t.column("series_key"),
+                "window_ns": t.column("window_start").cast(pa.int64()),
+                "count": t.column("count"),
+                "sum_r": pa.array(
+                    round_half_away(
+                        t.column("sum").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def _mavg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        mov_sum = round_half_away(
+            df["sum_r"].rolling(width, min_periods=1).sum().to_numpy(), 6
+        )
+        mov_count = (
+            df["count"].rolling(width, min_periods=1).sum().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "series_key": df["series_key"],
+                "window_ns": df["window_ns"],
+                "mov_count": mov_count,
+                "mov_avg": round_half_away(
+                    mov_sum / mov_count.to_numpy(), 6
+                ),
+            }
+        )
+
+    partial = rollup_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return partial.groupby("series_key").map_groups(_mavg,
+                                                    batch_format="pandas")
+
+
+def _q_mavg(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return moving_average_tier(extract_and_rollup(corpus, tiers=("1m",)))
+
+
+def _mavg_sql(width: int = 5) -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    return f"""
+    WITH {ctes},
+    r AS (
+        SELECT series_key, window_ns, count, round(sum, 6) AS sum_r
+        FROM rollup_
+    )
+    SELECT series_key, window_ns,
+           sum(count) OVER w AS mov_count,
+           round(round(sum(sum_r) OVER w, 6) / sum(count) OVER w, 6)
+               AS mov_avg
+    FROM r
+    WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                 ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)
+    """
+
+
+register("events_moving_avg_1m", _q_mavg, _mavg_sql())
