@@ -98,7 +98,9 @@ def pointer_to_string(ptr: Pointer) -> str:
 
 def _array_index(segment: str):
     """RFC 6901 array index: digits only, no leading zeros (except '0')."""
-    if not segment or not segment.isdigit():
+    if not segment or not (segment.isascii() and segment.isdigit()):
+        # isascii guard: str.isdigit alone accepts non-ASCII digits that
+        # int() rejects (would raise instead of "not an index").
         return None
     if len(segment) > 1 and segment[0] == "0":
         return None

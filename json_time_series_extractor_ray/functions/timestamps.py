@@ -63,6 +63,13 @@ _DATE_CACHE: dict = {}
 _MINUTE_CACHE: dict = {}
 
 
+def _ascii_digits(s: str) -> bool:
+    """ASCII-only digit check: ``str.isdigit`` alone accepts non-ASCII
+    digits (e.g. superscripts) that ``int()`` rejects, which would raise
+    instead of returning None from the fast path."""
+    return s.isascii() and s.isdigit()
+
+
 def parse_iso_timestamp_ns(text: str):
     """Parse an ISO 8601 string to int nanoseconds since epoch (UTC).
 
@@ -89,14 +96,15 @@ def parse_iso_timestamp_ns(text: str):
         minute_seconds = _MINUTE_CACHE.get(text[:16])
         if minute_seconds is not None:
             ss, frac = text[17:19], text[20:26]
-            if ss.isdigit() and frac.isdigit():
+            if _ascii_digits(ss) and _ascii_digits(frac):
                 s = int(ss)
                 if s > 59:
                     return None
                 return (minute_seconds + s) * NS_PER_SEC + int(frac) * 1000
             return None
         hh, mi, ss, frac = text[11:13], text[14:16], text[17:19], text[20:26]
-        if hh.isdigit() and mi.isdigit() and ss.isdigit() and frac.isdigit():
+        if (_ascii_digits(hh) and _ascii_digits(mi)
+                and _ascii_digits(ss) and _ascii_digits(frac)):
             date_key = text[:10]
             day_seconds = _DATE_CACHE.get(date_key)
             if day_seconds is None:

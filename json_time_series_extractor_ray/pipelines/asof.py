@@ -33,8 +33,17 @@ def _project_side(ds, side: str, by: str, ts: str, cols, all_cols):
     def _fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ts_col = batch.column(ts)
-        if pa.types.is_timestamp(ts_col.type):
+        if pa.types.is_date(ts_col.type):
+            # date32/date64 would cast to days/ms since epoch and silently
+            # mis-compare against ns — normalize through timestamp first.
+            ts_col = ts_col.cast(pa.timestamp("ns"))
+        elif pa.types.is_timestamp(ts_col.type):
             ts_col = ts_col.cast(pa.timestamp("ns"))  # normalize units -> ns
+        elif not pa.types.is_integer(ts_col.type):
+            raise TypeError(
+                f"asof/range join ts column {ts!r} must be timestamp, date "
+                f"or integer ns, got {ts_col.type}"
+            )
         out = {
             "__by": batch.column(by),
             "__ts": ts_col.cast(pa.int64()),
@@ -95,7 +104,26 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
 
-    return unioned.groupby("__by").map_groups(_merge, batch_format="pandas")
+    merged = unioned.groupby("__by").map_groups(_merge, batch_format="pandas")
+
+    # The union projects each side's missing columns as null, so pandas
+    # null-upcasts int64 carried columns to float64 inside ``_merge``
+    # (round-1 driver hash failure: ``1234.0`` vs ``1234``).  Cast every
+    # carried column back to its declared Arrow type on the way out.
+    decl = dict(all_cols)
+
+    def _recast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            want = decl.get(name)
+            if want is not None and col.type != want:
+                col = col.cast(want)
+            cols[name] = col
+        return pa.table(cols)
+
+    return merged.map_batches(_recast, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -202,7 +202,9 @@ register(
         FROM x
     ),
     sess AS (
-        SELECT user_id, sid AS session_id,
+        -- sum() OVER -> HUGEINT fetches as float64; cast so the driver
+        -- value-hash sees int64 on both sides (round-1 lesson).
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
                min(ts_ns) AS s_start, max(ts_ns) AS s_end
         FROM y GROUP BY user_id, sid
     )

@@ -164,14 +164,19 @@ def heavy_hitters_with_error(ds, *, column: str, m: int = MG_CAP,
         summary, err = mg_summarize(counts, m)
         keys = list(summary.keys())
         cnts = list(summary.values())
-        if err:  # one sentinel row carries this block's summarization error
+        is_err = [False] * len(keys)
+        if err:  # one flagged row carries this block's summarization error
+            # (a dedicated column, NOT a null key — genuine null keys from
+            # value_counts() must stay ordinary counters).
             keys.append(None)
             cnts.append(err)
+            is_err.append(True)
         key_type = batch.schema.field(column).type
         return pa.table(
             {
                 "key": pa.array(keys, key_type),
                 "cnt": pa.array(cnts, pa.int64()),
+                "is_err": pa.array(is_err, pa.bool_()),
             }
         )
 
@@ -184,14 +189,20 @@ def heavy_hitters_with_error(ds, *, column: str, m: int = MG_CAP,
     acc: dict = {}
     total_err = 0
     for row in parts:
-        if row["key"] is None:
+        if row["is_err"]:
             total_err += row["cnt"]
         else:
             acc[row["key"]] = acc.get(row["key"], 0) + row["cnt"]
     acc, merge_err = mg_summarize(acc, m)
     total_err += merge_err
 
-    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    # null keys sort last among equal counts (they can't compare to
+    # str/int keys directly).
+    items = sorted(
+        acc.items(),
+        key=lambda kv: (-kv[1], kv[0] is None,
+                        kv[0] if kv[0] is not None else 0),
+    )
     if top is not None:
         items = items[:top]
     table = pa.table(

@@ -136,7 +136,10 @@ register(
         ) AS sid
         FROM x
     )
-    SELECT user_id, sid AS session_id,
+    -- sid is sum() OVER -> HUGEINT, which pandas fetches as float64 and
+    -- the driver value-hash then sees "1.0" vs our "1" (round-1 hash
+    -- failure); cast to BIGINT so both sides are int64.
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
            min(ts_ns) AS session_start_ns,
            max(ts_ns) AS session_end_ns,
            count(*) AS n_events,
@@ -367,7 +370,7 @@ def _cumsum_sql() -> str:
         FROM rollup_
     )
     SELECT series_key, window_ns,
-           sum(count) OVER w AS cum_count,
+           CAST(sum(count) OVER w AS BIGINT) AS cum_count,
            round(sum(sum_r) OVER w, 6) AS cum_sum
     FROM r
     WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
@@ -445,7 +448,7 @@ def _mavg_sql(width: int = 5) -> str:
         FROM rollup_
     )
     SELECT series_key, window_ns,
-           sum(count) OVER w AS mov_count,
+           CAST(sum(count) OVER w AS BIGINT) AS mov_count,
            round(round(sum(sum_r) OVER w, 6) / sum(count) OVER w, 6)
                AS mov_avg
     FROM r

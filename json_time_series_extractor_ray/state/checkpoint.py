@@ -43,9 +43,45 @@ def shard_of(series_key: str, num_shards: int) -> int:
 
 def add_shard_column(batch: pa.Table, num_shards: int,
                      key_column: str = "series_key") -> pa.Table:
-    keys = batch.column(key_column).to_pylist()
-    shards = pa.array([shard_of(k, num_shards) for k in keys], pa.int32())
+    """Vectorized shard assignment: dictionary-encode the key column and
+    md5-hash only the UNIQUE keys (series-key cardinality is tiny next to
+    row count), then gather by index — round 1 hashed every row in Python
+    on the resumable-job hot path.  Same ``shard_of`` md5, so existing
+    manifests stay valid."""
+    import numpy as np
+
+    col = batch.column(key_column)
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for chunk in chunks:
+        enc = chunk.dictionary_encode()
+        lut = np.array(
+            [shard_of(k, num_shards) for k in enc.dictionary.to_pylist()],
+            dtype=np.int32,
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        out.append(lut[idx] if len(lut) else np.empty(0, np.int32))
+    shards = pa.chunked_array(
+        [pa.array(a, pa.int32()) for a in out]
+    ) if out else pa.array([], pa.int32())
     return batch.append_column("shard", shards)
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    """Durably record a directory entry (rename target / new file)."""
+    fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _checksum_table(table: pa.Table) -> str:
@@ -98,10 +134,14 @@ class CheckpointManifest:
             shutil.rmtree(tmp_dir)
         os.makedirs(tmp_dir)
         t0 = time.perf_counter()
-        pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
+        part_path = os.path.join(tmp_dir, "part-0.parquet")
+        pq.write_table(table, part_path)
+        _fsync_path(part_path)
+        _fsync_dir(tmp_dir)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
         os.rename(tmp_dir, final_dir)
+        _fsync_dir(os.path.dirname(final_dir))
 
         ts_col = None
         for cand in ("ts", "window_start", "last_ts"):
@@ -129,7 +169,10 @@ class CheckpointManifest:
         tmp_rec = self.record_path(shard) + ".tmp"
         with open(tmp_rec, "w") as f:
             json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp_rec, self.record_path(shard))
+        _fsync_dir(self.manifest_dir)
         return record
 
     def metrics(self) -> dict:

@@ -6,6 +6,13 @@ views, and compares row count, column names, and order-insensitive values
 (sorted by all columns).  Usage::
 
     python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py --strict [sf_dir] [query ...]
+
+``--strict`` compares dtype-faithful value reprs (``1234`` vs ``1234.0``,
+``-0.0`` vs ``0.0`` are FAILURES) — mirroring the driver's value hash,
+which is representation-sensitive where the default numeric compare is
+not (round-1 lesson: two queries passed numerically but failed the
+driver hash on exactly such repr diffs).
 """
 
 from __future__ import annotations
@@ -43,6 +50,33 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _repr_col(s: pd.Series) -> pd.Series:
+    """Dtype-faithful canonical repr per value (driver-hash stand-in)."""
+    if np.issubdtype(s.dtype, np.floating):
+        return pd.Series([repr(float(v)) for v in s.to_numpy()])
+    if np.issubdtype(s.dtype, np.integer):
+        return pd.Series([repr(int(v)) for v in s.to_numpy()])
+    return s.fillna("<null>").astype(str)
+
+
+def compare_strict(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> bool:
+    if sorted(ours.columns) != sorted(oracle.columns) or len(ours) != len(oracle):
+        print("  STRICT FAIL: shape/columns differ")
+        return False
+    a, b = canon(ours), canon(oracle)
+    ok = True
+    for c in a.columns:
+        av, bv = _repr_col(a[c]), _repr_col(b[c])
+        bad = np.where((av != bv).to_numpy())[0]
+        if len(bad):
+            print(f"  STRICT FAIL col {c} ({a[c].dtype} vs {b[c].dtype}): "
+                  f"{len(bad)} repr diffs, first rows {bad[:5].tolist()}")
+            for i in bad[:3]:
+                print(f"    ours={av.iloc[i]} oracle={bv.iloc[i]}")
+            ok = False
+    return ok
+
+
 def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> bool:
     ok = True
     if len(ours) != len(oracle):
@@ -72,8 +106,10 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> bool:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
 
@@ -107,7 +143,10 @@ def main():
             print(f"  ERROR in oracle SQL: {exc!r}")
             failures.append(name)
             continue
-        if compare(name, ours, oracle):
+        good = compare(name, ours, oracle)
+        if good and strict:
+            good = compare_strict(name, ours, oracle)
+        if good:
             print(f"  OK ({len(ours)} rows)")
         else:
             failures.append(name)
