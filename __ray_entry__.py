@@ -18,6 +18,7 @@ from typing import Any
 
 from json_time_series_extractor_ray.pipelines._events_sql import (
     EVENTS_SAMPLES_SQL as _EVENTS_SAMPLES_SQL,
+    rollup_linear_sql as _rollup_linear_sql,
     rollup_locf_sql as _rollup_locf_sql,
     rollup_tier_sql as _rollup_tier_sql,
 )
@@ -130,14 +131,15 @@ def _events_rollup_recent(sf_dir: str):
 
 
 def _events_rollup_linear(sf_dir: str):
-    """Linear-interpolated gap fill.  Rows-only driver check: interpolation
-    mixes the two engines' unrounded window means, whose summation-order
-    ULP noise cannot be value-hashed across engines (the LOCF twin carries
-    exact ``last`` values and IS hash-checked).  The grid shape, fill
-    flags, and count/sum columns are still pinned by the row count here
-    and by tests/test_gapfill_gorilla.py exactness tests."""
+    """Linear-interpolated gap fill, exactly value-hashed: interpolation
+    runs over the 6-decimal-ROUNDED window means (``gap_fill_round=6``)
+    so both engines interpolate bit-identical doubles with the same IEEE
+    expression — the raw-mean variant stays available via
+    ``gap_fill_round=None`` but cannot be hash-compared across engines
+    (summation-order ULP noise)."""
     corpus = events_corpus_dataset(sf_dir)
-    rollups = extract_and_rollup(corpus, tiers=("1m",), gap_fill="linear")
+    rollups = extract_and_rollup(corpus, tiers=("1m",), gap_fill="linear",
+                                 gap_fill_round=6)
     return gapfill_tier_for_compare(rollups, "1m")
 
 
@@ -313,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1m_incremental": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1h_incremental": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1m_locf": _rollup_locf_sql(_WINDOW_NS["1m"]),
+        "events_rollup_1m_linear": _rollup_linear_sql(_WINDOW_NS["1m"]),
         "events_rollup_1m_recent": _rollup_tier_sql(
             _WINDOW_NS["1m"], where="ts >= TIMESTAMP '2024-01-15'"
         ),

@@ -150,3 +150,74 @@ def rollup_locf_sql(window_ns: int) -> str:
            carried_ts AS last_ts_ns
     FROM f
     """
+
+
+def rollup_linear_sql(window_ns: int) -> str:
+    """Gap-filled (linear) 1-tier rollup, exactly value-hashable: both
+    engines interpolate over the ROUNDED window means
+    ``round(round(sum,6)/count,6)`` (bit-identical doubles on both sides,
+    unlike raw means whose summation-order ULP noise differs), with the
+    same IEEE expression ``prev + ((w-pw)/(nw-pw)) * (next-prev)`` —
+    stages/gapfill.py linear semantics with ``interp_round_digits=6``.
+    Filled rows: min=max=last=interp, mean=round(interp,6), sum=0,
+    count=0, last_ts carried from the previous observed window."""
+    ctes = ROLLUP_CTES.format(window_ns=window_ns)
+    return f"""
+    WITH {ctes},
+    r2 AS (
+        SELECT series_key, window_ns, min, max, sum, count, last,
+               last_ts_ns,
+               round(round(sum, 6) / count, 6) AS mean_r
+        FROM rollup_
+    ),
+    grid AS (
+        SELECT series_key,
+               unnest(generate_series(min(window_ns), max(window_ns),
+                                      {window_ns})) AS window_ns
+        FROM r2
+        GROUP BY series_key
+    ),
+    j AS (
+        SELECT g.series_key, g.window_ns,
+               r.min AS o_min, r.max AS o_max, r.mean_r AS o_mean,
+               r.sum AS o_sum, r.count AS o_count, r.last AS o_last,
+               r.last_ts_ns AS o_last_ts,
+               CASE WHEN r.count IS NOT NULL THEN g.window_ns END AS o_w
+        FROM grid g
+        LEFT JOIN r2 r
+          ON r.series_key = g.series_key AND r.window_ns = g.window_ns
+    ),
+    f AS (
+        SELECT series_key, window_ns, o_min, o_max, o_mean, o_sum,
+               o_count, o_last,
+               CASE WHEN o_count IS NULL THEN 'linear' ELSE '' END AS fill,
+               last_value(o_mean IGNORE NULLS) OVER wp AS prev_m,
+               last_value(o_w IGNORE NULLS) OVER wp AS prev_w,
+               last_value(o_last_ts IGNORE NULLS) OVER wp AS carried_ts,
+               first_value(o_mean IGNORE NULLS) OVER wn AS next_m,
+               first_value(o_w IGNORE NULLS) OVER wn AS next_w
+        FROM j
+        WINDOW wp AS (PARTITION BY series_key ORDER BY window_ns
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY series_key ORDER BY window_ns
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    v AS (
+        SELECT *, CASE WHEN fill = '' THEN NULL ELSE
+            prev_m + (CAST(window_ns - prev_w AS DOUBLE)
+                      / CAST(next_w - prev_w AS DOUBLE))
+                     * (next_m - prev_m)
+        END AS interp
+        FROM f
+    )
+    SELECT series_key, window_ns, fill,
+           COALESCE(o_min, interp) AS min,
+           COALESCE(o_max, interp) AS max,
+           CASE WHEN o_count IS NULL THEN round(interp, 6)
+                ELSE o_mean END AS mean,
+           round(COALESCE(o_sum, 0), 6) AS sum,
+           COALESCE(o_count, 0) AS count,
+           COALESCE(o_last, interp) AS last,
+           carried_ts AS last_ts_ns
+    FROM v
+    """

@@ -157,15 +157,18 @@ def _batch_gram_hashes(text_col, k: int = 3):
 # ---------------------------------------------------------------------------
 
 class MinHashLshStage:
-    """documents batches -> LSH band rows (band, band_key, doc_id, sig).
+    """documents batches -> LSH band rows ``(band_key, doc_id)``.
 
     Coefficients are derived once per actor from a fixed seed; signatures
     for the WHOLE batch are computed in one vectorized pass (see
-    ``_batch_signatures``) — no per-document Python in the hot path.
-    Emits ``LSH_BANDS`` rows per doc; each row's ``band_key`` is a stable
-    hash of that band's signature slice, and carries the full signature so
-    candidate verification after the groupby needs no second join.
-    """
+    ``_batch_signatures``) — no per-document Python anywhere in the hot
+    path (round 1 looped per doc x band AND shipped the full 512 B
+    signature in all 16 band rows, ~16x the shuffle bytes).  Band keys are
+    one vectorized 64-bit fold of each band's signature slice (+ band
+    index), so identical slices always collide and the shuffle carries 16
+    bytes per band row.  Candidate pairs are verified AFTER the bucket
+    groupby by recomputing signatures for just the candidate docs (see
+    :func:`minhash_lsh_dups`)."""
 
     def __init__(self, n_perm: int = N_PERM, bands: int = LSH_BANDS, seed: int = 1234):
         rng = np.random.default_rng(seed)
@@ -198,84 +201,108 @@ class MinHashLshStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = self._batch_signatures(batch.column("text"))
-        doc_ids = batch.column("doc_id").to_pylist()
-        keys_col, ids_col, sigs_col = [], [], []
-        r = self.rows_per_band
-        for doc_id, sig in zip(doc_ids, sigs):
-            sig_bytes = sig.tobytes()
-            for band in range(self.bands):
-                chunk = sig_bytes[band * r * 8 : (band + 1) * r * 8]
-                key = hashlib.blake2b(chunk, digest_size=8).hexdigest()
-                keys_col.append(f"{band}:{key}")
-                ids_col.append(doc_id)
-                sigs_col.append(sig_bytes)
+        n = sigs.shape[0]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # (n_docs * bands, rows_per_band) slices, folded to one uint64 key
+        # per band in a single vectorized pass; the band index is folded in
+        # so equal slices in DIFFERENT bands never share a bucket (classic
+        # banded-LSH candidate semantics).
+        slices = sigs.reshape(n * self.bands, self.rows_per_band)
+        band_idx = np.tile(
+            np.arange(self.bands, dtype=np.uint64), n
+        ).reshape(-1, 1)
+        key = _fold_hash_u64(np.hstack([band_idx, slices]))
         return pa.table(
             {
-                "band_key": pa.array(keys_col, pa.string()),
-                "doc_id": pa.array(ids_col, pa.int64()),
-                "sig": pa.array(sigs_col, pa.binary()),
+                "band_key": pa.array(key, pa.uint64()),
+                "doc_id": pa.array(
+                    np.repeat(doc_ids, self.bands), pa.int64()
+                ),
             }
         )
 
 
+def _fold_hash_u64(cols: np.ndarray) -> np.ndarray:
+    """Fold a (m, k) uint64 matrix to one stable 64-bit hash per row —
+    vectorized FNV/splitmix-style mixing (never Python's salted hash)."""
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    h = np.full(len(cols), 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(cols.shape[1]):
+        h = (h ^ cols[:, j]) * mul
+        h ^= h >> np.uint64(29)
+    return h
+
+
 #: Bucket-shard count: LSH buckets are mostly singletons, so per-bucket
 #: ``map_groups`` pays Ray per-group overhead ~n_buckets times.  Instead we
-#: group by ``hash(band_key) % LSH_SHARDS`` (bounded group count) and sweep
-#: each shard's buckets vectorized: singletons are dropped with one
+#: group by ``band_key % LSH_SHARDS`` (bounded group count) and sweep each
+#: shard's buckets vectorized: singletons are dropped with one
 #: ``duplicated`` mask, and only colliding buckets (rare) loop.
 LSH_SHARDS = 64
 
 
-def _shard_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """All pairs within each LSH bucket of one shard, scored by signature
-    agreement.  Vectorized singleton elimination; loops only collisions."""
+def _shard_candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs (doc_a < doc_b) within each LSH bucket of one
+    shard — deduped within the shard; NO signatures carried (verification
+    recomputes them for the few candidate docs afterwards)."""
     empty = pd.DataFrame(
         {
             "doc_a": pd.Series(dtype="int64"),
             "doc_b": pd.Series(dtype="int64"),
-            "est_jaccard": pd.Series(dtype="float64"),
         }
     )
     df = df[df.duplicated("band_key", keep=False)]
     if df.empty:
         return empty
-    out_a, out_b, out_e = [], [], []
+    out_a, out_b = [], []
     for _, g in df.groupby("band_key", sort=False):
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
         out_a.append(ids[a_idx])
         out_b.append(ids[b_idx])
-        out_e.append(est)
+    if not out_a:
+        return empty
     return pd.DataFrame(
         {
             "doc_a": np.concatenate(out_a).astype("int64"),
             "doc_b": np.concatenate(out_b).astype("int64"),
-            "est_jaccard": np.concatenate(out_e),
         }
-    )
+    ).drop_duplicates(["doc_a", "doc_b"])
 
 
-def _dedup_pairs_shard(df: pd.DataFrame) -> pd.DataFrame:
-    """One row per (doc_a, doc_b) within a pair-shard."""
-    return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "est_jaccard"]]
+#: Safety valve for the driver-side candidate collect (same contract as
+#: the union-find edge list in ``near_dup_clusters``): under banded LSH a
+#: candidate set approaching corpus size means mis-tuned bands, not data.
+MAX_CANDIDATE_PAIRS = 50_000_000
 
 
 def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=None):
     """Near-dup pairs (doc_a < doc_b, est_jaccard >= threshold).
+
+    Three stages:
+
+    1. band rows — 16 bytes/row, 16 rows/doc (signatures NOT carried);
+    2. ONE sharded groupby sweeps buckets into candidate pairs, deduped
+       per pair-hash shard;
+    3. verification recomputes full signatures for only the candidate
+       docs (a pushed-down ``is_in`` filter over the doc corpus — at LSH
+       candidate rates this is a tiny fraction of the corpus) and scores
+       ``est_jaccard`` = per-permutation agreement, exactly as before.
 
     Default runs the signature stage as stateless tasks shipping ONE
     precompiled stage instance (the coefficients are tiny and the stage is
     light — an actor pool here only adds startup latency and caps
     parallelism; pass ``concurrency=N`` to pin a pool when signatures get
     expensive, e.g. much larger n_perm or shingle settings)."""
+    import pyarrow.compute as pc
+    import ray
+
+    stage = MinHashLshStage()
     if concurrency is None:
         bands = docs_ds.map_batches(
-            MinHashLshStage(),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            stage, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
         bands = docs_ds.map_batches(
@@ -290,19 +317,92 @@ def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=None):
         zero_copy_batch=True,
     )
     pairs = sharded.groupby("shard").map_groups(
-        _shard_bucket_pairs, batch_format="pandas"
+        _shard_candidate_pairs, batch_format="pandas"
     )
-    pairs = pairs.filter(expr=f"est_jaccard >= {threshold}")
-    # A pair can surface from several bands: keep one row per (doc_a, doc_b),
-    # again sharded by pair hash rather than one Ray group per pair.
+    # A pair can surface from several bands/shards: one more bounded-group
+    # dedup, then collect the (small) candidate list for verification.
     pair_sharded = pairs.map_batches(
         _add_hash_shard(("doc_a", "doc_b"), LSH_SHARDS),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return pair_sharded.groupby("shard").map_groups(
-        _dedup_pairs_shard, batch_format="pandas"
+    deduped = pair_sharded.groupby("shard").map_groups(
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+        batch_format="pandas",
     )
+    cand_blocks = [t for t in ray.get(deduped.to_arrow_refs()) if t.num_rows]
+    cand = (
+        pa.concat_tables(cand_blocks, promote_options="default")
+        if cand_blocks
+        else pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64())}
+        )
+    )
+    if cand.num_rows > MAX_CANDIDATE_PAIRS:
+        raise RuntimeError(
+            f"LSH produced {cand.num_rows} candidate pairs "
+            f"(> {MAX_CANDIDATE_PAIRS}); bands/rows are mis-tuned for this "
+            "corpus — raise rows-per-band before re-running"
+        )
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    })
+    if cand.num_rows == 0:
+        return ray.data.from_arrow(empty)
+
+    doc_a = cand.column("doc_a").to_numpy(zero_copy_only=False)
+    doc_b = cand.column("doc_b").to_numpy(zero_copy_only=False)
+    cand_ids = np.unique(np.concatenate([doc_a, doc_b]))
+    id_set = ray.put(pa.array(cand_ids, pa.int64()))
+
+    def _sigs_for_candidates(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(id_set))
+        hit = batch.filter(mask)
+        if hit.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.binary()),
+            })
+        sigs = stage._batch_signatures(hit.column("text"))
+        return pa.table({
+            "doc_id": hit.column("doc_id").cast(pa.int64()),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+        })
+
+    sig_rows = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                docs_ds.map_batches(
+                    _sigs_for_candidates,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ],
+        promote_options="default",
+    )
+    sig_by_id = {
+        i: np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(
+            sig_rows.column("doc_id").to_pylist(),
+            sig_rows.column("sig").to_pylist(),
+        )
+    }
+    sig_a = np.stack([sig_by_id[i] for i in doc_a])
+    sig_b = np.stack([sig_by_id[i] for i in doc_b])
+    est = (sig_a == sig_b).mean(axis=1)
+    keep = est >= threshold
+    order = np.lexsort((doc_b[keep], doc_a[keep]))
+    return ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(doc_a[keep][order], pa.int64()),
+        "doc_b": pa.array(doc_b[keep][order], pa.int64()),
+        "est_jaccard": pa.array(est[keep][order], pa.float64()),
+    }))
 
 
 def _add_hash_shard(key_cols, n_shards: int):
@@ -326,6 +426,9 @@ def _add_hash_shard(key_cols, n_shards: int):
                     dtype=np.uint64,
                     count=n,
                 )
+            elif pa.types.is_unsigned_integer(arr.type):
+                # checked cast to int64 would overflow on uint64 keys
+                vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
             else:
                 vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
                     np.uint64

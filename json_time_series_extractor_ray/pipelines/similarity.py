@@ -238,6 +238,10 @@ def kmeans_fit(emb_ds, *, n_clusters: int, n_iters: int = 5, seed: int = 7,
     point; centroids are broadcast by value each pass.  Deterministic:
     seeded init from an id-strided sample, fixed iteration count.
     """
+    # Lloyd consumes the dataset n_iters+2 times; a lazy input would
+    # re-execute the upstream read (and any transforms) on EVERY pass, so
+    # pin the projected embeddings in the object store once.
+    emb_ds = emb_ds.materialize()
     # Init: deterministic strided sample of the corpus (cheap filter), then
     # seeded choice of k starting centroids.
     n_total = emb_ds.count()
@@ -294,6 +298,9 @@ def ivf_kmeans_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K,
     in a single ``map_batches`` pass against broadcast centroids.  Unlike
     ``ivf_topk`` this needs no pre-existing ``label`` cells, so it is the
     quantizer a 100 TB corpus would actually train."""
+    # Materialize once here: kmeans consumes it n_iters+2 times and the
+    # scoring pass below once more — all against the same pinned blocks.
+    emb_ds = emb_ds.materialize()
     C = kmeans_fit(emb_ds, n_clusters=n_clusters, n_iters=n_iters)
     # Per-query probe sets over the trained centroids.
     probe_order = np.argsort(-(query_matrix @ C.T), axis=1)[:, :nprobe]

@@ -74,6 +74,7 @@ def extract_and_rollup(
     *,
     tiers=TIER_ORDER,
     gap_fill: str | None = None,
+    gap_fill_round: int | None = None,
     tokenizer: str = "utf8",
     concurrency=None,
     batch_size: int = 2048,
@@ -88,7 +89,8 @@ def extract_and_rollup(
         batch_size=batch_size,
         **stage_kwargs,
     )
-    return rollup_ladder(samples, tiers=tiers, gap_fill=gap_fill)
+    return rollup_ladder(samples, tiers=tiers, gap_fill=gap_fill,
+                         gap_fill_round=gap_fill_round)
 
 
 def samples_for_compare(samples_ds, *, with_ordinal: bool = False):

@@ -34,12 +34,21 @@ FILL_LOCF = "locf"
 FILL_LINEAR = "linear"
 
 
-def gap_fill_series(df: pd.DataFrame, window_ns: int, method: str) -> pd.DataFrame:
+def gap_fill_series(df: pd.DataFrame, window_ns: int, method: str,
+                    interp_round_digits: int | None = None) -> pd.DataFrame:
     """Fill interior gaps of ONE series' rows of ONE tier.
 
     ``df`` columns: window_start (int64 ns), min/max/mean/sum (float64),
     count (int64), last (float64), last_ts (int64 ns).  Returns the same
     columns plus ``fill`` (string: '' observed, else method).
+
+    ``interp_round_digits`` (linear only): interpolate over window means
+    recomputed as ``round(round(sum, d) / count, d)`` instead of the raw
+    means — the oracle-comparable mode.  Raw double means carry
+    summation-order ULP noise that differs across engines; the rounded
+    means are bit-identical on both sides, so the interpolation (same
+    IEEE expression both sides) is too, making linear gap-fill exactly
+    value-hashable where round 1 left it rows-only.
     """
     if method not in (FILL_LOCF, FILL_LINEAR):
         raise ValueError(f"unknown gap-fill method: {method!r}")
@@ -83,8 +92,18 @@ def gap_fill_series(df: pd.DataFrame, window_ns: int, method: str) -> pd.DataFra
         frac = np.zeros(n)
         interior = ~observed
         frac[interior] = (grid[interior] - prev_w[interior]) / denom[interior]
-        prev_mean = obs["mean"].to_numpy()[idx_prev]
-        next_mean = obs["mean"].to_numpy()[np.minimum(idx_next, len(w) - 1)]
+        if interp_round_digits is not None:
+            from ..pipelines._util import round_half_away
+
+            d = interp_round_digits
+            sums_r = round_half_away(obs["sum"].to_numpy(), d)
+            means_i = round_half_away(
+                sums_r / obs["count"].to_numpy(dtype=np.float64), d
+            )
+        else:
+            means_i = obs["mean"].to_numpy()
+        prev_mean = means_i[idx_prev]
+        next_mean = means_i[np.minimum(idx_next, len(w) - 1)]
         interp = prev_mean + frac * (next_mean - prev_mean)
         src = obs.iloc[idx_prev].reset_index(drop=True)
         for col in ("min", "max", "mean", "last"):
@@ -100,7 +119,8 @@ def gap_fill_series(df: pd.DataFrame, window_ns: int, method: str) -> pd.DataFra
 
 
 def gap_fill_tier_group(df: pd.DataFrame, tier_window_ns: dict | None = None,
-                        method: str = FILL_LOCF) -> pd.DataFrame:
+                        method: str = FILL_LOCF,
+                        interp_round_digits: int | None = None) -> pd.DataFrame:
     """``map_groups`` body: all tier rows of ONE series -> gap-filled rows.
 
     Input is the rollup-ladder output schema (tier, series_key,
@@ -122,7 +142,8 @@ def gap_fill_tier_group(df: pd.DataFrame, tier_window_ns: dict | None = None,
                 "last_ts": g["last_ts"].astype("int64"),
             }
         )
-        filled = gap_fill_series(work, tier_window_ns[tier], method)
+        filled = gap_fill_series(work, tier_window_ns[tier], method,
+                                 interp_round_digits=interp_round_digits)
         filled.insert(0, "tier", tier)
         filled.insert(1, "series_key", series_key)
         frames.append(filled)
@@ -132,10 +153,12 @@ def gap_fill_tier_group(df: pd.DataFrame, tier_window_ns: dict | None = None,
     return out
 
 
-def gap_fill_dataset(rollup_ds, method: str = FILL_LOCF):
+def gap_fill_dataset(rollup_ds, method: str = FILL_LOCF,
+                     interp_round_digits: int | None = None):
     """Standalone gap-fill over a rollup Dataset (one groupby shuffle)."""
 
     def _fill(df: pd.DataFrame) -> pd.DataFrame:
-        return gap_fill_tier_group(df, method=method)
+        return gap_fill_tier_group(df, method=method,
+                                   interp_round_digits=interp_round_digits)
 
     return rollup_ds.groupby("series_key").map_groups(_fill, batch_format="pandas")

@@ -193,7 +193,8 @@ def _merge_partials_group(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
 
 
 def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
-                  gap_fill: str | None = None, salt_shards: int | None = None):
+                  gap_fill: str | None = None, salt_shards: int | None = None,
+                  gap_fill_round: int | None = None):
     """Dataset of SAMPLE_SCHEMA rows -> Dataset of tiered rollup rows.
 
     One shuffle total: the ``groupby("series_key")`` between the partial
@@ -244,7 +245,8 @@ def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
 
         def _group_fn(df):
             return gap_fill_tier_group(cascade_series_group(df, tiers),
-                                       method=gap_fill)
+                                       method=gap_fill,
+                                       interp_round_digits=gap_fill_round)
 
     return partials.groupby("series_key").map_groups(
         _group_fn, batch_format="pandas"
