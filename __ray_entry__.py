@@ -148,6 +148,24 @@ def _events_gorilla(sf_dir: str):
     return gorilla_roundtrip_stats(extract_pipeline(corpus))
 
 
+def _events_gorilla_counts(sf_dir: str):
+    """SQL-expressible projection of the Gorilla chunk stats: per-series
+    point/byte counts plus the decode-verification flag (the oracle pins
+    ``roundtrip_ok = true`` for every series — a bit-exactness check the
+    compressed-bytes columns can't express in SQL)."""
+    import pyarrow as _pa
+
+    stats = _events_gorilla(sf_dir)
+
+    def _project(batch: _pa.Table) -> _pa.Table:
+        return batch.select(
+            ["series_key", "n_points", "raw_bytes", "roundtrip_ok"]
+        )
+
+    return stats.map_batches(_project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def _events_gorilla_readback(sf_dir: str):
     """Full compressed-storage cycle, oracle-checked: extract -> Gorilla
     chunk files on disk -> chunk SOURCE decodes them back to samples.  The
@@ -181,6 +199,60 @@ def _events_filtered(sf_dir: str):
             include=["/props/+", "/value"],
             exclude=["/props/k"],
         ),
+    )
+    return samples_for_compare(samples)
+
+
+def _events_wildcards(sf_dir: str):
+    """Pattern wildcards through the tokenized path (reference F4,
+    ``JsonTimeSeriesExtractorTests.cs:381-423``): ``?`` matches one
+    character, ``*`` any run — include ``/val?e`` and ``/u*r`` keeps only
+    the ``value`` and ``user`` series."""
+    corpus = events_corpus_dataset(sf_dir)
+    samples = extract_pipeline(
+        corpus,
+        dict(recursive=True, include=["/val?e", "/u*r"],
+             allow_wildcard_expressions=True),
+    )
+    return samples_for_compare(samples)
+
+
+def _events_proppath(sf_dir: str):
+    """``{$prop-path}`` template placeholder through the tokenized path
+    (reference K4, ``JsonTimeSeriesExtractorTests.cs:151-211``): the
+    parent path of each sample property — empty for root-level ``/value``,
+    ``props`` for ``/props/k``."""
+    corpus = events_corpus_dataset(sf_dir)
+    samples = extract_pipeline(
+        corpus,
+        dict(recursive=True, template="{type}|{$prop-path}|{$prop-local}",
+             include=["/value", "/props/k"]),
+    )
+    return samples_for_compare(samples)
+
+
+def _events_unresolved_skip(sf_dir: str):
+    """Unresolved-template skip through the tokenized path (reference K6,
+    ``JsonTimeSeriesExtractorTests.cs:691-705``): only even ``event_id``
+    payloads carry the ``site`` property, so with
+    ``allow_unresolved_template_replacements=False`` the odd half of the
+    corpus emits no samples at all."""
+    import functools
+
+    import ray
+
+    from json_time_series_extractor_ray.corpus import events_to_corpus_sparse
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    corpus = ds.map_batches(
+        functools.partial(events_to_corpus_sparse),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    samples = extract_pipeline(
+        corpus,
+        dict(recursive=True, template="{site}/{$prop-local}",
+             allow_unresolved_template_replacements=False,
+             include=["/value", "/props/k"]),
     )
     return samples_for_compare(samples)
 
@@ -289,9 +361,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m_linear": _events_rollup_linear,
         "events_rollup_1m_recent": _events_rollup_recent,
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
+        "events_gorilla_chunk_counts": _events_gorilla_counts,
         "events_gorilla_readback": _events_gorilla_readback,
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
+        "events_extract_wildcards": _events_wildcards,
+        "events_extract_proppath": _events_proppath,
+        "events_extract_unresolved_skip": _events_unresolved_skip,
         "events_extract_startat": _events_startat,
         "events_extract_fallback_col": _events_fallback_col,
         "events_extract_nested": _events_nested,
@@ -316,6 +392,17 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1h_incremental": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1m_locf": _rollup_locf_sql(_WINDOW_NS["1m"]),
         "events_rollup_1m_linear": _rollup_linear_sql(_WINDOW_NS["1m"]),
+        # Gorilla chunk stats, SQL-expressible slice: per-series numeric
+        # point count (+ 16 bytes/point raw size); roundtrip_ok pins the
+        # engine-side bit-exact decode check to true for every series.
+        "events_gorilla_chunk_counts": f"""
+            SELECT series_key,
+                   count(value_num) AS n_points,
+                   16 * count(value_num) AS raw_bytes,
+                   true AS roundtrip_ok
+            FROM ({_EVENTS_SAMPLES_SQL})
+            GROUP BY series_key
+        """,
         "events_rollup_1m_recent": _rollup_tier_sql(
             _WINDOW_NS["1m"], where="ts >= TIMESTAMP '2024-01-15'"
         ),
@@ -344,6 +431,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
                    printf('evt-%010d', event_id)
             FROM events
+        """,
+        # pattern wildcards: /val?e -> value, /u*r -> user
+        "events_extract_wildcards": """
+            SELECT 'value' AS series_key, epoch_ns(ts) AS ts_ns,
+                   value AS value_num, CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evt-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT 'user', epoch_ns(ts), CAST(user_id AS DOUBLE), NULL,
+                   printf('evt-%010d', event_id)
+            FROM events
+        """,
+        # template {type}|{$prop-path}|{$prop-local}: parent path is empty
+        # for root-level /value, 'props' for /props/k
+        "events_extract_proppath": """
+            SELECT event_type || '||value' AS series_key,
+                   epoch_ns(ts) AS ts_ns,
+                   value AS value_num, CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evt-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT event_type || '|props|k', epoch_ns(ts),
+                   CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+                   printf('evt-%010d', event_id)
+            FROM events
+        """,
+        # {site} resolves only for even event_id payloads; odd docs skip
+        # every sample (allow_unresolved_template_replacements=False)
+        "events_extract_unresolved_skip": """
+            SELECT 's' || CAST(user_id % 4 AS VARCHAR) || '/value'
+                       AS series_key,
+                   epoch_ns(ts) AS ts_ns,
+                   value AS value_num, CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evts-%010d', event_id) AS doc_id
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT 's' || CAST(user_id % 4 AS VARCHAR) || '/k',
+                   epoch_ns(ts),
+                   CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+                   printf('evts-%010d', event_id)
+            FROM events WHERE event_id % 2 = 0
         """,
         # start_at=/props: re-rooted doc {"k":...}; /time unresolvable ->
         # deterministic fallback ts 0 (CURRENT_TIME source)

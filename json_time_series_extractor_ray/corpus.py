@@ -294,3 +294,34 @@ def events_to_corpus_nots(batch: pa.Table, tokenizer="utf8") -> pa.Table:
     return out.append_column(
         "ingest_ts", batch.column("ts").cast(pa.timestamp("ns"))
     )
+
+
+def events_to_corpus_sparse(batch: pa.Table, tokenizer="utf8") -> pa.Table:
+    """Corpus rows where only EVEN ``event_id`` payloads carry a root
+    ``site`` property (``"s<user_id % 4>"``) — the shape that exercises
+    unresolved-template handling end-to-end (reference K6,
+    ``JsonTimeSeriesExtractorTests.cs:672-705``): a ``{site}`` template
+    placeholder resolves for half the corpus and, with
+    ``allow_unresolved_template_replacements=False``, skips every sample
+    of the other half."""
+    ts = batch.column("ts").cast(pa.timestamp("us"))
+    iso = [s + "Z" for s in np.datetime_as_string(ts.to_numpy(), unit="us")]
+    event_ids = batch.column("event_id").to_pylist()
+    users = batch.column("user_id").to_pylist()
+    etypes = batch.column("event_type").to_pylist()
+    values = batch.column("value").to_pylist()
+    props = batch.column("props").to_pylist()
+    doc_ids = [f"evts-{i:010d}" for i in event_ids]
+    texts = []
+    for i, eid in enumerate(event_ids):
+        payload = {
+            "time": iso[i],
+            "type": etypes[i],
+            "user": users[i],
+            "value": values[i],
+            "props": json.loads(props[i]),
+        }
+        if eid % 2 == 0:
+            payload["site"] = f"s{users[i] % 4}"
+        texts.append(json.dumps(payload, **_COMPACT))
+    return texts_to_corpus_table(doc_ids, texts, ["events"] * len(doc_ids), tokenizer)
