@@ -93,9 +93,16 @@ def _events_rollup_incremental(sf_dir: str, tier: str):
         corpus = events_corpus_dataset(sf_dir)
 
         def _f(batch: pa.Table) -> pa.Table:
-            last_digit = batch.column("doc_id").to_pandas().str[-1].astype(int)
+            import pyarrow.compute as pc
+
+            # doc_id is 'evt-%010d' (14 chars): parity of the last digit,
+            # fully in Arrow kernels (round 1 ran pandas .str per row).
+            last = pc.utf8_slice_codeunits(
+                batch.column("doc_id"), start=13, stop=14
+            )
+            digits = "02468" if parity == 0 else "13579"
             return batch.filter(
-                pa.array((last_digit % 2 == parity).to_numpy())
+                pc.is_in(last, value_set=pa.array(list(digits)))
             )
 
         return corpus.map_batches(_f, batch_format="pyarrow",

@@ -60,21 +60,44 @@ def _project_side(ds, side: str, by: str, ts: str, cols, all_cols):
 
 
 def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
-              left_cols: dict, right_cols: dict):
+              left_cols: dict, right_cols: dict,
+              bucket_ns: int | None = None):
     """Inner as-of join (right.ts <= left.ts, latest wins).
 
     ``left_cols`` / ``right_cols``: {column_name: pyarrow_type} carried
     from each side.  The right side is deduped to one row per (key, ts)
     — keeping the row that sorts last on all carried columns — so the
     match is deterministic in both engines.
+
+    ``bucket_ns``: when set, co-partition on ``(by, ts // bucket_ns)``
+    instead of ``by`` alone, so a single hot key's rows spread across
+    time buckets and no group task ever exceeds one key x one bucket —
+    the 100 TB-safe mode.  Buckets whose left rows precede every
+    in-bucket right row still match: a compact carry-over pass (one
+    groupby over per-block closing/presence summaries, never raw rows)
+    injects each bucket's latest earlier right row.  Output is
+    value-identical to the unbucketed path (pinned by test).
     """
+    if bucket_ns is not None:
+        return _asof_join_bucketed(
+            left_ds, right_ds, by=by, left_ts=left_ts, right_ts=right_ts,
+            left_cols=left_cols, right_cols=right_cols, bucket_ns=bucket_ns,
+        )
     all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
     l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
     r = _project_side(right_ds, "r", by, right_ts, set(right_cols), all_cols)
     unioned = l.union(r)
 
-    right_names = list(right_cols)
-    left_names = list(left_cols)
+    merged = unioned.groupby("__by").map_groups(
+        _make_merge(list(left_cols), list(right_cols)), batch_format="pandas"
+    )
+    return merged.map_batches(_make_recast(dict(all_cols)),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _make_merge(left_names, right_names):
+    """Per-group backward-searchsorted merge body (one key, or one
+    key x bucket): deterministic right-side dedup, vectorized match."""
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == "l"]
@@ -104,13 +127,14 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
 
-    merged = unioned.groupby("__by").map_groups(_merge, batch_format="pandas")
+    return _merge
 
-    # The union projects each side's missing columns as null, so pandas
-    # null-upcasts int64 carried columns to float64 inside ``_merge``
-    # (round-1 driver hash failure: ``1234.0`` vs ``1234``).  Cast every
-    # carried column back to its declared Arrow type on the way out.
-    decl = dict(all_cols)
+
+def _make_recast(decl: dict):
+    """The union projects each side's missing columns as null, so pandas
+    null-upcasts int64 carried columns to float64 inside the merge
+    (round-1 driver hash failure: ``1234.0`` vs ``1234``).  Cast every
+    carried column back to its declared Arrow type on the way out."""
 
     def _recast(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -122,7 +146,116 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
             cols[name] = col
         return pa.table(cols)
 
-    return merged.map_batches(_recast, batch_format="pyarrow",
+    return _recast
+
+
+def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
+                        right_ts: str, left_cols: dict, right_cols: dict,
+                        bucket_ns: int):
+    """Time-bucketed as-of join: groups are ``(key, ts // bucket_ns)``.
+
+    Carry-over: a left row whose bucket holds no earlier right row must
+    still match the latest right row from ANY earlier bucket.  That row
+    is reconstructed from compact per-block summaries — per-(key, bucket)
+    right "closing" candidates and left "presence" markers — reduced in
+    one groupby(key) whose group size is O(active buckets x blocks),
+    never O(rows).  The reconstructed rows are unioned into the main
+    ``(key, bucket)`` co-partition as ordinary right rows, so the merge
+    body is byte-identical to the unbucketed path.
+    """
+    all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
+    left_names, right_names = list(left_cols), list(right_cols)
+    l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
+    r = _project_side(right_ds, "r", by, right_ts, set(right_cols), all_cols)
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column("__ts").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(ts // bucket_ns, pa.int64())
+        )
+
+    l = l.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    r = r.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    # -- compact carry-over pass -------------------------------------
+    summary_cols = ["__by", "__bucket", "__ts", *right_names, "__kind"]
+
+    def _right_close_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__by", "__bucket", "__ts"] + right_names,
+                            kind="stable")
+        out = df.drop_duplicates(["__by", "__bucket"], keep="last").copy()
+        out["__kind"] = "c"
+        return out[summary_cols]
+
+    def _left_presence_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["__by", "__bucket"]].drop_duplicates().copy()
+        out["__ts"] = np.int64(0)
+        for c in right_names:
+            out[c] = None
+        out["__kind"] = "p"
+        return out[summary_cols]
+
+    close = r.map_batches(_right_close_block, batch_format="pandas")
+    pres = l.map_batches(_left_presence_block, batch_format="pandas")
+
+    def _carry(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["__by", "__bucket", "__ts", *right_names]
+        close_rows = df[df["__kind"] == "c"]
+        pres_b = np.unique(
+            df.loc[df["__kind"] == "p", "__bucket"].to_numpy(dtype=np.int64)
+        )
+        empty = pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
+                              for c in out_cols})
+        if close_rows.empty or pres_b.size == 0:
+            return empty
+        close_rows = close_rows.sort_values(
+            ["__bucket", "__ts"] + right_names, kind="stable"
+        ).drop_duplicates("__bucket", keep="last")
+        cb = close_rows["__bucket"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(cb, pres_b, side="left") - 1
+        ok = idx >= 0
+        if not ok.any():
+            return empty
+        picks = close_rows.iloc[idx[ok]]
+        out = pd.DataFrame({
+            "__by": picks["__by"].to_numpy(),
+            "__bucket": pres_b[ok],
+            "__ts": picks["__ts"].to_numpy(),
+        })
+        for c in right_names:
+            out[c] = picks[c].to_numpy()
+        return out
+
+    carried = close.union(pres).groupby("__by").map_groups(
+        _carry, batch_format="pandas"
+    )
+
+    # Re-shape carried rows onto the projected union schema (same column
+    # ORDER — Ray union is positional) with properly-typed null left cols.
+    decl = dict(all_cols)
+
+    def _as_right_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {
+            "__by": batch.column("__by"),
+            "__ts": batch.column("__ts").cast(pa.int64()),
+            "__side": pa.array(["r"] * n, pa.string()),
+        }
+        for name, typ in all_cols:
+            if name in right_cols:
+                out[name] = batch.column(name).cast(typ)
+            else:
+                out[name] = pa.nulls(n, typ)
+        out["__bucket"] = batch.column("__bucket").cast(pa.int64())
+        return pa.table(out)
+
+    carried = carried.map_batches(_as_right_rows, batch_format="pyarrow")
+
+    unioned = l.union(r).union(carried)
+    merged = unioned.groupby(["__by", "__bucket"]).map_groups(
+        _make_merge(left_names, right_names), batch_format="pandas"
+    )
+    return merged.map_batches(_make_recast(decl), batch_format="pyarrow",
                               zero_copy_batch=True)
 
 
@@ -130,7 +263,7 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
 # Driver query: each event joined as-of against its user's order history
 # ---------------------------------------------------------------------------
 
-def _q_events_asof_orders(sf_dir: str):
+def _q_events_asof_orders(sf_dir: str, bucket_ns: int | None = None):
     import ray
 
     events = ray.data.read_parquet(
@@ -158,6 +291,7 @@ def _q_events_asof_orders(sf_dir: str):
         right_ts="o_orderdate",
         left_cols={"event_id": pa.int64()},
         right_cols={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
+        bucket_ns=bucket_ns,
     )
 
     def _shape(batch: pa.Table) -> pa.Table:
@@ -179,6 +313,32 @@ from .registry import register  # noqa: E402
 register(
     "events_asof_orders",
     _q_events_asof_orders,
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderkey DESC, o_totalprice DESC
+               ) AS rn
+        FROM orders
+    ),
+    deduped AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT e.event_id, epoch_ns(e.ts) AS ts_ns, e.user_id,
+           d.o_orderkey, d.o_totalprice
+    FROM events e
+    ASOF JOIN deduped d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+
+_ASOF_BUCKET_NS = 7 * 24 * 3600 * 10**9  # one week
+
+register(
+    "events_asof_orders_bucketed",
+    lambda sf: _q_events_asof_orders(sf, bucket_ns=_ASOF_BUCKET_NS),
+    # Same oracle as the unbucketed query: the (key, week-bucket)
+    # co-partition with carry-over must be value-identical — proving the
+    # hot-key-safe mode through the driver gate (the salted-rollup trick).
     """
     WITH ranked AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

@@ -159,3 +159,66 @@ class TestRangeJoin:
             if l_keys[e] == r_keys[i] and r_start[i] <= l_ts[e] <= r_end[i]
         }
         assert got == expect
+
+
+class TestBucketedAsof:
+    """Time-bucketed co-partition (hot-key-safe mode) must be
+    value-identical to the unbucketed join."""
+
+    def _both(self, left, right, ray, bucket_ns):
+        kw = dict(by="__key", left_ts="ts", right_ts="rts",
+                  left_cols={"lval": pa.int64()},
+                  right_cols={"rval": pa.int64()})
+        l, r = ray.data.from_arrow(left), ray.data.from_arrow(right)
+        base = asof_join(l, r, **kw).to_pandas()
+        bucketed = asof_join(l, r, bucket_ns=bucket_ns, **kw).to_pandas()
+        cols = ["__by", "__ts", "lval", "rval"]
+
+        def _canon(df):
+            if df.empty:  # empty Dataset -> to_pandas loses the schema
+                return pd.DataFrame(columns=cols)
+            return df[cols].sort_values(cols, ignore_index=True)
+
+        return _canon(base), _canon(bucketed)
+
+    def test_planted_hot_key_with_bucket_gaps(self, ray_session):
+        import ray
+
+        rng = np.random.default_rng(11)
+        # hot key 'h': 2000 left rows over 100 buckets (bucket_ns=100);
+        # right rows only in a few early buckets -> most buckets rely on
+        # carry-over.  Cold keys mix in, some with no right rows at all.
+        l_keys, l_ts, l_val = [], [], []
+        r_keys, r_ts, r_val = [], [], []
+        l_keys += ["h"] * 2000
+        l_ts += rng.integers(0, 10_000, size=2000).tolist()
+        l_val += list(range(2000))
+        r_keys += ["h"] * 5
+        r_ts += [3, 250, 251, 251, 990]       # duplicate ts -> dedup rule
+        r_val += [30, 40, 41, 42, 50]
+        for k in ("c1", "c2", "norights"):
+            l_keys += [k] * 50
+            l_ts += rng.integers(0, 10_000, size=50).tolist()
+            l_val += list(range(50))
+            if k != "norights":
+                r_keys += [k] * 2
+                r_ts += [100, 5000]
+                r_val += [1, 2]
+        left = pa.table({"__key": l_keys, "ts": pa.array(l_ts, pa.int64()),
+                         "lval": pa.array(l_val, pa.int64())})
+        right = pa.table({"__key": r_keys, "rts": pa.array(r_ts, pa.int64()),
+                          "rval": pa.array(r_val, pa.int64())})
+        base, bucketed = self._both(left, right, ray, bucket_ns=100)
+        pd.testing.assert_frame_equal(base, bucketed)
+        assert len(base) > 0
+
+    def test_empty_right_side(self, ray_session):
+        import ray
+
+        left = pa.table({"__key": ["a"], "ts": pa.array([5], pa.int64()),
+                         "lval": pa.array([1], pa.int64())})
+        right = pa.table({"__key": pa.array([], pa.string()),
+                          "rts": pa.array([], pa.int64()),
+                          "rval": pa.array([], pa.int64())})
+        base, bucketed = self._both(left, right, ray, bucket_ns=10)
+        assert len(base) == 0 and len(bucketed) == 0
