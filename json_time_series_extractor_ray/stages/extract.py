@@ -71,6 +71,7 @@ class ExtractSamplesStage:
         fallback_now_ns: int | None = None,
         allow_wall_clock: bool = False,
         on_error: str = "raise",
+        shred: bool = True,
     ):
         if isinstance(options, dict):
             options = ExtractorOptions.from_dict(options)
@@ -88,6 +89,13 @@ class ExtractSamplesStage:
         # retry-storm the job.  Skips are counted per worker and logged.
         self.on_error = on_error
         self.skipped_docs = 0
+        # Vectorized Arrow shredding (stages/shred.py) covers the default
+        # options envelope; every batch it cannot PROVE identical falls
+        # back to the per-document traversal.  shred=False pins the
+        # traversal (the conformance reference path).
+        from .shred import plan_is_shreddable
+
+        self.shred = bool(shred) and plan_is_shreddable(self.plan)
         if (
             options.get_default_timestamp is None
             and fallback_ts_column is None
@@ -101,14 +109,14 @@ class ExtractSamplesStage:
                 "allow_wall_clock=True."
             )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode_texts(self, batch: pa.Table) -> list:
         if self.text_column is not None:
-            texts = batch.column(self.text_column).to_pylist()
-        else:
-            texts = self.tokenizer.decode_batch(
-                batch.column(self.tokens_column), on_error=self.on_error
-            )
-        doc_ids = batch.column(self.id_column).to_pylist()
+            return batch.column(self.text_column).to_pylist()
+        return self.tokenizer.decode_batch(
+            batch.column(self.tokens_column), on_error=self.on_error
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if self.fallback_ts_column is not None:
             col = batch.column(self.fallback_ts_column)
             if pa.types.is_timestamp(col.type):
@@ -116,6 +124,35 @@ class ExtractSamplesStage:
             fallbacks = col.cast(pa.int64()).to_pylist()
         else:
             fallbacks = None
+
+        texts = None
+        if self.shred:
+            from ..tokenizer import Utf8Tokenizer, _tokens_to_numpy
+            from .shred import try_shred_batch
+
+            raw = None
+            if self.text_column is None and isinstance(
+                self.tokenizer, Utf8Tokenizer
+            ):
+                # Zero-decode path: utf8 token bytes ARE the JSON text
+                # (int32 values narrow during the shred scatter — no
+                # intermediate uint8 copy).
+                values, offsets = _tokens_to_numpy(
+                    batch.column(self.tokens_column)
+                )
+                raw = (values, offsets)
+            else:
+                texts = self._decode_texts(batch)
+            shredded = try_shred_batch(
+                texts, self.plan, fallbacks, self.fallback_now_ns,
+                batch.column(self.id_column), SAMPLE_SCHEMA,
+                raw_utf8=raw,
+            )
+            if shredded is not None:
+                return shredded
+
+        if texts is None:
+            texts = self._decode_texts(batch)
 
         plan = self.plan
         loads = _json_loads
