@@ -649,6 +649,8 @@ def extract_samples(
     options: Union[ExtractorOptions, ExtractionPlan, None] = None,
     *,
     fallback_now_ns: Optional[int] = None,
+    parse_float=None,
+    parse_int=None,
 ) -> "list[Sample]":
     """Extract time-series samples from one JSON document (document-order
     list; materialized, not lazy — documents are small and the hot path
@@ -668,7 +670,12 @@ def extract_samples(
     else:
         plan = ExtractionPlan(options if options is not None else ExtractorOptions())
     if isinstance(document, (str, bytes)):
-        document = _json_loads(document)
+        # parse_float / parse_int: number-parse hooks on the string entry,
+        # the engine twin of the reference's JsonSerializerOptions argument
+        # (``GetSamples(string, ..., JsonSerializerOptions)``,
+        # ``TimeSeriesExtractor.cs:356-359``).
+        document = _json_loads(document, parse_float=parse_float,
+                               parse_int=parse_int)
     if plan.start_at is not None:
         document = evaluate_pointer(document, plan.start_at)
         if document is MISSING:

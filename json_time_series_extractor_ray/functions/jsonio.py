@@ -18,13 +18,27 @@ except ImportError:  # pragma: no cover - orjson is present in this env
     _orjson = None
 
 if _orjson is None:  # pragma: no cover
-    loads = json.loads
+    def loads(text, *, parse_float=None, parse_int=None):
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
+        return json.loads(text, parse_float=parse_float, parse_int=parse_int)
 else:
     _fast_loads = _orjson.loads
     _std_loads = json.loads
 
-    def loads(text):
-        """Parse JSON text (str or bytes) to Python values."""
+    def loads(text, *, parse_float=None, parse_int=None):
+        """Parse JSON text (str or bytes) to Python values.
+
+        ``parse_float`` / ``parse_int``: number-parse hooks, the engine
+        twin of passing a ``JsonSerializerOptions`` to the reference's
+        string entry (``TimeSeriesExtractor.cs:356-359``).  Hooks force
+        the stdlib parser (orjson has none); the default path stays fast.
+        """
+        if parse_float is not None or parse_int is not None:
+            if isinstance(text, bytes):
+                text = text.decode("utf-8")
+            return _std_loads(text, parse_float=parse_float,
+                              parse_int=parse_int)
         try:
             return _fast_loads(text)
         except Exception:

@@ -138,8 +138,26 @@ def _match_exact_or_partial(ctx, match_ptr: Pointer, element_ptr: Pointer, eleme
     return False
 
 
+#: Bound on ``*`` wildcards per pattern rule.  The reference compiles its
+#: pattern regexes with a 1-second match timeout
+#: (``TimeSeriesExtractor.cs:58-66,163-176``); Python's ``re`` has no
+#: timeout, and a rule with many ``.*`` segments can backtrack
+#: super-linearly against a hostile pointer string, stalling a worker
+#: indefinitely.  Since escaped-literal + ``.*``/``.`` patterns backtrack
+#: at most O(len^k) for k stars, capping k (plus the naturally short
+#: pointer strings) bounds the worst-case match cost — the engine's
+#: deterministic analogue of the reference's wall-clock timeout.
+MAX_PATTERN_STARS = 16
+
+
 def _compile_pattern_predicate(raw_value: str):
     """Pattern wildcard rule (``TimeSeriesExtractor.cs:160-189``)."""
+    if raw_value.count(MULTI_CHARACTER_WILDCARD) > MAX_PATTERN_STARS:
+        raise ValueError(
+            f"pattern rule {raw_value!r} has more than {MAX_PATTERN_STARS} "
+            "'*' wildcards; the match cost of such rules is unbounded "
+            "(the reference guards this with a regex match timeout)"
+        )
     pattern = re.escape(raw_value).replace(r"\*", ".*").replace(r"\?", ".")
     rx = re.compile(f"^{pattern}$", re.IGNORECASE | re.DOTALL)
 

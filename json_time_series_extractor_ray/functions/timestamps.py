@@ -89,6 +89,9 @@ def parse_iso_timestamp_ns(text: str):
         and text[13] == ":"
         and text[16] == ":"
         and text[19] == "."
+        # one whole-string ASCII check (instead of one per sliced part):
+        # str.isdigit alone accepts non-ASCII digits that int() rejects
+        and text.isascii()
     ):
         # Minute-prefix memo: corpora cluster on a narrow time range, so the
         # distinct 'YYYY-MM-DDTHH:MM' prefixes are few — one dict hit
@@ -96,15 +99,15 @@ def parse_iso_timestamp_ns(text: str):
         minute_seconds = _MINUTE_CACHE.get(text[:16])
         if minute_seconds is not None:
             ss, frac = text[17:19], text[20:26]
-            if _ascii_digits(ss) and _ascii_digits(frac):
+            if ss.isdigit() and frac.isdigit():
                 s = int(ss)
                 if s > 59:
                     return None
                 return (minute_seconds + s) * NS_PER_SEC + int(frac) * 1000
             return None
         hh, mi, ss, frac = text[11:13], text[14:16], text[17:19], text[20:26]
-        if (_ascii_digits(hh) and _ascii_digits(mi)
-                and _ascii_digits(ss) and _ascii_digits(frac)):
+        if (hh.isdigit() and mi.isdigit()
+                and ss.isdigit() and frac.isdigit()):
             date_key = text[:10]
             day_seconds = _DATE_CACHE.get(date_key)
             if day_seconds is None:

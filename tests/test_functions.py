@@ -238,3 +238,41 @@ def test_integer_named_object_properties_survive_index_suppression():
     doc = {"0": {"v": [5.0]}}
     samples = list(extract_samples(doc, opts, fallback_now_ns=0))
     assert samples[0].key == "0/v"
+
+
+def test_pattern_rule_star_bound():
+    """Hostile many-star rules are rejected up front (the reference bounds
+    pattern matching with a 1 s regex timeout; the engine bounds the
+    backtracking budget instead — functions/match.MAX_PATTERN_STARS)."""
+    import pytest
+
+    from json_time_series_extractor_ray.functions.match import (
+        MAX_PATTERN_STARS,
+        make_pointer_filter,
+    )
+
+    hostile = "/" + "*a" * (MAX_PATTERN_STARS + 1)
+    with pytest.raises(ValueError, match="wildcards"):
+        make_pointer_filter(include=[hostile], allow_wildcards=True)
+    # at the bound it still compiles
+    ok = "/" + "*a" * MAX_PATTERN_STARS
+    make_pointer_filter(include=[ok], allow_wildcards=True)
+
+
+def test_parse_hooks_on_string_entry():
+    """parse_float / parse_int hooks on the string entry — the engine twin
+    of the reference's JsonSerializerOptions argument
+    (TimeSeriesExtractor.cs:356-359)."""
+    from json_time_series_extractor_ray import ExtractorOptions, extract_samples
+
+    opts = ExtractorOptions(recursive=True)
+    payload = '{"time":"2024-01-01T00:00:01.000000Z","v":1.25,"n":7}'
+    base = extract_samples(payload, opts, fallback_now_ns=0)
+    assert [s.value for s in base] == [1.25, 7.0]
+
+    hooked = extract_samples(
+        payload, opts, fallback_now_ns=0,
+        parse_float=lambda s: float(s) * 2,
+        parse_int=lambda s: int(s) * 10,
+    )
+    assert [s.value for s in hooked] == [2.5, 70.0]
