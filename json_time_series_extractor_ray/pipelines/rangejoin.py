@@ -14,11 +14,13 @@ sweep — for each interval, the contained left rows are one contiguous
 slice of the ts-sorted left side, materialized with a repeat/arange
 gather (no Python loop over rows).
 
-PARTITIONING ASSUMPTION (documented per the custom-operator rule): all
-rows of one ``by`` key — both sides — must fit in one group task, the
-same contract as the as-of join.  For keys with huge interval sets,
-bucket intervals by coarse time range first so each group sees one
-bucket (the hopping-window trick in ``downsample.hopping_rollup``).
+PARTITIONING ASSUMPTION (documented per the custom-operator rule): by
+default all rows of one ``by`` key — both sides — must fit in one group
+task, the same contract as the as-of join.  ``bucket_ns=...`` lifts it:
+groups become ``(key, ts // bucket_ns)`` with intervals replicated to
+every bucket they overlap, so no hot key can exceed one key x one bucket
+(value-identical, driver-checked via the same-oracle twin
+``events_session_assign_bucketed``).
 """
 
 from __future__ import annotations
@@ -61,12 +63,21 @@ def _project_intervals(ds, by: str, start: str, end: str, cols, all_cols):
 
 def range_join(left_ds, right_ds, *, by: str, left_ts: str,
                right_start: str, right_end: str,
-               left_cols: dict, right_cols: dict):
+               left_cols: dict, right_cols: dict,
+               bucket_ns: int | None = None):
     """Inner interval join (``right.start <= left.ts <= right.end``).
 
     ``left_cols`` / ``right_cols``: {column_name: pyarrow_type} carried
     from each side.
-    """
+
+    ``bucket_ns``: co-partition on ``(by, ts // bucket_ns)`` so one hot
+    key's rows never exceed a single group task (the 100 TB-safe mode,
+    mirroring ``asof_join``).  Each left row lands in exactly one bucket;
+    each interval is replicated to every bucket it overlaps (bounded by
+    interval length / bucket_ns — no carry-over state needed, unlike the
+    as-of join), so every (left row, containing interval) pair meets in
+    exactly one group and the output is value-identical to the unbucketed
+    path (pinned by test)."""
     all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
     l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
 
@@ -76,6 +87,40 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
     l = l.map_batches(_add_end, batch_format="pyarrow", zero_copy_batch=True)
     r = _project_intervals(right_ds, by, right_start, right_end,
                            set(right_cols), all_cols)
+
+    if bucket_ns is not None:
+        def _bucket_left(batch: pa.Table) -> pa.Table:
+            ts = batch.column("__ts").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "__bucket", pa.array(ts // bucket_ns, pa.int64())
+            )
+
+        def _replicate_intervals(batch: pa.Table) -> pa.Table:
+            start = batch.column("__ts").to_numpy(zero_copy_only=False)
+            end = batch.column("__end").to_numpy(zero_copy_only=False)
+            b0 = start // bucket_ns
+            b1 = end // bucket_ns
+            # empty (end < start) intervals replicate nowhere, matching the
+            # unbucketed searchsorted (hi < lo -> zero matches)
+            reps = np.maximum(b1 - b0 + 1, 0).astype(np.int64)
+            idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+            starts = np.cumsum(reps) - reps
+            bucket = (
+                np.arange(int(reps.sum()), dtype=np.int64)
+                - np.repeat(starts, reps)
+                + np.repeat(b0, reps)
+            )
+            out = batch.take(pa.array(idx))
+            return out.append_column("__bucket", pa.array(bucket, pa.int64()))
+
+        l = l.map_batches(_bucket_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        r = r.map_batches(_replicate_intervals, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        group_keys = ["__by", "__bucket"]
+    else:
+        group_keys = "__by"
+
     unioned = l.union(r)
 
     left_names = list(left_cols)
@@ -98,7 +143,8 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
         ends = right["__end"].to_numpy()
         lo = np.searchsorted(l_ts, starts, side="left")
         hi = np.searchsorted(l_ts, ends, side="right")
-        counts = hi - lo
+        # empty intervals (end < start) give hi < lo: zero matches
+        counts = np.maximum(hi - lo, 0)
         total = int(counts.sum())
         if total == 0:
             return empty
@@ -115,7 +161,8 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
 
-    joined = unioned.groupby("__by").map_groups(_merge, batch_format="pandas")
+    joined = unioned.groupby(group_keys).map_groups(_merge,
+                                                    batch_format="pandas")
 
     # The tagged union holds nulls in the other side's columns, so pandas
     # upcasts int columns to float inside the group frames; restore every
@@ -139,7 +186,7 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
 # event stream of the same user.
 # ---------------------------------------------------------------------------
 
-def _q_events_session_assign(sf_dir: str):
+def _q_events_session_assign(sf_dir: str, bucket_ns: int | None = None):
     import ray
 
     from .windows import SESSION_GAP_NS, sessionize
@@ -164,6 +211,7 @@ def _q_events_session_assign(sf_dir: str):
         right_end="session_end_ns",
         left_cols={"event_id": pa.int64()},
         right_cols={"session_id": pa.int64()},
+        bucket_ns=bucket_ns,
     )
 
     def _shape(batch: pa.Table) -> pa.Table:
@@ -204,6 +252,42 @@ register(
     sess AS (
         -- sum() OVER -> HUGEINT fetches as float64; cast so the driver
         -- value-hash sees int64 on both sides (round-1 lesson).
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               min(ts_ns) AS s_start, max(ts_ns) AS s_end
+        FROM y GROUP BY user_id, sid
+    )
+    SELECT e.event_id, epoch_ns(e.ts) AS ts_ns, e.user_id, s.session_id
+    FROM events e
+    JOIN sess s
+      ON e.user_id = s.user_id
+     AND epoch_ns(e.ts) BETWEEN s.s_start AND s.s_end
+    """,
+)
+
+# Same oracle, week-bucketed co-partition: proves the hot-key-safe mode
+# is value-identical through the driver gate (the salted-rollup trick).
+_RANGE_BUCKET_NS = 7 * 24 * 3600 * 10**9
+
+register(
+    "events_session_assign_bucketed",
+    lambda sf: _q_events_session_assign(sf, bucket_ns=_RANGE_BUCKET_NS),
+    f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {_GAP}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts_ns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM x
+    ),
+    sess AS (
         SELECT user_id, CAST(sid AS BIGINT) AS session_id,
                min(ts_ns) AS s_start, max(ts_ns) AS s_end
         FROM y GROUP BY user_id, sid

@@ -222,3 +222,45 @@ class TestBucketedAsof:
                           "rval": pa.array([], pa.int64())})
         base, bucketed = self._both(left, right, ray, bucket_ns=10)
         assert len(base) == 0 and len(bucketed) == 0
+
+
+class TestBucketedRangeJoin:
+    """Bucketed range join (intervals replicated to overlapped buckets)
+    must be value-identical to the unbucketed join."""
+
+    def test_planted_hot_key_spanning_intervals(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.rangejoin import (
+            range_join,
+        )
+
+        rng = np.random.default_rng(13)
+        n_l = 1200
+        l_keys = rng.choice(["h", "h", "h", "c1", "c2"], size=n_l).tolist()
+        l_ts = rng.integers(0, 10_000, size=n_l)
+        # intervals: some within one bucket, some spanning many, one empty
+        r_keys = ["h"] * 6 + ["c1"] * 2
+        r_start = [0, 150, 950, 400, 8_000, 500, 100, 9_000]
+        r_end = [120, 3_000, 1_050, 380, 9_999, 500, 5_000, 9_500]
+        kw = dict(by="k", left_ts="ts", right_start="start_ns",
+                  right_end="end_ns",
+                  left_cols={"event_id": pa.int64()},
+                  right_cols={"iv": pa.int64()})
+        left = ray.data.from_arrow(pa.table({
+            "k": l_keys, "ts": pa.array(l_ts, pa.int64()),
+            "event_id": pa.array(np.arange(n_l), pa.int64()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "k": r_keys, "start_ns": pa.array(r_start, pa.int64()),
+            "end_ns": pa.array(r_end, pa.int64()),
+            "iv": pa.array(np.arange(len(r_keys)), pa.int64()),
+        }))
+        base = range_join(left, right, **kw).to_pandas()
+        bucketed = range_join(left, right, bucket_ns=100, **kw).to_pandas()
+        key = ["event_id", "iv"]
+        b = set(map(tuple, base[key].to_numpy()))
+        bb = set(map(tuple, bucketed[key].to_numpy()))
+        assert b == bb and len(b) > 0
+        # each (row, interval) pair appears exactly once in both
+        assert len(base) == len(b) and len(bucketed) == len(bb)
