@@ -1,0 +1,426 @@
+"""Time-series analytics operators: OHLC candles, z-score anomaly
+detection, and time-weighted averages.
+
+The reference is a per-document flat-map with no analytics (SURVEY.md
+§2.6); these extend the engine's rollup family with the next three
+aggregates a metrics/IoT user reaches for.  Scale shapes:
+
+* **OHLC** follows the ladder's combiner contract (stages/rollup.py):
+  each sample block collapses to at most one partial row per
+  ``(series_key, window)`` inside ``map_batches`` — carrying the
+  deterministic open/close pick keys ``(ts, doc_id, ordinal)`` — before
+  the single ``series_key`` shuffle, so even a hot series is bounded by
+  (#blocks x #windows) partial rows, never raw samples.
+* **Z-score anomalies** is the canonical two-pass broadcast shape: pass 1
+  reduces the stream to one ``(sum, sumsq, count)`` row per series
+  (per-block partials -> one tiny groupby), pass 2 re-scans the stream
+  flagging ``|z| > threshold`` with the k-row stats table broadcast into
+  every task — two sequential scans, zero joins, nothing materialized.
+* **TWA** needs within-window point adjacency, so it shuffles on
+  ``series_key`` and sorts per series (the ``rate_increase`` contract,
+  downsample.py): series cardinality must be >= desired parallelism.
+
+Float parity with the DuckDB oracles follows the repo rule (memory +
+BASELINE notes): cross-engine summation order differs, so every sum is
+rounded to 6 decimals with ``round_half_away`` (bit-matching DuckDB
+``ROUND``) BEFORE any derived arithmetic, and both engines then apply the
+IDENTICAL IEEE expression tree.  TWA weights are converted ns -> seconds
+first so weighted sums stay ~1e7, where a 6-decimal rounding still
+dominates ULP reassociation noise (at ns scale, sums ~1e15 would swamp
+it).  OHLC needs no rounding at all: every output is an exact pick or an
+exact min/max.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.rollup import WINDOW_NS
+from ._util import round_half_away
+
+_ORDER = ["ts_ns", "doc_id", "ordinal"]
+
+_OHLC_PARTIAL_DTYPES = {
+    "series_key": "object", "window_ns": "int64",
+    "open": "float64", "high": "float64", "low": "float64",
+    "close": "float64",
+    "open_ts": "int64", "open_doc": "object", "open_ord": "int64",
+    "close_ts": "int64", "close_doc": "object", "close_ord": "int64",
+}
+
+
+def _numeric(batch: pa.Table) -> pa.Table:
+    mask = pc.equal(batch.column("value_kind"), 1)
+    t = batch.filter(mask)
+    return pa.table({
+        "series_key": t.column("series_key"),
+        "ts_ns": t.column("ts").cast(pa.int64()),
+        "value_num": t.column("value_num"),
+        "doc_id": t.column("doc_id"),
+        "ordinal": t.column("sample_ordinal").cast(pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# OHLC candles
+# ---------------------------------------------------------------------------
+
+def ohlc_partial_batch(batch: pa.Table, window_ns: int) -> pa.Table:
+    """One sample block -> per-(series, window) OHLC partials.
+
+    Pure numpy: factorize keys, one lexsort by the deterministic total
+    order ``(ts, doc_id, ordinal)`` (SURVEY.md §7.3.3), then segment
+    reduceat for high/low and segment-boundary picks for open/close."""
+    t = _numeric(batch)
+    if t.num_rows == 0:
+        return pa.Table.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=d)
+                          for c, d in _OHLC_PARTIAL_DTYPES.items()}),
+            preserve_index=False,
+        )
+    ts = t.column("ts_ns").to_numpy()
+    v = t.column("value_num").to_numpy(zero_copy_only=False)
+    ordinal = t.column("ordinal").to_numpy()
+    series = t.column("series_key").to_pandas()
+    docs = t.column("doc_id").to_pandas()
+    window = ts - (ts % window_ns)
+
+    doc_codes, doc_uniques = pd.factorize(docs, sort=True)
+    skey_codes, skey_uniques = pd.factorize(series, sort=True)
+    order = np.lexsort((ordinal, doc_codes, ts, window, skey_codes))
+    sk, w = skey_codes[order], window[order]
+    seg = np.flatnonzero(np.concatenate(
+        ([True], (sk[1:] != sk[:-1]) | (w[1:] != w[:-1]))
+    ))
+    last = np.concatenate((seg[1:] - 1, [len(sk) - 1]))
+    vs = v[order]
+    return pa.table({
+        "series_key": pa.array(skey_uniques[sk[seg]], pa.string()),
+        "window_ns": pa.array(w[seg], pa.int64()),
+        "open": pa.array(vs[seg], pa.float64()),
+        "high": pa.array(np.maximum.reduceat(vs, seg), pa.float64()),
+        "low": pa.array(np.minimum.reduceat(vs, seg), pa.float64()),
+        "close": pa.array(vs[last], pa.float64()),
+        "open_ts": pa.array(ts[order][seg], pa.int64()),
+        "open_doc": pa.array(doc_uniques[doc_codes[order][seg]], pa.string()),
+        "open_ord": pa.array(ordinal[order][seg], pa.int64()),
+        "close_ts": pa.array(ts[order][last], pa.int64()),
+        "close_doc": pa.array(doc_uniques[doc_codes[order][last]],
+                              pa.string()),
+        "close_ord": pa.array(ordinal[order][last], pa.int64()),
+    })
+
+
+def _ohlc_merge(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge one series' partial rows into final per-window candles."""
+    # open: the partial whose (open_ts, open_doc, open_ord) is minimal
+    a = df.sort_values(["window_ns", "open_ts", "open_doc", "open_ord"],
+                       kind="stable")
+    opens = a.groupby("window_ns", sort=True).first()
+    # close: maximal (close_ts, close_doc, close_ord)
+    d = df.sort_values(["window_ns", "close_ts", "close_doc", "close_ord"],
+                       kind="stable")
+    closes = d.groupby("window_ns", sort=True).last()
+    hl = df.groupby("window_ns", sort=True).agg(
+        high=("high", "max"), low=("low", "min")
+    )
+    out = pd.DataFrame({
+        "series_key": opens["series_key"],
+        "open": opens["open"],
+        "high": hl["high"],
+        "low": hl["low"],
+        "close": closes["close"],
+    }).reset_index()
+    return out[["series_key", "window_ns", "open", "high", "low", "close"]]
+
+
+def ohlc_rollup(samples_ds, *, window_ns: int = WINDOW_NS["1m"],
+                batch_size: int = 65536):
+    """Per-(series, window) OHLC candles over the numeric sample stream."""
+    import functools
+
+    partial = samples_ds.map_batches(
+        functools.partial(ohlc_partial_batch, window_ns=window_ns),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )
+    return partial.groupby("series_key").map_groups(
+        _ohlc_merge, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+def _stats_partial(batch: pa.Table) -> pa.Table:
+    """One block -> per-series (sum, sumsq, count) partials, summed in the
+    deterministic ``(ts, doc_id, ordinal)`` order so reruns are
+    bit-identical; carries the segment's first-order key for the same
+    reason at merge time."""
+    t = _numeric(batch)
+    if t.num_rows == 0:
+        return pa.table({
+            "series_key": pa.array([], pa.string()),
+            "s": pa.array([], pa.float64()),
+            "ss": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+            "first_ts": pa.array([], pa.int64()),
+            "first_doc": pa.array([], pa.string()),
+            "first_ord": pa.array([], pa.int64()),
+        })
+    ts = t.column("ts_ns").to_numpy()
+    v = t.column("value_num").to_numpy(zero_copy_only=False)
+    ordinal = t.column("ordinal").to_numpy()
+    doc_codes, doc_uniques = pd.factorize(
+        t.column("doc_id").to_pandas(), sort=True)
+    skey_codes, skey_uniques = pd.factorize(
+        t.column("series_key").to_pandas(), sort=True)
+    order = np.lexsort((ordinal, doc_codes, ts, skey_codes))
+    sk = skey_codes[order]
+    seg = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+    vs = v[order]
+    counts = np.diff(np.concatenate((seg, [len(sk)])))
+    return pa.table({
+        "series_key": pa.array(skey_uniques[sk[seg]], pa.string()),
+        "s": pa.array(np.add.reduceat(vs, seg), pa.float64()),
+        "ss": pa.array(np.add.reduceat(vs * vs, seg), pa.float64()),
+        "n": pa.array(counts, pa.int64()),
+        "first_ts": pa.array(ts[order][seg], pa.int64()),
+        "first_doc": pa.array(doc_uniques[doc_codes[order][seg]],
+                              pa.string()),
+        "first_ord": pa.array(ordinal[order][seg], pa.int64()),
+    })
+
+
+def series_stats(samples_ds):
+    """Per-series ``(sum, sumsq, count)`` as a tiny pandas frame (one row
+    per series).  Partials merge in sorted ``(first_ts, first_doc,
+    first_ord)`` order so the float sums are deterministic across runs."""
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["first_ts", "first_doc", "first_ord"],
+                            kind="stable")
+        return pd.DataFrame({
+            "series_key": [df["series_key"].iloc[0]],
+            "s": [df["s"].to_numpy().sum()],
+            "ss": [df["ss"].to_numpy().sum()],
+            "n": [int(df["n"].sum())],
+        })
+
+    partial = samples_ds.map_batches(
+        _stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = partial.groupby("series_key").map_groups(
+        _merge, batch_format="pandas"
+    )
+    return merged.to_pandas()  # k rows — one per series
+
+
+def zscore_anomalies(samples_fn, *, threshold: float = 3.0,
+                     round_digits: int = 6):
+    """Rows whose value deviates > ``threshold`` standard deviations from
+    the series mean.  ``samples_fn`` is a zero-arg callable producing the
+    sample Dataset — the stream is consumed twice (stats scan, then flag
+    scan), the inherent cost of a two-pass statistic; each pass streams.
+
+    Oracle parity: ``s`` and ``ss`` are rounded to 6 decimals before the
+    mean/variance arithmetic, and z uses the identical IEEE expression on
+    both engines, so the rounded z (and therefore the > threshold cut)
+    match bit-for-bit."""
+    stats = series_stats(samples_fn())
+    lut = {
+        r.series_key: (
+            float(round_half_away(r.s, round_digits)),
+            float(round_half_away(r.ss, round_digits)),
+            int(r.n),
+        )
+        for r in stats.itertuples()
+    }
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        t = _numeric(batch)
+        keys = t.column("series_key").to_pandas()
+        v = t.column("value_num").to_numpy(zero_copy_only=False)
+        z = np.full(len(v), np.nan)
+        for key, (s, ss, n) in lut.items():
+            if n < 2:
+                continue
+            var = (ss - s * s / n) / (n - 1)
+            if var <= 0:
+                continue
+            m = keys.to_numpy() == key
+            z[m] = (v[m] - s / n) / np.sqrt(var)
+        z = round_half_away(z, round_digits)
+        keep = np.abs(z) > threshold
+        t = t.filter(pa.array(keep & ~np.isnan(z)))
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "ts_ns": t.column("ts_ns"),
+            "value_num": t.column("value_num"),
+            "z": pa.array(z[keep & ~np.isnan(z)], pa.float64()),
+        })
+
+    return samples_fn().map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+def twa_rollup(samples_ds, *, window_ns: int = WINDOW_NS["1d"],
+               round_digits: int = 6):
+    """Per-(series, window) time-weighted mean: each point weighted by its
+    hold time until the next point in the SAME window (LOCF weighting,
+    the TimescaleDB ``time_weight('LOCF')`` convention restricted to
+    window-interior intervals); windows need >= 2 distinct timestamps.
+
+    Weights are ns -> seconds (one float divide, identical both engines)
+    so the weighted sums stay small enough for 6-decimal rounding to
+    absorb cross-engine summation-order noise."""
+
+    def _twa_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_ORDER, kind="stable", ignore_index=True)
+        ts = df["ts_ns"].to_numpy()
+        v = df["value_num"].to_numpy()
+        w = ts - (ts % window_ns)
+        out_w, out_twa = [], []
+        for win in np.unique(w):
+            m = w == win
+            twin, vwin = ts[m], v[m]
+            if len(twin) < 2 or twin[-1] == twin[0]:
+                continue
+            dt_s = (twin[1:] - twin[:-1]) / 1_000_000_000.0
+            num = round_half_away(
+                float((vwin[:-1] * dt_s).sum()), round_digits)
+            dur = (twin[-1] - twin[0]) / 1_000_000_000.0
+            out_w.append(win)
+            out_twa.append(round_half_away(num / dur, round_digits))
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[0] if out_w else
+            pd.Series(dtype="object"),
+            "window_ns": pd.Series(out_w, dtype="int64"),
+            "twa": pd.Series(out_twa, dtype="float64"),
+        }) if out_w else pd.DataFrame({
+            "series_key": pd.Series(dtype="object"),
+            "window_ns": pd.Series(dtype="int64"),
+            "twa": pd.Series(dtype="float64"),
+        })
+
+    proj = samples_ds.map_batches(
+        _numeric, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return proj.groupby("series_key").map_groups(
+        _twa_group, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver queries + oracles
+# ---------------------------------------------------------------------------
+
+def _events_samples(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_pipeline
+
+    return extract_pipeline(events_corpus_dataset(sf_dir))
+
+
+def _register_queries() -> None:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+    from .registry import register
+
+    w1m = WINDOW_NS["1m"]
+    register(
+        "events_ohlc_1m",
+        lambda sf: ohlc_rollup(_events_samples(sf), window_ns=w1m),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        b AS (
+            SELECT series_key, ts_ns, value_num, doc_id, ordinal,
+                   ts_ns - (ts_ns % {w1m}) AS window_ns
+            FROM num
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY series_key, window_ns
+                       ORDER BY ts_ns, doc_id, ordinal
+                   ) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY series_key, window_ns
+                       ORDER BY ts_ns DESC, doc_id DESC, ordinal DESC
+                   ) AS rn_d
+            FROM b
+        )
+        SELECT series_key, window_ns,
+               max(CASE WHEN rn_a = 1 THEN value_num END) AS open,
+               max(value_num) AS high,
+               min(value_num) AS low,
+               max(CASE WHEN rn_d = 1 THEN value_num END) AS close
+        FROM r GROUP BY series_key, window_ns
+        """,
+    )
+
+    register(
+        "events_zscore_anomalies",
+        lambda sf: zscore_anomalies(lambda: _events_samples(sf),
+                                    threshold=3.0),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        st AS (
+            SELECT series_key,
+                   round(sum(value_num), 6) AS s,
+                   round(sum(value_num * value_num), 6) AS ss,
+                   count(*) AS n
+            FROM num GROUP BY series_key
+        ),
+        z AS (
+            SELECT num.series_key, ts_ns, value_num,
+                   round((value_num - s / n)
+                         / sqrt((ss - s * s / n) / (n - 1)), 6) AS z
+            FROM num JOIN st USING (series_key)
+            WHERE n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+        )
+        SELECT series_key, ts_ns, value_num, z FROM z WHERE abs(z) > 3
+        """,
+    )
+
+    w1d = WINDOW_NS["1d"]
+    register(
+        "events_twa_1d",
+        lambda sf: twa_rollup(_events_samples(sf), window_ns=w1d),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        b AS (
+            SELECT series_key, ts_ns, value_num, doc_id, ordinal,
+                   ts_ns - (ts_ns % {w1d}) AS window_ns
+            FROM num
+        ),
+        o AS (
+            SELECT *,
+                   lead(ts_ns) OVER (
+                       PARTITION BY series_key, window_ns
+                       ORDER BY ts_ns, doc_id, ordinal
+                   ) AS nxt
+            FROM b
+        ),
+        agg AS (
+            SELECT series_key, window_ns,
+                   round(sum(CASE WHEN nxt IS NOT NULL THEN
+                       value_num * ((nxt - ts_ns) / 1000000000.0)
+                   END), 6) AS num_,
+                   (max(ts_ns) - min(ts_ns)) / 1000000000.0 AS dur,
+                   count(*) AS n
+            FROM o GROUP BY series_key, window_ns
+        )
+        SELECT series_key, window_ns, round(num_ / dur, 6) AS twa
+        FROM agg WHERE n >= 2 AND dur > 0
+        """,
+    )
+
+
+_register_queries()

@@ -40,6 +40,7 @@ def _load_all() -> None:
         return
     _LOADED = True
     from . import (  # noqa: F401
+        analytics,
         asof,
         curation,
         dedup,

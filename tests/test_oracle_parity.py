@@ -43,6 +43,10 @@ SUBSET = [
     "events_pivot_1m_means",
     "near_dup_clusters",
     "corpus_curation",
+    "events_session_assign_bucketed",
+    "events_ohlc_1m",
+    "events_zscore_anomalies",
+    "events_twa_1d",
 ]
 
 
