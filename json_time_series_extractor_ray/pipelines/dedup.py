@@ -701,7 +701,8 @@ register(
     lambda sf: simhash_dups(_read(sf, "documents", ["doc_id", "text"])),
 )
 
-def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU):
+def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
+                      max_edges: int = 5_000_000):
     """Connected components over the near-duplicate pair graph: every
     vector gets ``cluster_id`` = min vec_id reachable through pairs with
     cosine >= tau (singletons cluster with themselves).
@@ -712,12 +713,24 @@ def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU):
     blocking/LSH bounds candidate pairs); the label map is then broadcast
     ONCE via ``ray.put`` and the full embeddings table streams through a
     ``map_batches`` assignment without ever materializing.
+
+    ``max_edges`` guards that assumption: if the pair graph exceeds it
+    (tau too loose / blocking too coarse), the collect aborts with a
+    clear error instead of silently exhausting driver memory — the fix is
+    a tighter ``tau`` or finer blocking, not a bigger driver.
     """
     import ray
 
-    edges = embedding_near_dups(emb_ds, tau=tau).select_columns(
-        ["vec_a", "vec_b"]
-    ).take_all()
+    try:
+        edges = embedding_near_dups(emb_ds, tau=tau).select_columns(
+            ["vec_a", "vec_b"]
+        ).take_all(limit=max_edges)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"near-dup pair graph exceeds max_edges={max_edges}; the "
+            "driver-side union-find assumes edges << rows. Raise tau, "
+            "tighten the blocking, or raise max_edges deliberately."
+        ) from exc
 
     parent: dict = {}
 

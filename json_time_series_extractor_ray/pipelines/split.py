@@ -85,6 +85,44 @@ def sample_corpus(ds, *, k: int, id_column: str = "doc_id", salt: str = ""):
     )
 
 
+def stratified_sample(ds, *, k: int, strata_col: str = "lang",
+                      id_column: str = "doc_id", salt: str = ""):
+    """Deterministic k-per-stratum sample (e.g. k docs per language): the
+    k smallest md5 ranks within each stratum.
+
+    Scale shape = ``sample_corpus`` per stratum: every block prunes itself
+    to at most k candidates PER STRATUM inside ``map_batches``, so the
+    one ``groupby(strata_col)`` shuffle moves ``n_blocks * k`` rows per
+    stratum, never the corpus; the per-stratum merge then keeps the k
+    smallest.  Deterministic, stable under resume, SQL-mirrorable
+    (``QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY md5(id))
+    <= k``)."""
+
+    def _rank_prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        ranks = [hashlib.md5((salt + str(i)).encode()).hexdigest()
+                 for i in ids]
+        df = pa.table({
+            id_column: batch.column(id_column),
+            strata_col: batch.column(strata_col),
+            "rank_key": pa.array(ranks, pa.string()),
+        }).to_pandas()
+        pruned = (df.sort_values([strata_col, "rank_key"], kind="stable")
+                  .groupby(strata_col, sort=False).head(k))
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    def _final_topk(df):
+        out = df.sort_values("rank_key", kind="stable").head(k)
+        return out[[id_column, strata_col, "rank_key"]]
+
+    return (
+        ds.map_batches(_rank_prune, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(strata_col)
+        .map_groups(_final_topk, batch_format="pandas")
+    )
+
+
 def _q_sample(sf_dir: str):
     import ray
 
@@ -130,6 +168,28 @@ register(
     FROM documents
     ORDER BY rank_key
     LIMIT 100
+    """,
+)
+
+def _q_stratified(sf_dir: str):
+    import ray
+
+    return stratified_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"]),
+        k=20,
+    )
+
+
+register(
+    "doc_stratified_sample",
+    _q_stratified,
+    """
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS rank_key
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+    ) <= 20
     """,
 )
 

@@ -503,3 +503,77 @@ register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Common-token ratio (corpus-vocabulary broadcast scoring)
+# ---------------------------------------------------------------------------
+
+def common_token_ratio(docs_ds_fn, *, k: int = 100):
+    """Per-document share of whitespace tokens that belong to the
+    corpus-wide top-``k`` vocabulary — a cheap fluency/quality signal
+    (documents full of rare tokens score low).
+
+    The canonical broadcast-small-side shape: phase 1 computes the top-k
+    vocabulary with the ``top_ngrams`` combiner->groupby->limit pipeline
+    (k rows), phase 2 re-scans the corpus with that tiny vocabulary held
+    in the task closure — two streaming scans, no join shuffle.
+    ``docs_ds_fn`` is a zero-arg callable producing the documents Dataset
+    (consumed once per phase).
+    """
+    import pandas as pd
+
+    top = top_ngrams(docs_ds_fn(), n=1, k=k).to_pandas()
+    vocab = set(top["ngram"])
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = pd.Series(flat_words.to_numpy(zero_copy_only=False))
+        in_top = words.isin(vocab).to_numpy()
+        n_words = np.diff(offsets).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_words)), n_words)
+        n_top = np.bincount(
+            doc_idx, weights=in_top, minlength=len(n_words)
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_top": pa.array(n_top, pa.int64()),
+            "common_ratio": pa.array(
+                round_half_away(n_top / np.maximum(n_words, 1), 6),
+                pa.float64()),
+        })
+
+    return docs_ds_fn().map_batches(
+        _ratio, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+register(
+    "doc_common_token_ratio",
+    lambda sf: common_token_ratio(
+        lambda: _read_documents(sf, ["doc_id", "text"]), k=100
+    ),
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               )) AS word
+        FROM documents
+    ),
+    top AS (
+        SELECT word FROM w GROUP BY word
+        ORDER BY count(*) DESC, word LIMIT 100
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(CASE WHEN word IN (SELECT word FROM top)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_top,
+           round(n_top / n_words, 6) AS common_ratio
+    FROM per
+    """,
+)

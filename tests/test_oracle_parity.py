@@ -47,6 +47,8 @@ SUBSET = [
     "events_ohlc_1m",
     "events_zscore_anomalies",
     "events_twa_1d",
+    "doc_stratified_sample",
+    "doc_common_token_ratio",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Unit tests for stratified sampling, common-token-ratio scoring, and
+the near-dup edge-count guard."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray.pipelines.split import stratified_sample
+from json_time_series_extractor_ray.pipelines.textstats import (
+    common_token_ratio,
+)
+
+
+def _docs(rows):
+    ids, langs = zip(*rows)
+    return pa.table({
+        "doc_id": pa.array(list(ids), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+class TestStratifiedSample:
+    def test_k_per_stratum_by_md5_rank(self, ray_session):
+        import ray
+
+        rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+        out = stratified_sample(
+            ray.data.from_arrow(_docs(rows)), k=5, strata_col="lang"
+        ).to_pandas()
+        assert len(out) == 10
+        for lang in ("en", "de"):
+            ids = [i for i, l in rows if l == lang]
+            expect = sorted(
+                ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+            )[:5]
+            got = sorted(out[out.lang == lang]["doc_id"])
+            assert got == sorted(expect)
+
+    def test_small_stratum_keeps_all(self, ray_session):
+        import ray
+
+        rows = [(1, "xx"), (2, "xx"), (3, "yy")]
+        out = stratified_sample(
+            ray.data.from_arrow(_docs(rows)), k=10, strata_col="lang"
+        ).to_pandas()
+        assert len(out) == 3
+
+
+class TestCommonTokenRatio:
+    def test_ratio_against_known_vocab(self, ray_session):
+        import ray
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "b zz qq"], pa.string()),
+        })
+        out = common_token_ratio(
+            lambda: ray.data.from_arrow(t), k=2
+        ).to_pandas().set_index("doc_id")
+        # corpus counts: a=3, b=2, zz=1, qq=1 -> top-2 = {a, b}
+        assert out.loc[1, "n_top"] == 4 and out.loc[1, "common_ratio"] == 1.0
+        assert out.loc[2, "n_top"] == 1
+        assert out.loc[2, "common_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+class TestEdgeGuard:
+    def test_max_edges_aborts_with_clear_error(self, ray_session):
+        import numpy as np
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            near_dup_clusters,
+        )
+
+        # 40 identical unit vectors in one block -> hundreds of pairs
+        emb = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 40,
+                                  pa.list_(pa.float32())),
+        })
+        with pytest.raises(RuntimeError, match="max_edges"):
+            near_dup_clusters(ray.data.from_arrow(emb), tau=0.5,
+                              max_edges=10)
