@@ -43,6 +43,7 @@ def _load_all() -> None:
         analytics,
         asof,
         curation,
+        decontam,
         dedup,
         downsample,
         enrich,

@@ -577,3 +577,219 @@ register(
     FROM per
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratios (Gopher-style within-document duplication signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Within-document repetition signals (the Gopher data-quality family):
+    ``distinct_ratio`` (unique words / words), ``top_word_frac`` (share of
+    the single most frequent word), ``dup_2gram_frac`` (share of 2-gram
+    occurrences that repeat an earlier 2-gram in the same doc).
+
+    One Arrow split + two pandas ``groupby(size)`` calls per block — no
+    per-row Python; purely local, so the stage is an embarrassingly
+    parallel ``map_batches`` with no shuffle at any scale.
+    """
+    import pandas as pd
+
+    from .decontam import _doc_grams
+
+    flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+    words = flat_words.to_numpy(zero_copy_only=False)
+    n_docs = len(offsets) - 1
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+    n_words = np.diff(offsets).astype(np.int64)
+
+    wc = (pd.DataFrame({"d": doc_idx, "w": words})
+          .groupby(["d", "w"], sort=False).size())
+    per_doc = wc.groupby(level="d")
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    top_c = np.zeros(n_docs, dtype=np.int64)
+    n_distinct[per_doc.size().index] = per_doc.size().to_numpy()
+    top_c[per_doc.max().index] = per_doc.max().to_numpy()
+
+    grams, gdoc, _ = _doc_grams(batch, 2)
+    n2 = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+    d2 = np.zeros(n_docs, dtype=np.int64)
+    if len(grams):
+        gc = (pd.DataFrame({"d": gdoc, "g": grams})
+              .groupby(["d", "g"], sort=False).size().groupby(level="d").size())
+        d2[gc.index] = gc.to_numpy()
+
+    safe_w = np.maximum(n_words, 1)
+    dup2 = np.where(n2 > 0, 1.0 - d2 / np.maximum(n2, 1), 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "distinct_ratio": pa.array(
+            round_half_away(n_distinct / safe_w, 6), pa.float64()),
+        "top_word_frac": pa.array(
+            round_half_away(top_c / safe_w, 6), pa.float64()),
+        "dup_2gram_frac": pa.array(round_half_away(dup2, 6), pa.float64()),
+    })
+
+
+register(
+    "doc_repetition_stats",
+    lambda sf: _read_documents(sf, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    ),
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               )) AS word
+        FROM documents
+    ),
+    per_word AS (
+        SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               max(c) AS top_c
+        FROM per_word GROUP BY doc_id
+    ),
+    ws AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               ) AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(len(ws) - 1),
+                   i -> array_to_string(ws[i+1:i+2], ' ')
+               )) AS gram
+        FROM ws
+    ),
+    g2 AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n2,
+               CAST(count(DISTINCT gram) AS BIGINT) AS d2
+        FROM g GROUP BY doc_id
+    )
+    SELECT per.doc_id, n_words, n_distinct,
+           round(n_distinct / n_words, 6) AS distinct_ratio,
+           round(top_c / n_words, 6) AS top_word_frac,
+           round(CASE WHEN COALESCE(n2, 0) = 0 THEN 0
+                      ELSE 1 - d2 / n2 END, 6) AS dup_2gram_frac
+    FROM per LEFT JOIN g2 USING (doc_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (broadcast document frequencies)
+# ---------------------------------------------------------------------------
+
+def tfidf_keywords(docs_ds_fn, *, k: int = 3, max_vocab: int = 50_000_000):
+    """Top-``k`` TF-IDF keywords per document (``tf * ln(N/df)``, ties by
+    word), the classic keyword-extraction / relevance-feature operator.
+
+    Scale shape: document frequencies are a per-batch DISTINCT-(doc,word)
+    combiner -> one ``groupby(word)`` over bounded partials -> a
+    vocabulary-sized (word, df) table collected under ``max_vocab`` and
+    broadcast into a second streaming scan that scores and prunes to k
+    rows per doc locally — two scans, no per-doc shuffle.  At 100 TB with
+    an unbounded vocabulary the df side becomes an aggregate-join
+    (groupby word + hash-partitioned join) instead of a broadcast; the
+    guard makes that switch explicit rather than silent.
+    """
+    import pandas as pd
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = flat_words.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(offsets) - 1), np.diff(offsets))
+        uniq = (pd.DataFrame({"d": doc_idx, "w": words})
+                .drop_duplicates())
+        vc = uniq.groupby("w", sort=False).size()
+        return pa.table({
+            "word": pa.array(vc.index.to_numpy(), pa.string()),
+            "df": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    ds = docs_ds_fn()
+    n_docs = ds.count()
+    df_tbl = (
+        docs_ds_fn().map_batches(
+            _df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word").sum("df")
+    )
+    try:
+        rows = df_tbl.take_all(limit=max_vocab)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"vocabulary exceeds max_vocab={max_vocab}; switch the df side "
+            "from broadcast to an aggregate-join for this corpus."
+        ) from exc
+    df_map = {r["word"]: r["sum(df)"] for r in rows}
+
+    def _score(batch: pa.Table) -> pa.Table:
+        flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = flat_words.to_numpy(zero_copy_only=False)
+        n_in = len(offsets) - 1
+        doc_idx = np.repeat(np.arange(n_in), np.diff(offsets))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = (pd.DataFrame({"d": doc_idx, "w": words})
+              .groupby(["d", "w"], sort=False).size().reset_index(name="tf"))
+        dfs = tf["w"].map(df_map).to_numpy(dtype=np.float64)
+        score = round_half_away(
+            tf["tf"].to_numpy() * np.log(n_docs / dfs), 6)
+        tf["tfidf"] = score
+        top = (tf.sort_values(["d", "tfidf", "w"],
+                              ascending=[True, False, True], kind="stable")
+               .groupby("d", sort=False).head(k))
+        return pa.table({
+            "doc_id": pa.array(doc_ids[top["d"].to_numpy()], pa.int64()),
+            "word": pa.array(top["w"].to_numpy(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy().astype(np.int64), pa.int64()),
+            "tfidf": pa.array(top["tfidf"].to_numpy(), pa.float64()),
+        })
+
+    return docs_ds_fn().map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+register(
+    "doc_tfidf_keywords",
+    lambda sf: tfidf_keywords(
+        lambda: _read_documents(sf, ["doc_id", "text"]), k=3
+    ),
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               )) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM w GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, word, tf,
+           round(tf * ln(n.n / df.df), 6) AS tfidf
+    FROM tf
+    JOIN df USING (word)
+    CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word
+    ) <= 3
+    """,
+)

@@ -49,6 +49,9 @@ SUBSET = [
     "events_twa_1d",
     "doc_stratified_sample",
     "doc_common_token_ratio",
+    "doc_decontaminate",
+    "doc_repetition_stats",
+    "doc_tfidf_keywords",
 ]
 
 
