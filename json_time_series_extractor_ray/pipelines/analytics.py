@@ -424,3 +424,280 @@ def _register_queries() -> None:
 
 
 _register_queries()
+
+
+# ---------------------------------------------------------------------------
+# Per-series value histograms (fixed-bin, clamped)
+# ---------------------------------------------------------------------------
+
+def value_histogram(samples_ds, *, lo: float = 0.0, hi: float = 1000.0,
+                    n_bins: int = 25):
+    """Fixed-bin value histogram per series: ``bin = clamp(floor((v - lo)
+    / width), 0, n_bins - 1)`` (under/overflow clamp into the edge bins),
+    emitting only observed ``(series_key, bin)`` cells.
+
+    Scale shape: the per-batch combiner collapses every block to at most
+    ``n_series x n_bins`` partial rows (a numpy factorize+bincount), so
+    the single ``(series_key, bin)`` groupby shuffles bounded partials —
+    the distributed-histogram textbook shape.
+    """
+    import pandas as pd
+
+    width = (hi - lo) / n_bins
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = _numeric(batch)
+        v = t.column("value_num").to_numpy(zero_copy_only=False)
+        bins = np.clip(np.floor((v - lo) / width), 0, n_bins - 1).astype(
+            np.int64)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_numpy(
+                zero_copy_only=False),
+            "bin": bins,
+        })
+        part = df.groupby(["series_key", "bin"], sort=False).size()
+        idx = part.index.to_frame(index=False)
+        return pa.table({
+            "series_key": pa.array(idx["series_key"], pa.string()),
+            "bin": pa.array(idx["bin"].to_numpy(), pa.int64()),
+            "n": pa.array(part.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby(["series_key", "bin"])
+        .sum("n")
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_key": batch.column("series_key"),
+            "bin": batch.column("bin").cast(pa.int64()),
+            "bin_lo": pa.array(
+                lo + batch.column("bin").cast(pa.float64()).to_numpy(
+                    zero_copy_only=False) * width, pa.float64()),
+            "n": batch.column("sum(n)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Windowed EWMA smoothing
+# ---------------------------------------------------------------------------
+
+def ewma_smooth(samples_ds, *, alpha: float = 0.5, window_k: int = 8):
+    """Finite-window exponentially weighted moving average per series:
+    ``ewma[i] = sum_{j<K} (1-a)^j v[i-j] / sum_{j<K} (1-a)^j`` over the
+    points available (shorter prefix windows renormalize), points ordered
+    by ``(ts, doc_id, ordinal)``.
+
+    The finite window keeps the operator SQL-mirrorable (a bounded
+    row_number self-join) where the infinite-history EWMA recurrence is
+    not.  Per-series order -> one ``series_key`` shuffle (the
+    ``rate_increase`` partitioning contract: series cardinality must be
+    >= desired parallelism); the smoothing itself is one numpy
+    convolution per group.
+    """
+    w = (1.0 - alpha) ** np.arange(window_k)
+
+    def _smooth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_ORDER, kind="stable", ignore_index=True)
+        v = df["value_num"].to_numpy()
+        n = len(v)
+        num = np.convolve(v, w)[:n]
+        den = np.convolve(np.ones(n), w)[:n]
+        return pd.DataFrame({
+            "series_key": df["series_key"],
+            "ts_ns": df["ts_ns"],
+            "value_num": v,
+            "ewma": round_half_away(num / den, 6),
+        })
+
+    return (
+        samples_ds.map_batches(_numeric, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_smooth, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise series correlation over rollup windows
+# ---------------------------------------------------------------------------
+
+def pairwise_window_corr(wide_ds, *, series=None):
+    """Pearson correlation between every pair of series over their 1m
+    window means (co-occurring windows only) — "do these two metrics move
+    together?".
+
+    Scale shape: runs over the already-pivoted window table; each block
+    collapses to one ``(pair, n, sx, sy, sxx, syy, sxy)`` partial row per
+    pair inside ``map_batches``, one tiny ``groupby(pair)`` merges them,
+    and the closed-form corr is computed from the 6-dp-rounded sums (the
+    repo's cross-engine float-parity rule; DuckDB's native ``corr()``
+    uses different numerics, so the oracle applies the IDENTICAL rounded
+    expression instead).  Pair names are ordered lexicographically on
+    both sides.
+    """
+    from .windows import PIVOT_SERIES
+
+    series = tuple(series or PIVOT_SERIES)
+    cols = {s: f"{s.replace('/', '_')}_mean" for s in series}
+    pairs = [tuple(sorted((a, b)))
+             for i, a in enumerate(series) for b in series[i + 1:]]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows = {"series_a": [], "series_b": [], "n": [], "sx": [],
+                "sy": [], "sxx": [], "syy": [], "sxy": []}
+        data = {s: batch.column(cols[s]).to_numpy(zero_copy_only=False)
+                for s in series}
+        for a, b in pairs:
+            x, y = data[a], data[b]
+            ok = ~(np.isnan(x) | np.isnan(y))
+            xs, ys = x[ok], y[ok]
+            rows["series_a"].append(a)
+            rows["series_b"].append(b)
+            rows["n"].append(int(ok.sum()))
+            rows["sx"].append(float(xs.sum()))
+            rows["sy"].append(float(ys.sum()))
+            rows["sxx"].append(float((xs * xs).sum()))
+            rows["syy"].append(float((ys * ys).sum()))
+            rows["sxy"].append(float((xs * ys).sum()))
+        return pa.table({
+            "series_a": pa.array(rows["series_a"], pa.string()),
+            "series_b": pa.array(rows["series_b"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sx": pa.array(rows["sx"], pa.float64()),
+            "sy": pa.array(rows["sy"], pa.float64()),
+            "sxx": pa.array(rows["sxx"], pa.float64()),
+            "syy": pa.array(rows["syy"], pa.float64()),
+            "sxy": pa.array(rows["sxy"], pa.float64()),
+        })
+
+    agg = (
+        wide_ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["series_a", "series_b"])
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    )
+
+    def _corr(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        sx = round_half_away(
+            batch.column("sum(sx)").to_numpy(zero_copy_only=False), 6)
+        sy = round_half_away(
+            batch.column("sum(sy)").to_numpy(zero_copy_only=False), 6)
+        sxx = round_half_away(
+            batch.column("sum(sxx)").to_numpy(zero_copy_only=False), 6)
+        syy = round_half_away(
+            batch.column("sum(syy)").to_numpy(zero_copy_only=False), 6)
+        sxy = round_half_away(
+            batch.column("sum(sxy)").to_numpy(zero_copy_only=False), 6)
+        var = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        corr = np.where(var > 0,
+                        (n * sxy - sx * sy) / np.sqrt(np.maximum(var, 1e-300)),
+                        np.nan)
+        return pa.table({
+            "series_a": batch.column("series_a"),
+            "series_b": batch.column("series_b"),
+            "n_windows": batch.column("sum(n)").cast(pa.int64()),
+            "corr": pa.array(round_half_away(corr, 6), pa.float64()),
+        })
+
+    return agg.map_batches(_corr, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _register_analytics2() -> None:
+    from ._events_sql import EVENTS_NUMERIC_SQL, rollup_ctes
+    from .registry import register
+
+    register(
+        "events_value_histogram",
+        lambda sf: value_histogram(_events_samples(sf)),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        b AS (
+            SELECT series_key,
+                   CAST(LEAST(GREATEST(
+                       floor((value_num - 0.0) / 40.0), 0), 24) AS BIGINT
+                   ) AS bin
+            FROM num
+        )
+        SELECT series_key, bin, 0.0 + bin * 40.0 AS bin_lo,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY series_key, bin
+        """,
+    )
+
+    register(
+        "events_ewma",
+        lambda sf: ewma_smooth(_events_samples(sf), alpha=0.5, window_k=8),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        r AS (
+            SELECT series_key, ts_ns, value_num,
+                   row_number() OVER (
+                       PARTITION BY series_key
+                       ORDER BY ts_ns, doc_id, ordinal
+                   ) AS rn
+            FROM num
+        )
+        SELECT a.series_key, a.ts_ns, a.value_num,
+               round(sum(power(0.5, a.rn - b.rn) * b.value_num)
+                     / sum(power(0.5, a.rn - b.rn)), 6) AS ewma
+        FROM r a JOIN r b
+          ON a.series_key = b.series_key
+         AND b.rn BETWEEN a.rn - 7 AND a.rn
+        GROUP BY a.series_key, a.ts_ns, a.value_num, a.rn
+        """,
+    )
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    register(
+        "events_window_corr",
+        lambda sf: _q_window_corr(sf),
+        f"""
+        WITH {ctes},
+        m AS (
+            SELECT series_key, window_ns,
+                   round(round(sum, 6) / count, 6) AS mean
+            FROM rollup_
+        ),
+        p AS (
+            SELECT LEAST(a.series_key, b.series_key) AS series_a,
+                   GREATEST(a.series_key, b.series_key) AS series_b,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   round(sum(a.mean), 6) AS sx,
+                   round(sum(b.mean), 6) AS sy,
+                   round(sum(a.mean * a.mean), 6) AS sxx,
+                   round(sum(b.mean * b.mean), 6) AS syy,
+                   round(sum(a.mean * b.mean), 6) AS sxy
+            FROM m a JOIN m b
+              ON a.window_ns = b.window_ns
+             AND a.series_key < b.series_key
+            GROUP BY 1, 2
+        )
+        SELECT series_a, series_b, n_windows,
+               round((n_windows * sxy - sx * sy)
+                     / sqrt((n_windows * sxx - sx * sx)
+                            * (n_windows * syy - sy * sy)), 6) AS corr
+        FROM p
+        """,
+    )
+
+
+def _q_window_corr(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+    from .windows import pivot_tier_means
+
+    corpus = events_corpus_dataset(sf_dir)
+    rollups = extract_and_rollup(corpus, tiers=("1m",))
+    return pairwise_window_corr(pivot_tier_means(rollups, tier="1m"))
+
+
+_register_analytics2()

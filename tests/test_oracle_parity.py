@@ -52,6 +52,9 @@ SUBSET = [
     "doc_decontaminate",
     "doc_repetition_stats",
     "doc_tfidf_keywords",
+    "events_value_histogram",
+    "events_ewma",
+    "events_window_corr",
 ]
 
 
