@@ -48,6 +48,7 @@ def _load_all() -> None:
         downsample,
         enrich,
         multimodal,
+        packing,
         rangejoin,
         similarity,
         sketches,

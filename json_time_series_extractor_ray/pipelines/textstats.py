@@ -793,3 +793,76 @@ register(
     ) <= 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token -> postings)
+# ---------------------------------------------------------------------------
+
+def inverted_index(docs_ds, *, sample_k: int = 10, shards: int = 64):
+    """Search-index build: per token, the document frequency and the
+    first ``sample_k`` doc_ids (ascending) as a postings sample.
+
+    Scale shape: each block emits its DISTINCT ``(word, doc_id)`` pairs
+    (documents are rows, so per-block distinct IS globally distinct) —
+    the one shuffle moves exactly the index's own content, nothing more.
+    Groups are keyed by a ``hash(word) % shards`` column rather than raw
+    words so Ray sees ``shards`` healthy groups instead of
+    vocabulary-many tiny ones; each shard builds its postings with two
+    vectorized pandas groupbys.
+    """
+    import pandas as pd
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = flat_words.to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_per_word = np.repeat(doc_ids, np.diff(offsets))
+        uniq = (pd.DataFrame({"word": words, "doc_id": doc_per_word})
+                .drop_duplicates())
+        wshard = pd.util.hash_array(
+            uniq["word"].to_numpy(dtype=object)) % shards
+        return pa.table({
+            "word": pa.array(uniq["word"].to_numpy(), pa.string()),
+            "doc_id": pa.array(
+                uniq["doc_id"].to_numpy().astype(np.int64), pa.int64()),
+            "wshard": pa.array(wshard.astype(np.int64), pa.int64()),
+        })
+
+    def _build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["word", "doc_id"], kind="stable")
+        g = df.groupby("word", sort=False)
+        postings = (df.groupby("word", sort=False).head(sample_k)
+                    .groupby("word", sort=False)["doc_id"]
+                    .agg(lambda s: ",".join(map(str, s))))
+        out = pd.DataFrame({
+            "word": postings.index,
+            "df": g.size().reindex(postings.index).astype(np.int64),
+            "postings": postings.to_numpy(),
+        })
+        return out.reset_index(drop=True)
+
+    return (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("wshard")
+        .map_groups(_build, batch_format="pandas")
+    )
+
+
+register(
+    "doc_inverted_index",
+    lambda sf: inverted_index(_read_documents(sf, ["doc_id", "text"])),
+    r"""
+    WITH w AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               )) AS word
+        FROM documents
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+    FROM w GROUP BY word
+    """,
+)

@@ -55,6 +55,9 @@ SUBSET = [
     "events_value_histogram",
     "events_ewma",
     "events_window_corr",
+    "doc_pack_offsets",
+    "doc_chunk_manifest",
+    "doc_inverted_index",
 ]
 
 
