@@ -701,3 +701,85 @@ def _q_window_corr(sf_dir: str):
 
 
 _register_analytics2()
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile (hour-of-day averages)
+# ---------------------------------------------------------------------------
+
+def seasonal_profile(samples_ds, *, period_ns: int = 3_600_000_000_000,
+                     cycle: int = 24):
+    """Per-series seasonality profile: mean value per hour-of-day (UTC) —
+    "what does a typical day look like for this metric?".
+
+    Same combiner contract as the rollup ladder with the window key
+    replaced by ``(ts // period) % cycle``: every block collapses to at
+    most ``n_series x cycle`` partial (sum, count) rows, one tiny
+    ``(series_key, hour)`` groupby merges them.  The mean is computed
+    from the 6-dp-rounded sum (cross-engine float-parity rule).
+    """
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = _numeric(batch)
+        ts = t.column("ts_ns").to_numpy(zero_copy_only=False)
+        v = t.column("value_num").to_numpy(zero_copy_only=False)
+        hour = ((ts // period_ns) % cycle).astype(np.int64)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_numpy(
+                zero_copy_only=False),
+            "hour": hour,
+            "v": v,
+        })
+        g = df.groupby(["series_key", "hour"], sort=False)["v"].agg(
+            ["sum", "size"])
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            "series_key": pa.array(idx["series_key"], pa.string()),
+            "hour": pa.array(idx["hour"].to_numpy(), pa.int64()),
+            "s": pa.array(g["sum"].to_numpy(), pa.float64()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby(["series_key", "hour"])
+        .sum(["s", "n"])
+    )
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        s = round_half_away(
+            batch.column("sum(s)").to_numpy(zero_copy_only=False), 6)
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "series_key": batch.column("series_key"),
+            "hour": batch.column("hour").cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mean": pa.array(round_half_away(s / n, 6), pa.float64()),
+        })
+
+    return agg.map_batches(_mean, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _register_analytics3() -> None:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+    from .registry import register
+
+    register(
+        "events_hourly_profile",
+        lambda sf: seasonal_profile(_events_samples(sf)),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL})
+        SELECT series_key,
+               CAST((ts_ns // 3600000000000) % 24 AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               round(round(sum(value_num), 6) / count(*), 6) AS mean
+        FROM num GROUP BY series_key, hour
+        """,
+    )
+
+
+_register_analytics3()

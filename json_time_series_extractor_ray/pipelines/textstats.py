@@ -866,3 +866,70 @@ register(
     FROM w GROUP BY word
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Character entropy (gibberish / binary-noise detection)
+# ---------------------------------------------------------------------------
+
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Per-document Shannon entropy of the byte distribution (bits/char)
+    — near-zero flags repeated-character junk, ~4+ flags ASCII text,
+    higher flags random/binary noise.
+
+    Fully vectorized: one ``bincount`` over ``doc_idx * 256 + byte``
+    lanes for the whole block — no per-document Python.  Byte entropy
+    equals character entropy for ASCII corpora (the synthetic tables);
+    the oracle mirrors the character definition.
+    """
+    text = batch.column("text")
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    # StringArray exposes no .offsets accessor — read the raw buffers,
+    # honoring the array's slice offset (int32 offsets for string,
+    # int64 for large_string).
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    n_docs = len(lens)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    codes = doc_idx * 256 + data[offs[0]:offs[-1]].astype(np.int64)
+    counts = np.bincount(codes, minlength=n_docs * 256).reshape(n_docs, 256)
+    n = np.maximum(lens.astype(np.float64), 1.0)
+    p = counts / n[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.sum(np.where(counts > 0, p * np.log2(p), 0.0), axis=1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(lens.astype(np.int64), pa.int64()),
+        "char_entropy": pa.array(round_half_away(ent, 6), pa.float64()),
+    })
+
+
+register(
+    "doc_char_entropy",
+    lambda sf: _read_documents(sf, ["doc_id", "text"]).map_batches(
+        char_entropy_batch, batch_format="pyarrow", zero_copy_batch=True
+    ),
+    r"""
+    WITH c AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM c GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+    e AS (
+        SELECT cnt.doc_id,
+               CAST(min(n) AS BIGINT) AS n_chars,
+               round(-sum((c / n) * log2(c / n)), 6) + 0.0 AS char_entropy
+        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(e.n_chars, 0) AS n_chars,
+           COALESCE(e.char_entropy, 0.0) AS char_entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+)
