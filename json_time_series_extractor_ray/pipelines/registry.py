@@ -52,6 +52,7 @@ def _load_all() -> None:
         rangejoin,
         similarity,
         sketches,
+        snapshot,
         split,
         textstats,
         windows,

@@ -58,6 +58,11 @@ SUBSET = [
     "doc_pack_offsets",
     "doc_chunk_manifest",
     "doc_inverted_index",
+    "events_hourly_profile",
+    "doc_char_entropy",
+    "events_last_value",
+    "events_deadband",
+    "events_top_series_1h",
 ]
 
 
