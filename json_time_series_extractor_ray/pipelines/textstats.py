@@ -933,3 +933,111 @@ register(
     FROM documents d LEFT JOIN e USING (doc_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram LM scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(docs_ds_fn, *, max_vocab: int = 50_000_000):
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram LM: ``mean over tokens of ln(count(w) / total_tokens)`` — the
+    CCNet / fastText-era quality filter (docs far below the corpus mode
+    are boilerplate or noise, far above are keyword stuffing).
+
+    Scale shape (the ``tfidf_keywords`` contract): pass 1 reduces the
+    stream to a vocabulary-sized ``(word, count)`` table via a per-batch
+    ``value_counts`` combiner and one ``groupby(word)``; the table is
+    collected under ``max_vocab`` and broadcast into a second streaming
+    scan that scores each doc locally — two scans, no per-doc shuffle.
+    Past the guard, the score side becomes an aggregate-join on word.
+
+    Float parity: per-(doc, word) contributions ``tf * ln(p)`` are summed
+    per doc, the sum rounded to 6 dp, then divided by the token count and
+    re-rounded — the identical expression tree as the oracle, following
+    the repo's round-before-derive rule.
+    """
+    import pandas as pd
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        flat_words, _, _ = _words_and_offsets(batch.column("text"))
+        vc = flat_words.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    cnt_tbl = (
+        docs_ds_fn().map_batches(
+            _count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word").sum("cnt")
+    )
+    try:
+        rows = cnt_tbl.take_all(limit=max_vocab)
+    except ValueError as exc:
+        raise RuntimeError(
+            f"vocabulary exceeds max_vocab={max_vocab}; switch the scoring "
+            "side from broadcast to an aggregate-join for this corpus."
+        ) from exc
+    cnt_map = {r["word"]: r["sum(cnt)"] for r in rows}
+    total = float(sum(cnt_map.values()))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        flat_words, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = flat_words.to_numpy(zero_copy_only=False)
+        n_in = len(offsets) - 1
+        doc_idx = np.repeat(np.arange(n_in), np.diff(offsets))
+        tf = (pd.DataFrame({"d": doc_idx, "w": words})
+              .groupby(["d", "w"], sort=False).size().reset_index(name="tf"))
+        cnts = tf["w"].map(cnt_map).to_numpy(dtype=np.float64)
+        contrib = tf["tf"].to_numpy() * np.log(cnts / total)
+        per = pd.DataFrame({"d": tf["d"], "c": contrib, "tf": tf["tf"]})
+        g = per.groupby("d", sort=True).agg(s=("c", "sum"),
+                                            n=("tf", "sum"))
+        # Docs can be absent from g only if the batch had zero rows.
+        s = round_half_away(g["s"].to_numpy(), 6)
+        n = g["n"].to_numpy().astype(np.int64)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[g.index.to_numpy()]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tok": pa.array(n, pa.int64()),
+            "logprob_mean": pa.array(
+                round_half_away(s / n, 6), pa.float64()),
+        })
+
+    return docs_ds_fn().map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+register(
+    "doc_unigram_logprob",
+    lambda sf: unigram_logprob(
+        lambda: _read_documents(sf, ["doc_id", "text"])
+    ),
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               )) AS word
+        FROM documents
+    ),
+    cnt AS (
+        SELECT word, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY word
+    ),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tok,
+               round(sum(tf * ln(c / t)), 6) AS s
+        FROM tf JOIN cnt USING (word) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob_mean FROM per
+    """,
+)

@@ -63,6 +63,7 @@ SUBSET = [
     "events_last_value",
     "events_deadband",
     "events_top_series_1h",
+    "doc_unigram_logprob",
 ]
 
 
