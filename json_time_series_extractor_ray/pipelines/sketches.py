@@ -377,3 +377,94 @@ register(
     LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (uniform-compression summary, KLL-style)
+# ---------------------------------------------------------------------------
+
+QSK_CAP = 1024  # summary points per (block, key) -> rank error <= 1/(2*cap)
+
+
+def qsketch_compress(values: np.ndarray, weights: np.ndarray,
+                     cap: int = QSK_CAP) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a weighted, SORTED value list to at most ``cap`` points.
+
+    Picks the values at the ``cap`` equally-spaced cumulative-weight
+    midpoints and gives each ``W/cap`` weight — one compression adds at
+    most ``W/(2*cap)`` rank error, so block partials followed by a single
+    un-recompressed merge stay within ``n/(2*cap)`` ranks overall
+    (ε = 1/(2*cap) relative rank; deterministic, no sampling).
+    """
+    n = len(values)
+    if n <= cap:
+        return values, weights
+    total = float(weights.sum())
+    cum = np.cumsum(weights, dtype=np.float64)
+    targets = total * (np.arange(cap, dtype=np.float64) + 0.5) / cap
+    idx = np.searchsorted(cum, targets, side="left")
+    return values[idx], np.full(cap, total / cap)
+
+
+def qsketch_partial_batch(batch: pa.Table, *, key: str, value: str,
+                          cap: int = QSK_CAP) -> pa.Table:
+    """One block -> per-key compressed (value, weight) summary rows."""
+    df = pa.table({
+        "k": batch.column(key), "v": batch.column(value)
+    }).to_pandas()
+    ks, vs, ws = [], [], []
+    for k, g in df.groupby("k", sort=False):
+        v = np.sort(g["v"].to_numpy(dtype=np.float64))
+        cv, cw = qsketch_compress(v, np.ones(len(v)), cap)
+        ks.append(np.full(len(cv), k, dtype=object))
+        vs.append(cv)
+        ws.append(cw)
+    return pa.table({
+        "k": pa.array(np.concatenate(ks) if ks else [], pa.string()),
+        "v": pa.array(np.concatenate(vs) if vs else [], pa.float64()),
+        "w": pa.array(np.concatenate(ws) if ws else [], pa.float64()),
+    })
+
+
+def qsketch_quantiles(ds, *, key: str, value: str, pcts=PCTS,
+                      cap: int = QSK_CAP):
+    """Approximate per-key quantiles with a mergeable summary sketch:
+    per-(block, key) compressed partials (<= ``cap`` rows each, the
+    combiner) -> driver-side weighted-rank merge over the k-row summaries
+    — no shuffle of the data, only O(#blocks x #keys x cap) sketch rows
+    move.  Deterministic; rank error <= 1/(2*cap) of each key's mass
+    (pinned in TestQuantileSketch)."""
+    import functools
+
+    partials = ds.map_batches(
+        functools.partial(qsketch_partial_batch, key=key, value=value,
+                          cap=cap),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    df = pd.DataFrame(partials)
+    rows = []
+    for k, g in sorted(df.groupby("k", sort=False), key=lambda kv: kv[0]):
+        order = np.argsort(g["v"].to_numpy(), kind="stable")
+        v = g["v"].to_numpy()[order]
+        w = g["w"].to_numpy()[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        row = {key: k, "n": np.int64(round(total))}
+        for p in pcts:
+            i = int(np.searchsorted(cum, p * total, side="left"))
+            row[f"p{int(p * 100)}"] = v[min(i, len(v) - 1)]
+        rows.append(row)
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def _q_quantile_sketch(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return qsketch_quantiles(ds, key="event_type", value="value")
+
+
+# Approximate by construction (error bound pinned in pytest) -> rows-only.
+register("events_value_quantile_sketch", _q_quantile_sketch)

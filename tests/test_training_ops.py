@@ -560,3 +560,54 @@ class TestSketches:
         pd.testing.assert_frame_equal(
             got.astype({"n": "int64"}), exp.astype({"n": "int64"})
         )
+
+
+class TestQuantileSketch:
+    def test_rank_error_bound_across_blocks(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            qsketch_quantiles,
+        )
+
+        rng = np.random.default_rng(7)
+        n, cap = 60_000, 256
+        vals = rng.lognormal(mean=1.0, sigma=1.5, size=n)
+        t = pa.table({
+            "k": pa.array(["s"] * n), "v": pa.array(vals, pa.float64()),
+        })
+        # Many blocks so the merge path (not a single exact block) is hit.
+        ds = ray.data.from_arrow(t).repartition(16)
+        out = qsketch_quantiles(
+            ds, key="k", value="v", pcts=(0.5, 0.9, 0.99), cap=cap
+        ).to_pandas()
+        s = np.sort(vals)
+        for p in (0.5, 0.9, 0.99):
+            est = out[f"p{int(p * 100)}"].iloc[0]
+            # rank of the estimate in the true data
+            rank = np.searchsorted(s, est, side="right") / n
+            # theory: <= 1/(2*cap) relative rank per compression level;
+            # allow 2x slack for the discrete pick
+            assert abs(rank - p) <= 1.0 / cap, (p, rank)
+
+    def test_exact_when_under_capacity(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            group_percentiles,
+            qsketch_quantiles,
+        )
+
+        rng = np.random.default_rng(3)
+        t = pa.table({
+            "k": pa.array(["a"] * 300 + ["b"] * 150),
+            "v": pa.array(rng.normal(size=450), pa.float64()),
+        })
+        ds = ray.data.from_arrow(t)
+        approx = qsketch_quantiles(ds, key="k", value="v").to_pandas()
+        exact = group_percentiles(
+            ray.data.from_arrow(t), key="k", value="v"
+        ).to_pandas()
+        m = approx.merge(exact, on="k", suffixes=("_a", "_e"))
+        for p in ("p50", "p90", "p99"):
+            assert (m[f"{p}_a"] == m[f"{p}_e"]).all()
