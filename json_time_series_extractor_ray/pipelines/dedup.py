@@ -814,3 +814,141 @@ register(
           >= {EMB_NEAR_DUP_TAU}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (repeated-chunk removal, RefinedWeb line-dedup style)
+# ---------------------------------------------------------------------------
+
+PASSAGE_CHUNK_WORDS = 10
+PASSAGE_SHARDS = 64
+
+
+def passage_chunks_batch(batch: pa.Table,
+                         chunk_words: int = PASSAGE_CHUNK_WORDS,
+                         shards: int = PASSAGE_SHARDS) -> pa.Table:
+    """One doc block -> (doc_id, chunk_idx, chunk_text, shard) rows for
+    consecutive ``chunk_words``-word passages (last chunk may be short).
+
+    Fully vectorized: the per-doc word lists are retiled into a chunk
+    ``ListArray`` by offset arithmetic alone, and ``pc.binary_join``
+    rebuilds every chunk string in one kernel — no per-doc Python.
+    """
+    import pandas as pd
+
+    words = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch.column("text")), _WS)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    n_docs = len(lens)
+    n_chunks = np.maximum((lens + chunk_words - 1) // chunk_words, 1)
+    doc_of = np.repeat(np.arange(n_docs), n_chunks)
+    first = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    within = np.arange(len(doc_of)) - first
+    starts = offsets[doc_of] + within * chunk_words
+    chunk_offsets = np.append(starts, offsets[-1]).astype(np.int32)
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets - offsets[0], pa.int32()),
+        words.values.slice(offsets[0], offsets[-1] - offsets[0]),
+    )
+    texts = pc.binary_join(chunk_list, " ")
+    shard = pd.util.hash_array(
+        texts.to_numpy(zero_copy_only=False)) % shards
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(doc_ids[doc_of], pa.int64()),
+        "chunk_idx": pa.array(within, pa.int64()),
+        "chunk_text": texts,
+        "shard": pa.array(shard.astype(np.int32), pa.int32()),
+    })
+
+
+def passage_dedup(docs_ds, *, chunk_words: int = PASSAGE_CHUNK_WORDS,
+                  shards: int = PASSAGE_SHARDS):
+    """Corpus-wide repeated-passage removal: every ``chunk_words``-word
+    passage survives only at its FIRST occurrence (min ``(doc_id,
+    chunk_idx)``); each doc is rebuilt from its surviving passages.
+
+    Scale shape: two bounded shuffles, both on sharded keys — (1)
+    passages co-locate by ``hash(chunk_text) % shards`` (never one Ray
+    group per passage — the near-singleton-group lesson) and the winner
+    mark is a vectorized first-of-group inside each shard task; (2)
+    marked passages co-locate by ``doc_id % shards`` and each doc is
+    re-joined with one ``groupby().agg(join)``.  The passage text moves
+    twice; nothing is ever collected driver-side.
+    """
+    import pandas as pd
+
+    def _mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["chunk_text", "doc_id", "chunk_idx"],
+                            kind="stable", ignore_index=True)
+        keep = np.ones(len(df), dtype=bool)
+        if len(df):
+            same = df["chunk_text"].to_numpy()[1:] == \
+                df["chunk_text"].to_numpy()[:-1]
+            keep[1:] = ~same
+        out = df[["doc_id", "chunk_idx", "chunk_text"]].copy()
+        out["keep"] = keep
+        out["dshard"] = (out["doc_id"] % shards).astype(np.int32)
+        return out
+
+    def _rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "chunk_idx"], kind="stable",
+                            ignore_index=True)
+        g_all = df.groupby("doc_id", sort=True)
+        kept = df[df["keep"]]
+        joined = kept.groupby("doc_id", sort=True)["chunk_text"].agg(" ".join)
+        out = pd.DataFrame({
+            "doc_id": np.asarray(list(g_all.groups), dtype=np.int64),
+            "n_chunks": g_all.size().to_numpy().astype(np.int64),
+            "n_kept": g_all["keep"].sum().to_numpy().astype(np.int64),
+        })
+        out["clean_text"] = out["doc_id"].map(joined).fillna("")
+        return out
+
+    chunks = docs_ds.map_batches(
+        passage_chunks_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    marked = chunks.groupby("shard").map_groups(_mark, batch_format="pandas")
+    return marked.groupby("dshard").map_groups(
+        _rebuild, batch_format="pandas")
+
+
+register(
+    "passage_dedup",
+    lambda sf: passage_dedup(_read(sf, "documents", ["doc_id", "text"])),
+    rf"""
+    WITH s AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               ) AS words
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, unnest(words) AS word,
+               unnest(generate_series(1, len(words))) AS ord
+        FROM s
+    ),
+    c AS (
+        SELECT doc_id, (ord - 1) // {PASSAGE_CHUNK_WORDS} AS chunk_idx,
+               string_agg(word, ' ' ORDER BY ord) AS chunk_text
+        FROM w GROUP BY doc_id, chunk_idx
+    ),
+    k AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               (row_number() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+               )) = 1 AS keep
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                    FILTER (keep), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)

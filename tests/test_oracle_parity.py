@@ -64,6 +64,7 @@ SUBSET = [
     "events_deadband",
     "events_top_series_1h",
     "doc_unigram_logprob",
+    "passage_dedup",
 ]
 
 

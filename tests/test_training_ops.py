@@ -611,3 +611,58 @@ class TestQuantileSketch:
         m = approx.merge(exact, on="k", suffixes=("_a", "_e"))
         for p in ("p50", "p90", "p99"):
             assert (m[f"{p}_a"] == m[f"{p}_e"]).all()
+
+
+class TestPassageDedup:
+    def test_repeated_passage_survives_only_first(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            passage_dedup,
+        )
+
+        chunk = " ".join(f"w{i}" for i in range(10))       # one full chunk
+        other = " ".join(f"x{i}" for i in range(10))
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                chunk + " " + other,        # doc 1: both passages original
+                chunk + " tail words",      # doc 2: repeats doc 1's chunk
+                chunk + " " + chunk,        # doc 3: repeats it twice more
+            ]),
+        })
+        out = passage_dedup(
+            ray.data.from_arrow(t)
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[1, "n_kept"] == 2
+        assert out.loc[1, "clean_text"] == chunk + " " + other
+        # doc 2 keeps only its novel tail passage
+        assert out.loc[2, "n_kept"] == 1
+        assert out.loc[2, "clean_text"] == "tail words"
+        # doc 3 keeps nothing
+        assert out.loc[3, "n_kept"] == 0
+        assert out.loc[3, "clean_text"] == ""
+        assert out["n_chunks"].tolist() == [2, 2, 2]
+
+    def test_chunking_is_block_invariant(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            passage_dedup,
+        )
+
+        rng = np.random.default_rng(11)
+        texts = [
+            " ".join(rng.choice(["a", "b", "c", "d"], size=n))
+            for n in rng.integers(1, 35, size=40)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts),
+        })
+        one = passage_dedup(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        many = passage_dedup(
+            ray.data.from_arrow(t).repartition(7)
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(one, many)
