@@ -783,3 +783,195 @@ def _register_analytics3() -> None:
 
 
 _register_analytics3()
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (lag-k ACF per series over tier windows)
+# ---------------------------------------------------------------------------
+
+def acf_tier(rollup_ds, *, tier: str = "1m", lags=(1, 2, 3)):
+    """Per-series lag-k autocorrelation of the tier's (rounded) window
+    means, in window order — the seasonality/persistence diagnostic.
+
+    Same wide-op budget as ``cumulative_tier``: the tier is bounded
+    (#series x #windows), one ``series_key`` groupby co-locates each
+    mean sequence, and the lag products are one vectorized pass.  Float
+    parity: Pearson terms are computed from 6-dp-rounded sums with the
+    identical expression tree as the oracle (round-before-derive);
+    zero-variance sides are filtered on BOTH sides.
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        s = round_half_away(
+            t.column("sum").to_numpy(zero_copy_only=False), 6)
+        n = t.column("count").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "window_ns": t.column("window_start").cast(pa.int64()),
+            "mean": pa.array(round_half_away(s / n, 6), pa.float64()),
+        })
+
+    def _acf(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = df["mean"].to_numpy()
+        rows = []
+        for k in lags:
+            if len(m) <= k:
+                continue
+            x, y = m[:-k], m[k:]
+            n = len(x)
+            sx = round_half_away(x.sum(), 6)
+            sy = round_half_away(y.sum(), 6)
+            sxy = round_half_away((x * y).sum(), 6)
+            sxx = round_half_away((x * x).sum(), 6)
+            syy = round_half_away((y * y).sum(), 6)
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            acf = round_half_away(
+                (n * sxy - sx * sy) / np.sqrt(vx * vy), 6)
+            rows.append((df["series_key"].iloc[0], k, n, acf))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "lag", "n_pairs", "acf"
+        ]).astype({"series_key": "object", "lag": "int64",
+                   "n_pairs": "int64", "acf": "float64"})
+
+    partial = rollup_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return partial.groupby("series_key").map_groups(
+        _acf, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gaps (per-user event cadence)
+# ---------------------------------------------------------------------------
+
+def interarrival_stats(events_ds):
+    """Per user: count / mean / max of the gaps (seconds) between
+    consecutive events in ``(ts, event_id)`` order; single-event users
+    have no gaps and are dropped (both sides).  One ``user_id`` groupby;
+    the diff is one numpy pass — user cardinality is the parallelism
+    (the ``rate_increase`` contract)."""
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_ns": batch.column("ts").cast(pa.timestamp("ns")).cast(
+                pa.int64()),
+            "event_id": batch.column("event_id"),
+        })
+
+    def _gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_ns", "event_id"], kind="stable",
+                            ignore_index=True)
+        if len(df) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "mean_gap_s": pd.Series(dtype="float64"),
+                "max_gap_s": pd.Series(dtype="float64"),
+            })
+        gaps = np.diff(df["ts_ns"].to_numpy()) / 1e9
+        s = round_half_away(gaps.sum(), 6)
+        return pd.DataFrame({
+            "user_id": np.array([df["user_id"].iloc[0]], np.int64),
+            "n_events": np.array([len(df)], np.int64),
+            "n_gaps": np.array([len(gaps)], np.int64),
+            "mean_gap_s": round_half_away(
+                np.array([s / len(gaps)]), 6),
+            "max_gap_s": np.array([gaps.max()], np.float64),
+        })
+
+    return (
+        events_ds.map_batches(_proj, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_gaps, batch_format="pandas")
+    )
+
+
+def _register_analytics4() -> None:
+    from ._events_sql import rollup_ctes
+    from .registry import register
+
+    def _q_acf(sf_dir: str):
+        from .timeseries import events_corpus_dataset, extract_and_rollup
+
+        corpus = events_corpus_dataset(sf_dir)
+        return acf_tier(extract_and_rollup(corpus, tiers=("1m",)))
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    lag_sql = "\n    UNION ALL\n".join(f"""
+    SELECT series_key, {k} AS lag, mean AS y,
+           lag(mean, {k}) OVER (
+               PARTITION BY series_key ORDER BY window_ns) AS x
+    FROM m
+    """ for k in (1, 2, 3))
+    register(
+        "events_acf_1m",
+        _q_acf,
+        f"""
+        WITH {ctes},
+        m AS (
+            SELECT series_key, window_ns,
+                   round(round(sum, 6) / count, 6) AS mean
+            FROM rollup_
+        ),
+        l AS ({lag_sql}),
+        p AS (SELECT series_key, lag, x, y FROM l WHERE x IS NOT NULL),
+        a AS (
+            SELECT series_key, lag, count(*) AS n,
+                   round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+                   round(sum(x * y), 6) AS sxy,
+                   round(sum(x * x), 6) AS sxx,
+                   round(sum(y * y), 6) AS syy
+            FROM p GROUP BY series_key, lag
+        )
+        SELECT series_key, CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                     6) AS acf
+        FROM a
+        WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        """,
+    )
+
+    def _q_interarrival(sf_dir: str):
+        import ray
+
+        return interarrival_stats(ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id"]))
+
+    register(
+        "events_interarrival",
+        _q_interarrival,
+        """
+        WITH o AS (
+            SELECT user_id,
+                   (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   )) / 1e9 AS gap_s
+            FROM events
+        ),
+        a AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(gap_s) AS BIGINT) AS n_gaps,
+                   round(sum(gap_s), 6) AS s,
+                   max(gap_s) AS max_gap_s
+            FROM o GROUP BY user_id HAVING count(gap_s) > 0
+        )
+        SELECT user_id, n_events, n_gaps,
+               round(s / n_gaps, 6) AS mean_gap_s, max_gap_s
+        FROM a
+        """,
+    )
+
+
+_register_analytics4()

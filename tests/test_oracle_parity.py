@@ -65,6 +65,8 @@ SUBSET = [
     "events_top_series_1h",
     "doc_unigram_logprob",
     "passage_dedup",
+    "events_acf_1m",
+    "events_interarrival",
 ]
 
 
