@@ -163,6 +163,15 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
             address="local", num_cpus=num_cpus, include_dashboard=False,
             log_to_driver=False,
         )
+    # 8 MB block target: the shredded extraction kernel is superlinear in
+    # batch size (per-batch lexsort + hash kernels fall out of cache), so
+    # smaller blocks cut extract CPU ~2-3x.  Interleaved A/B at 32 CPUs on
+    # the 6M-doc headline (same output, 381,824 points): default blocks
+    # 26-46 s / 336-549 extract-CPU-s vs 8 MB 16-19 s / 117-173 CPU-s;
+    # 4 MB and 2 MB keep shrinking CPU but scheduling overhead grows wall
+    # time, 16 MB is ~25% slower.  Per-task state stays tiny, so this
+    # holds per-node on a multi-node cluster (the knob is per-driver).
+    ray.data.DataContext.get_current().target_max_block_size = 8 * 1024 * 1024
 
     queries: dict[str, float] = {}
     headline = bench_iot_rollup(num_cpus, IOT_DOCS, shred=shred)

@@ -49,6 +49,13 @@ def run_job(config: dict) -> dict:
 
     if not ray.is_initialized():  # standalone runs; the driver/tests own Ray otherwise
         ray.init(address="local", include_dashboard=False)
+        # Standalone sessions only (never mutate a caller-owned session):
+        # 8 MB blocks keep the extraction kernel's per-batch sort + gather
+        # working set in cache — measured 2-3x less extract CPU than the
+        # default target on the 6M-doc headline (see bench.py).
+        ray.data.DataContext.get_current().target_max_block_size = (
+            8 * 1024 * 1024
+        )
 
     from .pipelines.timeseries import extract_pipeline
     from .state.checkpoint import run_sharded_rollup
