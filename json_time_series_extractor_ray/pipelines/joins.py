@@ -1,0 +1,266 @@
+"""Generic large-x-large shuffle equi-join, plus two small two-pass
+relatives (winsorize, exact windowed distinct) that share its "one
+bounded shuffle" discipline.
+
+Ray Data has no native join; the engine's broadcast / semi / as-of /
+range joins all assume one side is small or time-ordered.  This module
+adds the missing general case: both sides large, co-partitioned by a
+deterministic hash of the key into ``num_shards`` groups via ONE tagged
+union + ONE groupby (the same co-partition trick as ``asof.py`` /
+``rangejoin.py``), then a vectorized pandas hash-merge inside each shard
+task.
+
+Scale shape: shard count is the parallelism knob — each shard task holds
+~``(|L| + |R|) / num_shards`` rows, so memory per task is bounded and
+tunable independent of total size; a hot KEY concentrates only its own
+rows (the output explosion of a many-to-many hot key is inherent to join
+semantics, not to this layout).  Carried columns are projected BEFORE
+the shuffle, so only the join's output columns ever move.  The pandas
+null-upcast after the tagged union is reversed by the shared
+``asof._make_recast`` (round-1 driver-hash lesson).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .asof import _make_recast
+from .registry import register
+
+DEFAULT_SHARDS = 64
+
+
+def _hash_shards(series: pd.Series, num_shards: int) -> np.ndarray:
+    """Deterministic cross-process shard ids (never Python's salted
+    ``hash()``): pandas' stable vectorized hash with the default fixed
+    key, reduced mod ``num_shards``."""
+    h = pd.util.hash_array(series.to_numpy())
+    return (h % np.uint64(num_shards)).astype(np.int32)
+
+
+def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
+                 how: str = "inner", num_shards: int = DEFAULT_SHARDS):
+    """Equi-join two Datasets on a key column; returns the left columns
+    followed by the right's non-key columns (right key is dropped —
+    it equals ``on``).  ``how`` is ``inner`` or ``left``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_key = right_on or on
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    lcols = list(left_schema.names)
+    rcols = [c for c in right_schema.names if c != right_key]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    decl = {
+        **{n: t for n, t in zip(left_schema.names, left_schema.types)},
+        **{n: t for n, t in zip(right_schema.names, right_schema.types)
+           if n != right_key},
+    }
+    key_type = decl[on]
+    all_cols = lcols + rcols  # union is positional: fix one column order
+
+    def _tag(side: int):
+        def _prep(batch: pa.Table) -> pa.Table:
+            key = (batch.column(on) if side == 0
+                   else batch.column(right_key).cast(key_type))
+            shard = _hash_shards(key.to_pandas(), num_shards)
+            cols = {"__key": key}
+            for name in all_cols:
+                mine = (side == 0) == (name in lcols)
+                if name == on:
+                    continue
+                cols[name] = (batch.column(name) if mine
+                              else pa.nulls(batch.num_rows, decl[name]))
+            cols["__side"] = pa.array(
+                np.full(batch.num_rows, side, np.int8), pa.int8()
+            )
+            cols["__shard"] = pa.array(shard, pa.int32())
+            return pa.table(cols)
+        return _prep
+
+    import ray.data  # noqa: F401  (Dataset.union)
+
+    tagged = left_ds.map_batches(
+        _tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_ds.map_batches(
+        _tag(1), batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    lval = [c for c in lcols if c != on]
+
+    def _join_shard(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0][["__key"] + lval]
+        right = df[df["__side"] == 1][["__key"] + rcols]
+        merged = left.merge(right, on="__key", how=how, sort=False)
+        return merged.rename(columns={"__key": on})[all_cols]
+
+    joined = tagged.groupby("__shard").map_groups(
+        _join_shard, batch_format="pandas"
+    )
+    return joined.map_batches(_make_recast(decl), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Winsorize (percentile clipping) — two-pass: exact per-group percentile
+# bounds (small result) broadcast into a stateless clip pass.
+# ---------------------------------------------------------------------------
+
+def winsorize(ds_fn, *, key: str, value: str, p_lo: float = 0.05,
+              p_hi: float = 0.95):
+    """Clip ``value`` to its per-``key`` [p_lo, p_hi] discrete quantiles.
+
+    ``ds_fn`` is a zero-arg callable producing the Dataset (consumed
+    twice: bounds scan, clip scan — the inherent cost of a two-pass
+    statistic).  Bounds are exact ``quantile_disc``-rule picks (existing
+    values, no interpolation — so clipping involves ZERO float
+    arithmetic and oracles exactly), one row per key, collected and
+    broadcast driver-side.  The clip pass is a stateless vectorized
+    ``map_batches`` — no shuffle of the big side.
+    """
+    from .sketches import group_percentiles
+
+    bounds = group_percentiles(
+        ds_fn(), key=key, value=value, pcts=(p_lo, p_hi)
+    ).to_pandas()
+    lut = {
+        r[key]: (r[f"p{int(p_lo * 100)}"], r[f"p{int(p_hi * 100)}"])
+        for _, r in bounds.iterrows()
+    }
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pandas().to_numpy()
+        v = batch.column(value).to_numpy(zero_copy_only=False).copy()
+        for k, (lo, hi) in lut.items():
+            m = keys == k
+            v[m] = np.clip(v[m], lo, hi)
+        out = {n: batch.column(n) for n in batch.column_names}
+        out[f"{value}_w"] = pa.array(v, pa.float64())
+        return pa.table(out)
+
+    return ds_fn().map_batches(_clip, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact windowed distinct count — the exact counterpart of the HLL sketch.
+# ---------------------------------------------------------------------------
+
+def window_distinct(ds, *, ts: str, member: str, window_ns: int):
+    """Exact COUNT(DISTINCT member) per tumbling window.
+
+    Per-block combiner first reduces each block to its local unique
+    ``(window, member)`` pairs — the only rows that shuffle — then one
+    groupby per window finishes the count.  Window count is small (one
+    row per window), so the final groups are few and fat, not the
+    tiny-group pathology; at 100 TB the pair stream is bounded by
+    ``windows x distinct members``, not by row count.
+    """
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = t - (t % window_ns)
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([w, m]), axis=1)
+        return pa.table({
+            "window_ns": pa.array(uniq[0], pa.int64()),
+            "member": pa.array(uniq[1], pa.int64()),
+        })
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_ns": [df["window_ns"].iloc[0]],
+            "n_distinct": pd.Series([df["member"].nunique()], dtype="int64"),
+        })
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pairs.groupby("window_ns").map_groups(_count,
+                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_lineitem_orders(sf_dir: str):
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+    return shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+
+register(
+    "lineitem_orders_join",
+    _q_lineitem_orders,
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_custkey, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+
+
+def _q_winsorize(sf_dir: str):
+    import ray
+
+    def _events():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+
+    return winsorize(_events, key="event_type", value="value")
+
+
+register(
+    "events_winsorized",
+    _q_winsorize,
+    # quantile_disc picks existing values; LEAST/GREATEST copies one of
+    # them or the original -> zero arithmetic, exact hash both engines.
+    """
+    WITH b AS (
+        SELECT event_type,
+               quantile_disc(value, 0.05) AS lo,
+               quantile_disc(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+
+
+def _q_window_distinct(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return window_distinct(ds, ts="ts", member="user_id",
+                           window_ns=3_600_000_000_000)
+
+
+register(
+    "events_window_distinct_users",
+    _q_window_distinct,
+    """
+    SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS window_ns,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY window_ns
+    """,
+)

@@ -47,6 +47,7 @@ def _load_all() -> None:
         dedup,
         downsample,
         enrich,
+        joins,
         multimodal,
         packing,
         rangejoin,
@@ -55,5 +56,6 @@ def _load_all() -> None:
         snapshot,
         split,
         textstats,
+        tokenchunks,
         windows,
     )
