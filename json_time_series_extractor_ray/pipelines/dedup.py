@@ -445,13 +445,30 @@ def _add_hash_shard(key_cols, n_shards: int):
 # ---------------------------------------------------------------------------
 
 class JaccardBlockStage:
-    """One block (all docs of one ``lang``) -> exact pairwise Jaccard pairs."""
+    """One block (all docs of one ``lang``) -> exact pairwise Jaccard pairs.
 
-    def __init__(self, threshold: float = 0.01, k: int = 3):
+    Deliberately quadratic WITHIN a block: this is the exact/oracle
+    variant; MinHash+LSH (``minhash_lsh_dups``) is the scale path.  A
+    real corpus's dominant language would make one block quadratic in
+    the corpus, so ``max_block_docs`` fails loudly (with the remedy in
+    the message) instead of silently running an O(n²) task."""
+
+    def __init__(self, threshold: float = 0.01, k: int = 3,
+                 max_block_docs: int = 100_000):
         self.threshold = threshold
         self.k = k
+        self.max_block_docs = max_block_docs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > self.max_block_docs:
+            lang = df["lang"].iloc[0] if "lang" in df else "?"
+            raise ValueError(
+                f"jaccard block {lang!r} has {len(df)} docs "
+                f"(> max_block_docs={self.max_block_docs}); exact pairwise "
+                "Jaccard is quadratic per block — use minhash_lsh_dups for "
+                "corpora with dominant blocks, or raise max_block_docs "
+                "knowingly"
+            )
         sets = [
             {
                 " ".join(words[i : i + self.k])
@@ -487,8 +504,9 @@ class JaccardBlockStage:
         )
 
 
-def jaccard_block_pairs(docs_ds, *, threshold: float = 0.01):
-    stage = JaccardBlockStage(threshold)
+def jaccard_block_pairs(docs_ds, *, threshold: float = 0.01,
+                        max_block_docs: int = 100_000):
+    stage = JaccardBlockStage(threshold, max_block_docs=max_block_docs)
 
     def _block_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return stage(df)
@@ -619,10 +637,23 @@ def simhash_dups(docs_ds, *, max_hamming: int = 3):
 # Embedding near-dup (blocked by label)
 # ---------------------------------------------------------------------------
 
-def embedding_near_dups(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU):
-    """Pairs within one ``label`` block with cosine similarity >= tau."""
+def embedding_near_dups(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
+                        max_block_vecs: int = 200_000):
+    """Pairs within one ``label`` block with cosine similarity >= tau.
+
+    Quadratic within a block (the exact/oracle variant; IVF-bucketed ANN
+    is the scale path) — ``max_block_vecs`` fails loudly on a dominant
+    label instead of silently running an O(n²) matmul task."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_block_vecs:
+            raise ValueError(
+                f"embedding block {df['label'].iloc[0]!r} has {len(df)} "
+                f"vectors (> max_block_vecs={max_block_vecs}); exact "
+                "pairwise cosine is quadratic per block — use the IVF ANN "
+                "path for corpora with dominant labels, or raise "
+                "max_block_vecs knowingly"
+            )
         df = df.sort_values("vec_id")
         ids = df["vec_id"].to_numpy()
         E = np.stack(df["embedding"].to_numpy()).astype(np.float64)

@@ -666,3 +666,41 @@ class TestPassageDedup:
             ray.data.from_arrow(t).repartition(7)
         ).to_pandas().sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(one, many)
+
+
+class TestQuadraticBlockGuards:
+    def test_jaccard_guard_rejects_dominant_block(self):
+        import pandas as pd
+        import pytest as _pytest
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            JaccardBlockStage,
+        )
+
+        stage = JaccardBlockStage(max_block_docs=10)
+        df = pd.DataFrame({
+            "doc_id": range(11),
+            "text": ["a b c"] * 11,
+            "lang": ["en"] * 11,
+        })
+        with _pytest.raises(ValueError, match="minhash_lsh_dups"):
+            stage(df)
+
+    def test_embedding_guard_rejects_dominant_block(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            embedding_near_dups,
+        )
+
+        df = pd.DataFrame({
+            "vec_id": np.arange(12, dtype=np.int64),
+            "label": ["x"] * 12,
+            "embedding": [np.ones(4)] * 12,
+        })
+        ds = ray.data.from_pandas(df)
+        with _pytest.raises(Exception, match="max_block_vecs"):
+            embedding_near_dups(ds, max_block_vecs=5).to_pandas()
