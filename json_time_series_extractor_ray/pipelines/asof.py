@@ -61,8 +61,14 @@ def _project_side(ds, side: str, by: str, ts: str, cols, all_cols):
 
 def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
               left_cols: dict, right_cols: dict,
-              bucket_ns: int | None = None):
-    """Inner as-of join (right.ts <= left.ts, latest wins).
+              bucket_ns: int | None = None, direction: str = "backward"):
+    """Inner as-of join.  ``direction='backward'`` (default) attaches the
+    latest right row with right.ts <= left.ts (DuckDB ``ON l.ts >= r.ts``);
+    ``'forward'`` attaches the EARLIEST right row with right.ts >= left.ts
+    (DuckDB ``ON l.ts <= r.ts``) — the "next scheduled event" shape.
+    ``bucket_ns`` currently supports backward only (the carry-over pass
+    reconstructs earlier closing rows; the forward analogue would carry
+    openings backward).
 
     ``left_cols`` / ``right_cols``: {column_name: pyarrow_type} carried
     from each side.  The right side is deduped to one row per (key, ts)
@@ -78,7 +84,13 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     injects each bucket's latest earlier right row.  Output is
     value-identical to the unbucketed path (pinned by test).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     if bucket_ns is not None:
+        if direction != "backward":
+            raise NotImplementedError(
+                "bucketed as-of join supports direction='backward' only"
+            )
         return _asof_join_bucketed(
             left_ds, right_ds, by=by, left_ts=left_ts, right_ts=right_ts,
             left_cols=left_cols, right_cols=right_cols, bucket_ns=bucket_ns,
@@ -89,15 +101,17 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     unioned = l.union(r)
 
     merged = unioned.groupby("__by").map_groups(
-        _make_merge(list(left_cols), list(right_cols)), batch_format="pandas"
+        _make_merge(list(left_cols), list(right_cols), direction=direction),
+        batch_format="pandas"
     )
     return merged.map_batches(_make_recast(dict(all_cols)),
                               batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _make_merge(left_names, right_names):
-    """Per-group backward-searchsorted merge body (one key, or one
-    key x bucket): deterministic right-side dedup, vectorized match."""
+def _make_merge(left_names, right_names, direction: str = "backward"):
+    """Per-group searchsorted merge body (one key, or one key x bucket):
+    deterministic right-side dedup, vectorized match in either time
+    direction."""
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == "l"]
@@ -115,8 +129,14 @@ def _make_merge(left_names, right_names):
         right = right.drop_duplicates("__ts", keep="last")
         left = left.sort_values("__ts", kind="stable")
         r_ts = right["__ts"].to_numpy()
-        idx = np.searchsorted(r_ts, left["__ts"].to_numpy(), side="right") - 1
-        matched = idx >= 0
+        if direction == "backward":
+            idx = np.searchsorted(r_ts, left["__ts"].to_numpy(),
+                                  side="right") - 1
+            matched = idx >= 0
+        else:  # forward: earliest right row with r_ts >= l_ts
+            idx = np.searchsorted(r_ts, left["__ts"].to_numpy(), side="left")
+            matched = idx < len(r_ts)
+            idx = np.where(matched, idx, 0)
         if not matched.any():
             return empty
         left_m = left[matched]
@@ -263,7 +283,8 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
 # Driver query: each event joined as-of against its user's order history
 # ---------------------------------------------------------------------------
 
-def _q_events_asof_orders(sf_dir: str, bucket_ns: int | None = None):
+def _q_events_asof_orders(sf_dir: str, bucket_ns: int | None = None,
+                          direction: str = "backward"):
     import ray
 
     events = ray.data.read_parquet(
@@ -292,6 +313,7 @@ def _q_events_asof_orders(sf_dir: str, bucket_ns: int | None = None):
         left_cols={"event_id": pa.int64()},
         right_cols={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
         bucket_ns=bucket_ns,
+        direction=direction,
     )
 
     def _shape(batch: pa.Table) -> pa.Table:
@@ -328,6 +350,67 @@ register(
     FROM events e
     ASOF JOIN deduped d
       ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+
+def _q_orders_next_event(sf_dir: str):
+    """Forward as-of through the driver gate: each order matched to its
+    customer's EARLIEST event at or after the order date (fixture dates
+    guarantee matches: orders precede the event window)."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    joined = asof_join(
+        orders.map_batches(
+            lambda b: b.rename_columns(["__key", "o_orderdate", "o_orderkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        events.map_batches(
+            lambda b: b.rename_columns(["__key", "ts", "event_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        by="__key", left_ts="o_orderdate", right_ts="ts",
+        left_cols={"o_orderkey": pa.int64()},
+        right_cols={"event_id": pa.int64()},
+        direction="forward",
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("__by").cast(pa.int64()),
+            "event_id": batch.column("event_id"),
+        })
+
+    return joined.map_batches(_shape, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "orders_next_event_forward",
+    _q_orders_next_event,
+    # forward as-of: DuckDB ASOF with the inequality flipped picks the
+    # earliest right row; events are deduped per (user, ts) identically
+    # on both sides (max event_id) so the pick is deterministic.
+    """
+    WITH ranked AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    deduped AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT o.o_orderkey, o.o_custkey, d.event_id
+    FROM orders o
+    ASOF JOIN deduped d
+      ON o.o_custkey = d.user_id AND o.o_orderdate <= d.ts
     """,
 )
 

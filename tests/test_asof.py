@@ -264,3 +264,68 @@ class TestBucketedRangeJoin:
         assert b == bb and len(b) > 0
         # each (row, interval) pair appears exactly once in both
         assert len(base) == len(b) and len(bucketed) == len(bb)
+
+
+class TestForwardAsof:
+    def test_forward_matches_next_right_row(self, ray_session):
+        import ray
+
+        left = pa.table({
+            "__key": ["a", "a", "a"],
+            "ts": pa.array([5, 10, 50], pa.int64()),
+            "lval": pa.array([1, 2, 3], pa.int64()),
+        })
+        right = pa.table({
+            "__key": ["a", "a"],
+            "rts": pa.array([7, 20], pa.int64()),
+            "rval": pa.array([70, 200], pa.int64()),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="__key", left_ts="ts", right_ts="rts",
+            left_cols={"lval": pa.int64()}, right_cols={"rval": pa.int64()},
+            direction="forward",
+        ).to_pandas().sort_values("__ts", ignore_index=True)
+        # 5 -> 70 (earliest >= 5), 10 -> 200, 50 -> unmatched (dropped)
+        assert out["lval"].tolist() == [1, 2]
+        assert out["rval"].tolist() == [70, 200]
+
+    def test_forward_exact_ts_matches_itself(self, ray_session):
+        import ray
+
+        left = pa.table({
+            "__key": ["k"], "ts": pa.array([20], pa.int64()),
+            "lval": pa.array([1], pa.int64()),
+        })
+        right = pa.table({
+            "__key": ["k"], "rts": pa.array([20], pa.int64()),
+            "rval": pa.array([9], pa.int64()),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="__key", left_ts="ts", right_ts="rts",
+            left_cols={"lval": pa.int64()}, right_cols={"rval": pa.int64()},
+            direction="forward",
+        ).to_pandas()
+        assert out["rval"].tolist() == [9]
+
+    def test_forward_bucketed_not_implemented(self, ray_session):
+        import pytest as _pytest
+        import ray
+
+        t = pa.table({
+            "__key": ["k"], "ts": pa.array([1], pa.int64()),
+            "lval": pa.array([1], pa.int64()),
+        })
+        r = pa.table({
+            "__key": ["k"], "rts": pa.array([1], pa.int64()),
+            "rval": pa.array([1], pa.int64()),
+        })
+        with _pytest.raises(NotImplementedError):
+            asof_join(
+                ray.data.from_arrow(t), ray.data.from_arrow(r),
+                by="__key", left_ts="ts", right_ts="rts",
+                left_cols={"lval": pa.int64()},
+                right_cols={"rval": pa.int64()},
+                direction="forward", bucket_ns=10,
+            )
