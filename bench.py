@@ -53,7 +53,12 @@ def _ensure_iot_corpus(n_docs: int) -> str:
     os.makedirs(path, exist_ok=True)
     n_blocks = (n_docs + IOT_DEFAULTS["block_size"] - 1) // IOT_DEFAULTS["block_size"]
     (
-        ray.data.range(n_blocks)
+        # override_num_blocks: range() otherwise emits ONE block, and
+        # map_batches bundling never splits a bundle — synthesis would
+        # run as a single serial task (~10 min at 6M docs).  One block
+        # per row gives one render task per corpus block; content is
+        # block-deterministic, so parallelism never changes the corpus.
+        ray.data.range(n_blocks, override_num_blocks=n_blocks)
         .map_batches(
             RenderIotCorpus(seed=IOT_SEED),
             batch_size=1,
