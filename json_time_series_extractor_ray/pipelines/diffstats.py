@@ -1,0 +1,249 @@
+"""Windowed second-moment rollups and rollup-ladder diffing.
+
+``window_stddev``: per-(series, window) n/mean/stddev via per-block
+moment partials (n, Σv, Σv²) — the same one-combiner-one-groupby shape
+as the core rollup, so window count (not sample count) bounds the
+shuffle.  Oracle parity uses the repo's rounded-moments rule: Σv and Σv²
+are rounded to 6 decimals on both engines before the variance
+arithmetic, and the whole expression is the same IEEE formula, so the
+result hashes exactly despite cross-engine summation order.
+
+``diff_rollups``: compare two rollup ladders (two corpus versions, two
+pipeline runs) and emit the windows whose exact columns differ — the
+verification/CDC complement of ``merge_tier_rollups``-style incremental
+maintenance: after an incremental update, diffing against a batch
+recompute must return ZERO rows.  Only exact columns (count) are
+compared, so the diff itself needs no float tolerance.  Both sides are
+projected to (key, window, count) BEFORE the one co-partition shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+_SHARDS = 64
+
+
+def _shard64(series: pd.Series, window: pd.Series) -> np.ndarray:
+    h = pd.util.hash_array(series.to_numpy())
+    h ^= pd.util.hash_array(window.to_numpy())
+    return (h % np.uint64(_SHARDS)).astype(np.int32)
+
+
+def window_stddev(samples_ds, *, window_ns: int, round_digits: int = 6):
+    """Per-(series_key, window) n / mean / stddev (sample stddev, n>=2)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "ss": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        df["vv"] = df["v"] * df["v"]
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")
+        ).reset_index()
+        g["shard"] = _shard64(g["series_key"], g["window_ns"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        ).reset_index()
+        g = g[g["n"] >= 2].copy()
+        if g.empty:
+            return pd.DataFrame({
+                "series_key": pd.Series(dtype="object"),
+                "window_ns": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "mean": pd.Series(dtype="float64"),
+                "stddev": pd.Series(dtype="float64"),
+            })
+        n = g["n"].to_numpy().astype(np.float64)
+        s6 = round_half_away(g["s"].to_numpy(), 6)
+        ss6 = round_half_away(g["ss"].to_numpy(), 6)
+        var = (ss6 - s6 * s6 / n) / (n - 1)
+        return pd.DataFrame({
+            "series_key": g["series_key"].to_numpy(),
+            "window_ns": g["window_ns"].to_numpy(),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "mean": round_half_away(round_half_away(g["s"].to_numpy(), 6) / n,
+                                    6),
+            "stddev": round_half_away(np.sqrt(np.maximum(var, 0.0)), 6),
+        })
+
+    partials = samples_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("shard").map_groups(_final, batch_format="pandas")
+
+
+def diff_rollups(a_ds, b_ds, *, count_col: str = "count"):
+    """Windows whose exact ``count`` differs between two rollup ladders
+    (missing on one side counts as 0).  Output: (series_key, window_ns,
+    count_a, count_b)."""
+
+    def _prep(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            sk = batch.column("series_key").to_pandas()
+            w = batch.column("window_ns").to_numpy(zero_copy_only=False)
+            cnt = batch.column(count_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "series_key": pa.array(sk, pa.string()),
+                "window_ns": pa.array(w, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "side": pa.array(np.full(len(w), side, np.int8), pa.int8()),
+                "shard": pa.array(_shard64(sk, pd.Series(w)), pa.int32()),
+            })
+        return _fn
+
+    def _diff(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(
+            index=["series_key", "window_ns"], columns="side", values="cnt",
+            aggfunc="sum", fill_value=0,
+        )
+        for side in (0, 1):
+            if side not in piv.columns:
+                piv[side] = 0
+        piv = piv.reset_index()
+        keep = piv[0] != piv[1]
+        out = piv[keep]
+        return pd.DataFrame({
+            "series_key": out["series_key"].to_numpy(),
+            "window_ns": out["window_ns"].to_numpy().astype(np.int64),
+            "count_a": out[0].to_numpy().astype(np.int64),
+            "count_b": out[1].to_numpy().astype(np.int64),
+        })
+
+    a = a_ds.map_batches(_prep(0), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b = b_ds.map_batches(_prep(1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return a.union(b).groupby("shard").map_groups(_diff,
+                                                  batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries + oracles
+# ---------------------------------------------------------------------------
+
+_H = 3_600_000_000_000
+
+
+def _numeric_samples(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_pipeline
+
+    return extract_pipeline(events_corpus_dataset(sf_dir))
+
+
+def _q_window_stddev(sf_dir: str):
+    return window_stddev(_numeric_samples(sf_dir), window_ns=_H)
+
+
+def _q_rollup_diff(sf_dir: str):
+    """Diff the even-doc half-ladder against the full ladder: every window
+    containing odd-doc samples must surface with its exact count pair."""
+    import pyarrow.compute as pc
+
+    from .timeseries import events_corpus_dataset, extract_pipeline
+    from ..stages.rollup import rollup_ladder
+
+    def _half():
+        corpus = events_corpus_dataset(sf_dir)
+
+        def _f(batch: pa.Table) -> pa.Table:
+            last = pc.utf8_slice_codeunits(batch.column("doc_id"),
+                                           start=13, stop=14)
+            return batch.filter(
+                pc.is_in(last, value_set=pa.array(list("02468")))
+            )
+
+        return corpus.map_batches(_f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _tier1m(corpus):
+        ladder = rollup_ladder(extract_pipeline(corpus), tiers=("1m",))
+
+        def _p(batch: pa.Table) -> pa.Table:
+            t = batch.filter(
+                pc.equal(batch.column("tier"), pa.scalar("1m"))
+            )
+            return pa.table({
+                "series_key": t.column("series_key"),
+                "window_ns": t.column("window_start")
+                .cast(pa.timestamp("ns")).cast(pa.int64()),
+                "count": t.column("count"),
+            })
+
+        return ladder.map_batches(_p, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    full = _tier1m(events_corpus_dataset(sf_dir))
+    half = _tier1m(_half())
+    return diff_rollups(full, half)
+
+
+from ._events_sql import EVENTS_NUMERIC_SQL, events_samples_sql  # noqa: E402
+
+register(
+    "events_window_stddev_1h",
+    _q_window_stddev,
+    # rounded-moments rule: Σv / Σv² rounded to 6 on both engines, then
+    # the identical IEEE variance expression (see window_stddev).
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value_num), 6) AS s6,
+               round(sum(value_num * value_num), 6) AS ss6,
+               round(round(sum(value_num), 6) / count(*), 6) AS mean
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    )
+    SELECT series_key, window_ns, n, mean,
+           round(sqrt(greatest((ss6 - s6 * s6 / n) / (n - 1), 0)), 6)
+               AS stddev
+    FROM m WHERE n >= 2
+    """,
+)
+
+register(
+    "events_rollup_1m_diff",
+    _q_rollup_diff,
+    # full-vs-even-half ladder diff: exactly the windows holding odd-doc
+    # numeric samples, with both exact counts.
+    f"""
+    WITH counts AS (
+        SELECT series_key,
+               ts_ns - ts_ns % 60000000000 AS window_ns,
+               CAST(count(*) AS BIGINT) AS count_a,
+               CAST(count(*) FILTER (
+                   WHERE CAST(substr(doc_id, 14, 1) AS INTEGER) % 2 = 0
+               ) AS BIGINT) AS count_b
+        FROM ({events_samples_sql()})
+        WHERE value_num IS NOT NULL
+        GROUP BY series_key, window_ns
+    )
+    SELECT series_key, window_ns, count_a, count_b
+    FROM counts WHERE count_a <> count_b
+    """,
+)

@@ -45,6 +45,7 @@ def _load_all() -> None:
         curation,
         decontam,
         dedup,
+        diffstats,
         downsample,
         enrich,
         joins,
