@@ -208,6 +208,12 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("events_asof_orders", sf_dir)),
             ("events_session_assign",
              lambda: bench_query("events_session_assign", sf_dir)),
+            ("lineitem_orders_join",
+             lambda: bench_query("lineitem_orders_join", sf_dir)),
+            ("tokens_chunk_readback",
+             lambda: bench_query("tokens_chunk_readback", sf_dir)),
+            ("events_window_stddev_1h",
+             lambda: bench_query("events_window_stddev_1h", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]
