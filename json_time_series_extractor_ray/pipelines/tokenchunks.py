@@ -77,3 +77,124 @@ def _q_ratio(sf_dir: str):
 # The totals are pinned instead by TestTokenChunkStore against the
 # corpus table's own offsets.
 register("tokens_chunk_ratio", _q_ratio)
+
+
+# ---------------------------------------------------------------------------
+# Token-level frequency statistics over the mandated corpus
+# ---------------------------------------------------------------------------
+
+def token_frequencies(corpus_ds, *, top_k: int | None = None):
+    """Corpus-wide token-id frequency table.
+
+    Per-block ``np.unique`` over the FLAT Arrow list values (zero-copy,
+    no per-document work) reduces each block to at most |vocab| partial
+    rows, so the one groupby moves O(blocks x vocab), never O(tokens) —
+    the same partial-combiner discipline as the rollup.  Output:
+    (token, n_occurrences), optionally top-k by count."""
+    import numpy as np
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(flat, return_counts=True)
+        return pa.table({
+            "token": pa.array(ids.astype(np.int64), pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = corpus_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("token").sum("cnt")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": batch.column("token"),
+            "n_occurrences": batch.column("sum(cnt)"),
+        })
+
+    out = agg.map_batches(_shape, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    if top_k is not None:
+        # token asc tie-break: a count tie at the k boundary must never
+        # make the returned set run-dependent
+        out = out.sort(["n_occurrences", "token"],
+                       descending=[True, False]).limit(top_k)
+    return out
+
+
+def token_bigrams(corpus_ds, *, top_k: int = 50):
+    """Top-k within-document token bigrams.
+
+    Bigram keys are packed into one int64 (``a << 32 | b``) so the
+    per-block combiner is a single ``np.unique`` over a vectorized
+    expression; document boundaries are masked out via the list offsets
+    (no bigram spans two docs).  Same O(blocks x distinct) shuffle bound
+    as :func:`token_frequencies`."""
+    import numpy as np
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "bigram": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        })
+        if len(flat) < 2:
+            return empty
+        keys = (flat[:-1] << np.int64(32)) | flat[1:]
+        mask = np.ones(len(flat) - 1, dtype=bool)
+        inner = offsets[1:-1]  # doc boundaries: last token of each doc
+        mask[inner[(inner > 0) & (inner <= len(mask))] - 1] = False
+        keys = keys[mask]
+        if not len(keys):
+            return empty
+        ids, counts = np.unique(keys, return_counts=True)
+        return pa.table({
+            "bigram": pa.array(ids, pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = corpus_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bigram").sum("cnt")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bg = batch.column("bigram").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tok_a": pa.array(bg >> np.int64(32), pa.int64()),
+            "tok_b": pa.array(bg & np.int64(0xFFFFFFFF), pa.int64()),
+            "n_occurrences": batch.column("sum(cnt)"),
+        })
+
+    # bigram asc tie-break keeps the k boundary deterministic
+    return agg.sort(["sum(cnt)", "bigram"],
+                    descending=[True, False]).limit(top_k).map_batches(
+        _shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_token_freq(sf_dir: str):
+    from .timeseries import events_corpus_dataset
+
+    return token_frequencies(events_corpus_dataset(sf_dir))
+
+
+def _q_token_bigrams(sf_dir: str):
+    from .timeseries import events_corpus_dataset
+
+    return token_bigrams(events_corpus_dataset(sf_dir), top_k=50)
+
+
+# rows-only: token ids are UTF-8 bytes of the engine-rendered JSON
+# payloads — the text is not reconstructible in SQL (float formatting),
+# so the frequency relation has no SQL twin.  Exactness is pinned by
+# TestTokenFrequencies against direct numpy counts on the same corpus.
+register("corpus_token_freq", _q_token_freq)
+register("corpus_token_bigrams", _q_token_bigrams)

@@ -240,3 +240,55 @@ class TestWinsorizeAndWindowDistinct:
             .groupby("w")["user_id"].nunique()
         )
         assert got["n_distinct"].tolist() == want.tolist()
+
+
+class TestTokenFrequencies:
+    @pytest.fixture(scope="class")
+    def small_corpus(self, ray_session):
+        from json_time_series_extractor_ray.corpus import (
+            texts_to_corpus_table,
+        )
+        import ray
+
+        texts = ["abcab", "bc", "", "aaab"]
+        t = texts_to_corpus_table(
+            [f"d{i}" for i in range(len(texts))], texts,
+            ["s"] * len(texts),
+        )
+        return ray.data.from_arrow(t).repartition(3), texts
+
+    def test_frequencies_match_python_count(self, ray_session, small_corpus):
+        from collections import Counter
+
+        from json_time_series_extractor_ray.pipelines.tokenchunks import (
+            token_frequencies,
+        )
+
+        ds, texts = small_corpus
+        got = token_frequencies(ds).to_pandas()
+        want = Counter(b for t in texts for b in t.encode())
+        assert dict(zip(got["token"], got["n_occurrences"])) == dict(want)
+
+    def test_bigrams_respect_doc_boundaries(self, ray_session, small_corpus):
+        from collections import Counter
+
+        from json_time_series_extractor_ray.pipelines.tokenchunks import (
+            token_bigrams,
+        )
+
+        ds, texts = small_corpus
+        got = token_bigrams(ds, top_k=100).to_pandas()
+        want = Counter()
+        for t in texts:
+            b = t.encode()
+            for i in range(len(b) - 1):
+                want[(b[i], b[i + 1])] += 1
+        got_map = {
+            (int(a), int(bb)): int(n)
+            for a, bb, n in zip(got["tok_a"], got["tok_b"],
+                                got["n_occurrences"])
+        }
+        assert got_map == dict(want)
+        # "ab" never crosses d0|d1 boundary: (98,97) count comes only
+        # from within-doc pairs
+        assert got_map.get((ord("b"), ord("c"))) == 2  # abcab + bc
