@@ -96,6 +96,82 @@ def window_stddev(samples_ds, *, window_ns: int, round_digits: int = 6):
     return partials.groupby("shard").map_groups(_final, batch_format="pandas")
 
 
+def window_trend(samples_ds, *, window_ns: int, round_digits: int = 6):
+    """Per-(series, window) least-squares trend slope, exactly hashable.
+
+    x is centered at the window middle and scaled to hours, so every
+    moment (Σx, Σx², Σy, Σxy) stays small enough that rounding to 6
+    decimals actually normalizes it (a 1e12-magnitude moment's ULP
+    exceeds 1e-6 and round-6 would be the identity — the subtle way
+    cross-engine moment oracles go wrong).  With identical rounded
+    moments, the slope expression is the same IEEE arithmetic on both
+    engines.  Same partial-combiner shape as :func:`window_stddev`."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        cols = {
+            "series_key": pa.array([], pa.string()),
+            "window_ns": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.float64()),
+            "sxx": pa.array([], pa.float64()),
+            "sy": pa.array([], pa.float64()),
+            "sxy": pa.array([], pa.float64()),
+            "shard": pa.array([], pa.int32()),
+        }
+        if t.num_rows == 0:
+            return pa.table(cols)
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = ts // window_ns * window_ns
+        half_h = window_ns / 2e9 / 3600.0
+        x = ((ts - w) / 1e9 / 3600.0) - half_h
+        y = t.column("value_num").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": w,
+            "x": x, "y": y, "xx": x * x, "xy": x * y,
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"),
+            sy=("y", "sum"), sxy=("xy", "sum"),
+        ).reset_index()
+        g["shard"] = _shard64(g["series_key"], g["window_ns"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"),
+            sy=("sy", "sum"), sxy=("sxy", "sum"),
+        ).reset_index()
+        n = g["n"].to_numpy().astype(np.float64)
+        sx = round_half_away(g["sx"].to_numpy(), round_digits)
+        sxx = round_half_away(g["sxx"].to_numpy(), round_digits)
+        sy = round_half_away(g["sy"].to_numpy(), round_digits)
+        sxy = round_half_away(g["sxy"].to_numpy(), round_digits)
+        denom = n * sxx - sx * sx
+        keep = (g["n"].to_numpy() >= 2) & (denom > 0)
+        g = g[keep]
+        slope = (n * sxy - sx * sy)[keep] / denom[keep]
+        return pd.DataFrame({
+            "series_key": g["series_key"].to_numpy(),
+            "window_ns": g["window_ns"].to_numpy().astype(np.int64),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "slope": round_half_away(slope, round_digits),
+        }) if keep.any() else pd.DataFrame({
+            "series_key": pd.Series(dtype="object"),
+            "window_ns": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "slope": pd.Series(dtype="float64"),
+        })
+
+    partials = samples_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("shard").map_groups(_final, batch_format="pandas")
+
+
 def diff_rollups(a_ds, b_ds, *, count_col: str = "count"):
     """Windows whose exact ``count`` differs between two rollup ladders
     (missing on one side counts as 0).  Output: (series_key, window_ns,
@@ -223,6 +299,44 @@ register(
            round(sqrt(greatest((ss6 - s6 * s6 / n) / (n - 1), 0)), 6)
                AS stddev
     FROM m WHERE n >= 2
+    """,
+)
+
+_D = 86_400_000_000_000
+
+
+def _q_window_trend(sf_dir: str):
+    return window_trend(_numeric_samples(sf_dir), window_ns=_D)
+
+
+register(
+    "events_daily_trend",
+    _q_window_trend,
+    # x centered at the day middle in HOURS keeps every rounded moment
+    # small enough that round-6 truly normalizes cross-engine summation
+    # noise (see window_trend); the slope expression is then identical
+    # IEEE arithmetic on identical inputs.
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_D} AS window_ns,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(((ts_ns - (ts_ns - ts_ns % {_D}))
+                          / 1000000000.0 / 3600.0) - 12.0), 6) AS sx,
+               round(sum((((ts_ns - (ts_ns - ts_ns % {_D}))
+                           / 1000000000.0 / 3600.0) - 12.0)
+                         * (((ts_ns - (ts_ns - ts_ns % {_D}))
+                             / 1000000000.0 / 3600.0) - 12.0)), 6) AS sxx,
+               round(sum(value_num), 6) AS sy,
+               round(sum((((ts_ns - (ts_ns - ts_ns % {_D}))
+                           / 1000000000.0 / 3600.0) - 12.0) * value_num), 6)
+                   AS sxy
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    )
+    SELECT series_key, window_ns, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
     """,
 )
 

@@ -200,3 +200,74 @@ register(
     # multiset must equal the table's (permutation — nothing lost/duped).
     "SELECT doc_id FROM documents",
 )
+
+
+def weighted_sample(ds, *, k: int, weight_col: str,
+                    id_column: str = "doc_id", salt: str = ""):
+    """Deterministic weight-proportional k-sample (Efraimidis-Spirakis
+    exponential-rank scheme, derandomized): each row's uniform draw is an
+    md5-derived constant, rank = -ln(u) / w, keep the k smallest ranks —
+    selection probability proportional to ``weight_col`` with no RNG
+    state, stable under retry/resume.
+
+    Same scale shape as ``sample_corpus``: per-block local top-k prune,
+    then one tiny global sort+limit over ``n_blocks * k`` candidates.
+    Ranks are rounded to 6 decimals with an id tie-break so the k
+    boundary is deterministic and SQL-mirrorable (DuckDB computes the
+    identical expression from the same md5 hex)."""
+    import numpy as np
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        u = np.array(
+            [int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:8], 16)
+             for i in ids],
+            dtype=np.float64,
+        )
+        u = (u + 1.0) / 4294967296.0  # (0, 1]
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rank = np.where(w > 0, -np.log(u) / np.where(w > 0, w, 1.0), np.inf)
+        rank = np.sign(rank) * np.floor(np.abs(rank) * 1e6 + 0.5) / 1e6
+        t = pa.table({
+            id_column: batch.column(id_column),
+            weight_col: batch.column(weight_col),
+            "rank_key": pa.array(rank, pa.float64()),
+        })
+        idx = pa.compute.array_sort_indices(t.column("rank_key"))[:k]
+        return t.take(idx)
+
+    return (
+        ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["rank_key", id_column])
+        .limit(k)
+    )
+
+
+def _q_weighted(sf_dir: str):
+    import ray
+
+    return weighted_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"]),
+        k=100, weight_col="n_chars",
+    )
+
+
+register(
+    "doc_weighted_sample",
+    _q_weighted,
+    # identical expression: u = (hex32(md5) + 1) / 2^32, rank =
+    # round(-ln(u)/w, 6); k smallest with id tie-break.  ln() agrees to
+    # well under the 6-decimal grid for rank magnitudes O(1e-4..1).
+    """
+    SELECT doc_id, n_chars,
+           round(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) + 1.0)
+                     / 4294967296.0) / n_chars, 6) AS rank_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY rank_key, doc_id
+    LIMIT 100
+    """,
+)

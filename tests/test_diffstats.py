@@ -143,3 +143,91 @@ class TestDiffRollups:
         ])
         got = diff_rollups(_proj(batch_ladder), _proj(merged)).to_pandas()
         assert len(got) == 0
+
+
+class TestWindowTrend:
+    def test_slope_matches_polyfit(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.diffstats import (
+            window_trend,
+        )
+
+        _D = 86_400_000_000_000
+        rng = np.random.default_rng(6)
+        n = 500
+        ts = rng.integers(0, _D, n)
+        x_h = (ts / 1e9 / 3600.0) - 12.0
+        y = 3.5 * x_h + 20 + rng.normal(0, 0.1, n)
+        df = pd.DataFrame({"series_key": "s", "ts_ns": ts,
+                           "value_num": y})
+        got = window_trend(_samples(ray_session, df),
+                           window_ns=_D).to_pandas()
+        assert len(got) == 1
+        slope, _ = np.polyfit(x_h, y, 1)
+        assert abs(got["slope"].iloc[0] - slope) < 1e-3
+
+    def test_constant_x_window_dropped(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.diffstats import (
+            window_trend,
+        )
+
+        _D = 86_400_000_000_000
+        df = pd.DataFrame({
+            "series_key": ["s"] * 3,
+            "ts_ns": [100, 100, 100],  # zero x variance
+            "value_num": [1.0, 2.0, 3.0],
+        })
+        got = window_trend(_samples(ray_session, df),
+                           window_ns=_D).to_pandas()
+        assert len(got) == 0
+
+
+class TestWeightedSample:
+    def test_prefers_heavy_rows(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.split import (
+            weighted_sample,
+        )
+
+        n = 2000
+        t = pa.table({
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n)], pa.string()),
+            "w": pa.array([1000.0 if i < 200 else 1.0 for i in range(n)],
+                          pa.float64()),
+        })
+        got = weighted_sample(ray.data.from_arrow(t), k=100,
+                              weight_col="w").to_pandas()
+        heavy = (got["doc_id"].str[1:].astype(int) < 200).sum()
+        # 200 heavy rows carry ~99% of total weight -> dominate the sample
+        assert heavy > 80
+
+    def test_deterministic_and_matches_bruteforce(self, ray_session):
+        import hashlib
+
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.split import (
+            weighted_sample,
+        )
+
+        n = 500
+        rng = np.random.default_rng(8)
+        w = rng.integers(1, 100, n).astype(np.float64)
+        t = pa.table({
+            "doc_id": pa.array([f"x{i:04d}" for i in range(n)], pa.string()),
+            "w": pa.array(w, pa.float64()),
+        })
+        ds = ray.data.from_arrow(t).repartition(5)
+        a = weighted_sample(ds, k=50, weight_col="w").to_pandas()
+        b = weighted_sample(ds, k=50, weight_col="w").to_pandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        u = np.array([
+            int(hashlib.md5(f"x{i:04d}".encode()).hexdigest()[:8], 16)
+            for i in range(n)
+        ], dtype=np.float64)
+        rank = -np.log((u + 1) / 2**32) / w
+        rank = np.floor(np.abs(rank) * 1e6 + 0.5) / 1e6
+        order = np.lexsort(
+            (np.array([f"x{i:04d}" for i in range(n)]), rank)
+        )[:50]
+        assert a["doc_id"].tolist() == [f"x{i:04d}" for i in order]
