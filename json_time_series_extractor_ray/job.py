@@ -20,6 +20,8 @@ Config schema (all paths may be any fsspec-able URI Ray Data can read)::
       "num_shards": 64,                    # checkpoint/partition granularity
       "fallback_now_ns": 0,                # deterministic fallback timestamp
       "gorilla_chunks": true,              # also write per-series chunk files
+      "token_chunks": false,               # also archive the input corpus as
+                                           # compressed varint token chunks
       "update_input": "/data/new/",        # incremental mode: roll up ONLY
                                            # these fragments and merge into
                                            # the stored tiers (nightly
@@ -140,6 +142,18 @@ def run_job(config: dict) -> dict:
             "ttl_ns": ttl_ns,
             "rows_before": result["rollups"]["rows"],
         }
+
+    if config.get("token_chunks", False):
+        # Archive the INPUT corpus as compressed varint token chunks
+        # (state/tokenstore.py): ~4x smaller than raw int32 token
+        # columns for ASCII-heavy corpora, checksum-verified, doc-range
+        # prunable on read — the storage leg of the tokens invariant
+        # (read_token_chunks(out) == the corpus, bit-for-bit).
+        from .state.tokenstore import compress_corpus_dataset
+
+        tchunks = compress_corpus_dataset(ray.data.read_parquet(config["input"]))
+        tchunks.write_parquet(f"{out_dir}/token_chunks")
+        result["token_chunks_written"] = True
 
     if config.get("gorilla_chunks", True):
         # Chunk pass re-derives samples (deterministic) so the rollup path

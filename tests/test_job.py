@@ -165,3 +165,27 @@ def test_job_incremental_update(ray_session, tmp_path):
     )
     for c in ("sum", "mean"):
         np.testing.assert_allclose(got[c], want[c], rtol=1e-12)
+
+
+def test_job_token_chunk_archive(ray_session, corpus_dir, tmp_path):
+    import numpy as np
+    import ray
+
+    from json_time_series_extractor_ray.sources.token_chunks import (
+        read_token_chunks,
+    )
+
+    out_dir = str(tmp_path / "out_tok")
+    cfg = _config(corpus_dir, out_dir)
+    cfg["token_chunks"] = True
+    cfg["gorilla_chunks"] = False
+    r = run_job(cfg)
+    assert r["token_chunks_written"] is True
+
+    back = read_token_chunks(f"{out_dir}/token_chunks").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    orig = ray.data.read_parquet(corpus_dir).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert back["doc_id"].tolist() == orig["doc_id"].tolist()
+    for a, b in zip(orig["tokens"], back["tokens"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
