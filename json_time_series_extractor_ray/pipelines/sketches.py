@@ -468,3 +468,92 @@ def _q_quantile_sketch(sf_dir: str):
 
 # Approximate by construction (error bound pinned in pytest) -> rows-only.
 register("events_value_quantile_sketch", _q_quantile_sketch)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+# ---------------------------------------------------------------------------
+# Mergeable frequency sketch: depth x width counter matrix; estimate =
+# min over rows; always an OVERestimate, err <= (e/width) * N with
+# probability 1 - e^-depth.  Per-block partials are one matrix each and
+# merge by ADDITION, so the driver-side reduce moves
+# depth*width*8 bytes per block regardless of corpus size — the same
+# shape as the HLL/Misra-Gries reducers above.
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+
+
+def _cms_keys(values: pd.Series, depth: int) -> np.ndarray:
+    """(depth, n) deterministic 64-bit hashes (fixed per-depth keys —
+    never Python's salted hash())."""
+    return np.stack([
+        pd.util.hash_array(values.to_numpy(),
+                           hash_key=f"cms-row-{d:07d}x")
+        for d in range(depth)
+    ])
+
+
+def cms_partial_batch(batch: pa.Table, column: str,
+                      width: int = CMS_WIDTH,
+                      depth: int = CMS_DEPTH) -> np.ndarray:
+    """One block -> one (depth, width) int64 counter matrix."""
+    mat = np.zeros((depth, width), dtype=np.int64)
+    vals = batch.column(column).to_pandas()
+    if not len(vals):
+        return mat
+    pos = (_cms_keys(vals, depth) % np.uint64(width)).astype(np.int64)
+    for d in range(depth):
+        np.add.at(mat[d], pos[d], 1)
+    return mat
+
+
+def cms_build(ds, *, column: str, width: int = CMS_WIDTH,
+              depth: int = CMS_DEPTH) -> np.ndarray:
+    """Build the merged sketch: per-block matrices summed driver-side."""
+    import ray
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = cms_partial_batch(batch, column, width, depth)
+        return pa.table({"mat": pa.array([mat.ravel()],
+                                         pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    total = np.zeros(depth * width, dtype=np.int64)
+    for t in ray.get(parts.to_arrow_refs()):
+        for row in t.column("mat").to_pylist():
+            total += np.asarray(row, dtype=np.int64)
+    return total.reshape(depth, width)
+
+
+def cms_estimate(mat: np.ndarray, keys: pd.Series) -> np.ndarray:
+    """Point-frequency estimates (min over depth rows) for ``keys``."""
+    depth, width = mat.shape
+    pos = (_cms_keys(keys, depth) % np.uint64(width)).astype(np.int64)
+    return np.min(
+        np.stack([mat[d, pos[d]] for d in range(depth)]), axis=0
+    )
+
+
+def _q_cms_user_counts(sf_dir: str):
+    """CMS-estimated event counts for the 20 heaviest users (sketch is
+    approximate by construction -> rows-only; bounds pinned in
+    TestCountMin)."""
+    import ray
+
+    def _events():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["user_id"])
+
+    mat = cms_build(_events(), column="user_id")
+    top = heavy_hitters(_events(), column="user_id", m=65536, top=20)
+    keys = top.column("user_id").to_pandas()
+    est = cms_estimate(mat, keys)
+    return pa.table({
+        "user_id": pa.array(keys.astype("int64"), pa.int64()),
+        "est_count": pa.array(est, pa.int64()),
+    })
+
+
+register("events_cms_user_counts", _q_cms_user_counts)

@@ -704,3 +704,47 @@ class TestQuadraticBlockGuards:
         ds = ray.data.from_pandas(df)
         with _pytest.raises(Exception, match="max_block_vecs"):
             embedding_near_dups(ds, max_block_vecs=5).to_pandas()
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bound(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 50_000
+        keys = rng.zipf(1.5, n) % 5000
+        t = pa.table({"k": pa.array(keys.astype(np.int64), pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(6)
+        mat = cms_build(ds, column="k", width=512, depth=4)
+        assert mat.sum() == 4 * n  # every row counted once per depth
+        import pandas as pd_
+
+        uniq, true = np.unique(keys, return_counts=True)
+        est = cms_estimate(mat, pd_.Series(uniq.astype(np.int64)))
+        assert (est >= true).all()  # CMS never underestimates
+        # e/width * N bound holds for the vast majority; the idealized
+        # 1-e^-depth constant assumes fully independent hash rows, so
+        # leave margin for the practical hash family
+        bound = np.e / 512 * n
+        assert ((est - true) <= bound).mean() > 0.93
+        assert np.median(est - true) <= bound / 4
+
+    def test_partition_merge_equals_single_build(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            cms_build,
+        )
+
+        keys = np.arange(1000, dtype=np.int64) % 37
+        t = pa.table({"k": pa.array(keys, pa.int64())})
+        one = cms_build(ray.data.from_arrow(t), column="k",
+                        width=256, depth=3)
+        many = cms_build(ray.data.from_arrow(t).repartition(9), column="k",
+                         width=256, depth=3)
+        assert np.array_equal(one, many)
