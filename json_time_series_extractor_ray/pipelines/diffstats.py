@@ -172,6 +172,52 @@ def window_trend(samples_ds, *, window_ns: int, round_digits: int = 6):
     return partials.groupby("shard").map_groups(_final, batch_format="pandas")
 
 
+def simple_window_rollup(samples_ds, *, window_ns: int, ts_col: str = "ts",
+                         round_digits: int = 6):
+    """Per-(series, window) n/min/max/sum/mean over bare numeric samples
+    (no ``last`` — no doc lineage needed, so it runs on storage-readback
+    streams that carry only (series_key, ts, value)).  Same partial-
+    combiner + shard-groupby shape as :func:`window_stddev`; sum/mean
+    follow the repo's rounded-sum oracle rule."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts_raw = batch.column(ts_col)
+        if pa.types.is_timestamp(ts_raw.type):
+            ts_raw = ts_raw.cast(pa.timestamp("ns"))
+        ts = ts_raw.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": batch.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": batch.column("value_num").to_numpy(zero_copy_only=False),
+        }).dropna(subset=["v"])
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max")
+        ).reset_index()
+        g["shard"] = _shard64(g["series_key"], g["window_ns"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        ).reset_index()
+        n = g["n"].to_numpy().astype(np.float64)
+        s6 = round_half_away(g["s"].to_numpy(), round_digits)
+        return pd.DataFrame({
+            "series_key": g["series_key"].to_numpy(),
+            "window_ns": g["window_ns"].to_numpy().astype(np.int64),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "min": g["mn"].to_numpy(),
+            "max": g["mx"].to_numpy(),
+            "sum": s6,
+            "mean": round_half_away(s6 / n, round_digits),
+        })
+
+    partials = samples_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("shard").map_groups(_final, batch_format="pandas")
+
+
 def diff_rollups(a_ds, b_ds, *, count_col: str = "count"):
     """Windows whose exact ``count`` differs between two rollup ladders
     (missing on one side counts as 0).  Output: (series_key, window_ns,
@@ -337,6 +383,43 @@ register(
     SELECT series_key, window_ns, n,
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
     FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+
+def _q_gorilla_rollup_roundtrip(sf_dir: str):
+    """Storage-integrity composition: extract -> Gorilla chunk files on
+    disk -> chunk SOURCE decodes them back -> 1m rollup of the DECODED
+    stream.  The codec is bit-exact, so the readback rollup must
+    hash-match the rollup SQL over the raw samples — aggregation on top
+    of the storage engine loses nothing."""
+    import tempfile
+
+    from ..sources.gorilla_chunks import read_gorilla_chunks
+    from ..state.gorilla import compress_series_dataset
+    from .timeseries import events_corpus_dataset, extract_pipeline
+
+    chunks = compress_series_dataset(
+        extract_pipeline(events_corpus_dataset(sf_dir))
+    )
+    out = tempfile.mkdtemp(prefix="jtse_gorilla_rr_")
+    chunks.write_parquet(out)
+    samples = read_gorilla_chunks(out)  # (series_key, ts_ns, value_num)
+    return simple_window_rollup(samples, window_ns=60_000_000_000,
+                                ts_col="ts_ns")
+
+
+register(
+    "events_gorilla_rollup_roundtrip",
+    _q_gorilla_rollup_roundtrip,
+    f"""
+    SELECT series_key,
+           ts_ns - ts_ns % 60000000000 AS window_ns,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value_num) AS min, max(value_num) AS max,
+           round(sum(value_num), 6) AS sum,
+           round(round(sum(value_num), 6) / count(*), 6) AS mean
+    FROM ({EVENTS_NUMERIC_SQL})
+    GROUP BY series_key, window_ns
     """,
 )
 

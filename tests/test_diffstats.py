@@ -231,3 +231,31 @@ class TestWeightedSample:
             (np.array([f"x{i:04d}" for i in range(n)]), rank)
         )[:50]
         assert a["doc_id"].tolist() == [f"x{i:04d}" for i in order]
+
+
+class TestSimpleWindowRollup:
+    def test_matches_pandas(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.diffstats import (
+            simple_window_rollup,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 2000
+        df = pd.DataFrame({
+            "series_key": rng.choice(["a", "b", "c"], n),
+            "ts_ns": rng.integers(0, 3 * _H, n),
+            "value_num": rng.normal(10, 2, n).round(3),
+        })
+        got = simple_window_rollup(
+            _samples(ray_session, df), window_ns=_H
+        ).to_pandas().sort_values(["series_key", "window_ns"],
+                                  ignore_index=True)
+        df["w"] = df["ts_ns"] // _H * _H
+        want = df.groupby(["series_key", "w"]).agg(
+            n=("value_num", "size"), mn=("value_num", "min"),
+            mx=("value_num", "max"), s=("value_num", "sum"),
+        ).reset_index()
+        assert got["n"].tolist() == want["n"].tolist()
+        assert got["min"].tolist() == want["mn"].tolist()
+        assert got["max"].tolist() == want["mx"].tolist()
+        np.testing.assert_allclose(got["sum"], want["s"], atol=1e-6)
