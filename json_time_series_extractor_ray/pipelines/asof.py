@@ -66,9 +66,8 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     latest right row with right.ts <= left.ts (DuckDB ``ON l.ts >= r.ts``);
     ``'forward'`` attaches the EARLIEST right row with right.ts >= left.ts
     (DuckDB ``ON l.ts <= r.ts``) — the "next scheduled event" shape.
-    ``bucket_ns`` currently supports backward only (the carry-over pass
-    reconstructs earlier closing rows; the forward analogue would carry
-    openings backward).
+    Both directions compose with ``bucket_ns`` (backward carries bucket
+    closings forward; forward carries bucket openings backward).
 
     ``left_cols`` / ``right_cols``: {column_name: pyarrow_type} carried
     from each side.  The right side is deduped to one row per (key, ts)
@@ -87,13 +86,10 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     if bucket_ns is not None:
-        if direction != "backward":
-            raise NotImplementedError(
-                "bucketed as-of join supports direction='backward' only"
-            )
         return _asof_join_bucketed(
             left_ds, right_ds, by=by, left_ts=left_ts, right_ts=right_ts,
             left_cols=left_cols, right_cols=right_cols, bucket_ns=bucket_ns,
+            direction=direction,
         )
     all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
     l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
@@ -171,18 +167,25 @@ def _make_recast(decl: dict):
 
 def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
                         right_ts: str, left_cols: dict, right_cols: dict,
-                        bucket_ns: int):
+                        bucket_ns: int, direction: str = "backward"):
     """Time-bucketed as-of join: groups are ``(key, ts // bucket_ns)``.
 
-    Carry-over: a left row whose bucket holds no earlier right row must
-    still match the latest right row from ANY earlier bucket.  That row
-    is reconstructed from compact per-block summaries — per-(key, bucket)
-    right "closing" candidates and left "presence" markers — reduced in
-    one groupby(key) whose group size is O(active buckets x blocks),
-    never O(rows).  The reconstructed rows are unioned into the main
-    ``(key, bucket)`` co-partition as ordinary right rows, so the merge
-    body is byte-identical to the unbucketed path.
+    Carry-over (backward): a left row whose bucket holds no earlier
+    right row must still match the latest right row from ANY earlier
+    bucket.  That row is reconstructed from compact per-block summaries
+    — per-(key, bucket) right "closing" candidates and left "presence"
+    markers — reduced in one groupby(key) whose group size is O(active
+    buckets x blocks), never O(rows).  The reconstructed rows are
+    unioned into the main ``(key, bucket)`` co-partition as ordinary
+    right rows, so the merge body is byte-identical to the unbucketed
+    path.
+
+    ``direction='forward'`` is the mirror image: each bucket's EARLIEST
+    right row (the "opening") is carried BACKWARD into presence buckets
+    — a left row whose bucket holds no later right row matches the
+    opening of the first later non-empty bucket.
     """
+    forward = direction == "forward"
     all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
     left_names, right_names = list(left_cols), list(right_cols)
     l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
@@ -203,7 +206,14 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
     def _right_close_block(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["__by", "__bucket", "__ts"] + right_names,
                             kind="stable")
-        out = df.drop_duplicates(["__by", "__bucket"], keep="last").copy()
+        if forward:
+            # opening candidate: the min-ts row AFTER per-ts dedup (keep
+            # last within names — the same row the merge body would pick)
+            df = df.drop_duplicates(["__by", "__bucket", "__ts"],
+                                    keep="last")
+            out = df.drop_duplicates(["__by", "__bucket"], keep="first").copy()
+        else:
+            out = df.drop_duplicates(["__by", "__bucket"], keep="last").copy()
         out["__kind"] = "c"
         return out[summary_cols]
 
@@ -230,10 +240,23 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
             return empty
         close_rows = close_rows.sort_values(
             ["__bucket", "__ts"] + right_names, kind="stable"
-        ).drop_duplicates("__bucket", keep="last")
+        )
+        if forward:
+            # per-block openings -> the global opening per bucket is the
+            # min-ts candidate (post per-ts dedup pick on names)
+            close_rows = close_rows.drop_duplicates(
+                ["__bucket", "__ts"], keep="last"
+            ).drop_duplicates("__bucket", keep="first")
+        else:
+            close_rows = close_rows.drop_duplicates("__bucket", keep="last")
         cb = close_rows["__bucket"].to_numpy(dtype=np.int64)
-        idx = np.searchsorted(cb, pres_b, side="left") - 1
-        ok = idx >= 0
+        if forward:
+            idx = np.searchsorted(cb, pres_b, side="right")
+            ok = idx < len(cb)
+            idx = np.where(ok, idx, 0)
+        else:
+            idx = np.searchsorted(cb, pres_b, side="left") - 1
+            ok = idx >= 0
         if not ok.any():
             return empty
         picks = close_rows.iloc[idx[ok]]
@@ -273,7 +296,8 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
 
     unioned = l.union(r).union(carried)
     merged = unioned.groupby(["__by", "__bucket"]).map_groups(
-        _make_merge(left_names, right_names), batch_format="pandas"
+        _make_merge(left_names, right_names, direction=direction),
+        batch_format="pandas"
     )
     return merged.map_batches(_make_recast(decl), batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -353,7 +377,7 @@ register(
     """,
 )
 
-def _q_orders_next_event(sf_dir: str):
+def _q_orders_next_event(sf_dir: str, bucket_ns: int | None = None):
     """Forward as-of through the driver gate: each order matched to its
     customer's EARLIEST event at or after the order date (fixture dates
     guarantee matches: orders precede the event window)."""
@@ -379,6 +403,7 @@ def _q_orders_next_event(sf_dir: str):
         left_cols={"o_orderkey": pa.int64()},
         right_cols={"event_id": pa.int64()},
         direction="forward",
+        bucket_ns=bucket_ns,
     )
 
     def _shape(batch: pa.Table) -> pa.Table:
@@ -415,6 +440,29 @@ register(
 )
 
 _ASOF_BUCKET_NS = 7 * 24 * 3600 * 10**9  # one week
+
+register(
+    "orders_next_event_forward_bucketed",
+    lambda sf: _q_orders_next_event(sf, bucket_ns=_ASOF_BUCKET_NS),
+    # Same oracle as the unbucketed forward query: the (key, week-bucket)
+    # co-partition with backward-carried openings must be value-identical.
+    # The fixture is the hard case — orders (1995-2001) and events (2024)
+    # never share a bucket, so EVERY match flows through the carry pass.
+    """
+    WITH ranked AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    deduped AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT o.o_orderkey, o.o_custkey, d.event_id
+    FROM orders o
+    ASOF JOIN deduped d
+      ON o.o_custkey = d.user_id AND o.o_orderdate <= d.ts
+    """,
+)
 
 register(
     "events_asof_orders_bucketed",

@@ -309,23 +309,47 @@ class TestForwardAsof:
         ).to_pandas()
         assert out["rval"].tolist() == [9]
 
-    def test_forward_bucketed_not_implemented(self, ray_session):
-        import pytest as _pytest
+
+class TestForwardBucketedAsof:
+    def _join(self, ray, left, right, **kw):
+        return asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="__key", left_ts="ts", right_ts="rts",
+            left_cols={"lval": pa.int64()}, right_cols={"rval": pa.int64()},
+            direction="forward", **kw,
+        ).to_pandas().sort_values(["__by", "__ts", "lval"],
+                                  ignore_index=True)
+
+    def test_bucketed_equals_unbucketed_random(self, ray_session):
         import ray
 
-        t = pa.table({
-            "__key": ["k"], "ts": pa.array([1], pa.int64()),
+        rng = np.random.default_rng(12)
+        n_l, n_r = 400, 150
+        left = pa.table({
+            "__key": pa.array(rng.choice(["a", "b", "hot"], n_l,
+                                         p=[.2, .2, .6])),
+            "ts": pa.array(rng.integers(0, 1000, n_l), pa.int64()),
+            "lval": pa.array(np.arange(n_l), pa.int64()),
+        })
+        right = pa.table({
+            "__key": pa.array(rng.choice(["a", "b", "hot"], n_r)),
+            "rts": pa.array(rng.integers(0, 1000, n_r), pa.int64()),
+            "rval": pa.array(np.arange(n_r), pa.int64()),
+        })
+        plain = self._join(ray, left, right)
+        bucketed = self._join(ray, left, right, bucket_ns=100)
+        pd.testing.assert_frame_equal(plain, bucketed)
+
+    def test_carry_spans_empty_buckets(self, ray_session):
+        import ray
+
+        left = pa.table({
+            "__key": ["k"], "ts": pa.array([5], pa.int64()),
             "lval": pa.array([1], pa.int64()),
         })
-        r = pa.table({
-            "__key": ["k"], "rts": pa.array([1], pa.int64()),
-            "rval": pa.array([1], pa.int64()),
+        right = pa.table({
+            "__key": ["k"], "rts": pa.array([950], pa.int64()),
+            "rval": pa.array([9], pa.int64()),
         })
-        with _pytest.raises(NotImplementedError):
-            asof_join(
-                ray.data.from_arrow(t), ray.data.from_arrow(r),
-                by="__key", left_ts="ts", right_ts="rts",
-                left_cols={"lval": pa.int64()},
-                right_cols={"rval": pa.int64()},
-                direction="forward", bucket_ns=10,
-            )
+        out = self._join(ray, left, right, bucket_ns=10)  # 94 empty buckets
+        assert out["rval"].tolist() == [9]
