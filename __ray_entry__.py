@@ -178,8 +178,7 @@ def _events_gorilla_readback(sf_dir: str):
     chunk files on disk -> chunk SOURCE decodes them back to samples.  The
     codec is bit-exact, so the read-back must hash-match the plain numeric
     samples relation."""
-    import tempfile
-
+    from json_time_series_extractor_ray.pipelines._util import scratch_dir
     from json_time_series_extractor_ray.sources.gorilla_chunks import (
         read_gorilla_chunks,
     )
@@ -189,7 +188,7 @@ def _events_gorilla_readback(sf_dir: str):
 
     corpus = events_corpus_dataset(sf_dir)
     chunks = compress_series_dataset(extract_pipeline(corpus))
-    out = tempfile.mkdtemp(prefix="jtse_gorilla_rb_")
+    out = scratch_dir(f"gorilla_rb_{sf_dir}")
     chunks.write_parquet(out)
     return read_gorilla_chunks(out)
 

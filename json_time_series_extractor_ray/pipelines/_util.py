@@ -12,3 +12,37 @@ def round_half_away(x, digits: int = 6):
     scale = 10.0 ** digits
     arr = np.asarray(x, dtype=np.float64)
     return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def hash_shards(values, num_shards: int, *, mix=None):
+    """Deterministic cross-process shard ids for a column (never Python's
+    salted ``hash()``): pandas' stable vectorized hash reduced mod
+    ``num_shards``.  ``mix`` optionally XORs in a second column's hash
+    (composite keys).  Shared by every co-partitioning module so the
+    hashing discipline lives in one place."""
+    import pandas as pd
+
+    h = pd.util.hash_array(
+        values.to_numpy() if hasattr(values, "to_numpy") else values
+    )
+    if mix is not None:
+        h = h ^ pd.util.hash_array(
+            mix.to_numpy() if hasattr(mix, "to_numpy") else mix
+        )
+    return (h % np.uint64(num_shards)).astype(np.int32)
+
+
+def scratch_dir(name: str) -> str:
+    """Fixed per-purpose scratch directory under /tmp, wiped on reuse so
+    repeated bench/correctness runs hold at most ONE copy per purpose
+    (tempfile.mkdtemp per invocation leaked a corpus-sized directory
+    every run until /tmp filled)."""
+    import os
+    import re
+    import shutil
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+    path = os.path.join("/tmp/jtse_scratch", safe)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -30,9 +30,9 @@ _SHARDS = 64
 
 
 def _shard64(series: pd.Series, window: pd.Series) -> np.ndarray:
-    h = pd.util.hash_array(series.to_numpy())
-    h ^= pd.util.hash_array(window.to_numpy())
-    return (h % np.uint64(_SHARDS)).astype(np.int32)
+    from ._util import hash_shards
+
+    return hash_shards(series, _SHARDS, mix=window)
 
 
 def window_stddev(samples_ds, *, window_ns: int, round_digits: int = 6):
@@ -78,16 +78,16 @@ def window_stddev(samples_ds, *, window_ns: int, round_digits: int = 6):
                 "stddev": pd.Series(dtype="float64"),
             })
         n = g["n"].to_numpy().astype(np.float64)
-        s6 = round_half_away(g["s"].to_numpy(), 6)
-        ss6 = round_half_away(g["ss"].to_numpy(), 6)
+        s6 = round_half_away(g["s"].to_numpy(), round_digits)
+        ss6 = round_half_away(g["ss"].to_numpy(), round_digits)
         var = (ss6 - s6 * s6 / n) / (n - 1)
         return pd.DataFrame({
             "series_key": g["series_key"].to_numpy(),
             "window_ns": g["window_ns"].to_numpy(),
             "n": g["n"].to_numpy().astype(np.int64),
-            "mean": round_half_away(round_half_away(g["s"].to_numpy(), 6) / n,
-                                    6),
-            "stddev": round_half_away(np.sqrt(np.maximum(var, 0.0)), 6),
+            "mean": round_half_away(s6 / n, round_digits),
+            "stddev": round_half_away(np.sqrt(np.maximum(var, 0.0)),
+                                      round_digits),
         })
 
     partials = samples_ds.map_batches(
@@ -392,16 +392,15 @@ def _q_gorilla_rollup_roundtrip(sf_dir: str):
     stream.  The codec is bit-exact, so the readback rollup must
     hash-match the rollup SQL over the raw samples — aggregation on top
     of the storage engine loses nothing."""
-    import tempfile
-
     from ..sources.gorilla_chunks import read_gorilla_chunks
     from ..state.gorilla import compress_series_dataset
+    from ._util import scratch_dir
     from .timeseries import events_corpus_dataset, extract_pipeline
 
     chunks = compress_series_dataset(
         extract_pipeline(events_corpus_dataset(sf_dir))
     )
-    out = tempfile.mkdtemp(prefix="jtse_gorilla_rr_")
+    out = scratch_dir(f"gorilla_rr_{sf_dir}")
     chunks.write_parquet(out)
     samples = read_gorilla_chunks(out)  # (series_key, ts_ns, value_num)
     return simple_window_rollup(samples, window_ns=60_000_000_000,

@@ -32,12 +32,7 @@ from .registry import register
 DEFAULT_SHARDS = 64
 
 
-def _hash_shards(series: pd.Series, num_shards: int) -> np.ndarray:
-    """Deterministic cross-process shard ids (never Python's salted
-    ``hash()``): pandas' stable vectorized hash with the default fixed
-    key, reduced mod ``num_shards``."""
-    h = pd.util.hash_array(series.to_numpy())
-    return (h % np.uint64(num_shards)).astype(np.int32)
+from ._util import hash_shards as _hash_shards  # shared shard-hash rule
 
 
 def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
@@ -95,7 +90,14 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
 
     def _join_shard(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0][["__key"] + lval]
+        # SQL equi-join semantics: NULL keys never match (pandas merge
+        # would happily join NaN to NaN), so drop null keys from the
+        # right side always — a null-keyed left row then falls out of an
+        # inner join and survives a left join unmatched, as SQL does.
         right = df[df["__side"] == 1][["__key"] + rcols]
+        right = right[right["__key"].notna()]
+        if how == "inner":
+            left = left[left["__key"].notna()]
         merged = left.merge(right, on="__key", how=how, sort=False)
         return merged.rename(columns={"__key": on})[all_cols]
 

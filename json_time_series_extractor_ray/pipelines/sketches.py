@@ -484,14 +484,27 @@ CMS_WIDTH = 2048
 CMS_DEPTH = 4
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def _cms_keys(values: pd.Series, depth: int) -> np.ndarray:
-    """(depth, n) deterministic 64-bit hashes (fixed per-depth keys —
-    never Python's salted hash())."""
-    return np.stack([
-        pd.util.hash_array(values.to_numpy(),
-                           hash_key=f"cms-row-{d:07d}x")
-        for d in range(depth)
-    ])
+    """(depth, n) deterministic 64-bit hashes (never Python's salted
+    ``hash()``).  pandas' ``hash_array`` IGNORES ``hash_key`` for numeric
+    dtypes (verified), so per-depth independence comes from a splitmix64
+    re-mix of the base hash with a per-depth seed — distinct rows are
+    what makes min-over-depth actually tighten the bound."""
+    base = pd.util.hash_array(values.to_numpy())
+    with np.errstate(over="ignore"):
+        return np.stack([
+            _splitmix64(base ^ np.uint64(0xA076_1D64_78BD_642F + 2 * d + 1))
+            for d in range(depth)
+        ])
 
 
 def cms_partial_batch(batch: pa.Table, column: str,

@@ -227,15 +227,20 @@ def weighted_sample(ds, *, k: int, weight_col: str,
         u = (u + 1.0) / 4294967296.0  # (0, 1]
         w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
+        from ._util import round_half_away
+
         rank = np.where(w > 0, -np.log(u) / np.where(w > 0, w, 1.0), np.inf)
-        rank = np.sign(rank) * np.floor(np.abs(rank) * 1e6 + 0.5) / 1e6
+        rank = round_half_away(rank, 6)
         t = pa.table({
             id_column: batch.column(id_column),
             weight_col: batch.column(weight_col),
             "rank_key": pa.array(rank, pa.float64()),
         })
-        idx = pa.compute.array_sort_indices(t.column("rank_key"))[:k]
-        return t.take(idx)
+        # local prune MUST apply the same (rank, id) order as the global
+        # sort: rounding creates ties, and a rank-only prune could drop
+        # the smaller-id row the oracle keeps at the k boundary
+        idx = np.lexsort((np.asarray(ids, dtype=object), rank))[:k]
+        return t.take(pa.array(idx, pa.int64()))
 
     return (
         ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True)

@@ -25,8 +25,6 @@ from .registry import register
 
 
 def _q_readback(sf_dir: str):
-    import tempfile
-
     from ..sources.token_chunks import read_token_chunks
     from ..state.tokenstore import compress_corpus_dataset
     from .timeseries import (
@@ -35,9 +33,11 @@ def _q_readback(sf_dir: str):
         samples_for_compare,
     )
 
+    from ._util import scratch_dir
+
     corpus = events_corpus_dataset(sf_dir)
     chunks = compress_corpus_dataset(corpus)
-    out = tempfile.mkdtemp(prefix="jtse_tok_rb_")
+    out = scratch_dir(f"tok_rb_{sf_dir}")
     chunks.write_parquet(out)
     samples = extract_pipeline(read_token_chunks(out))
     return samples_for_compare(samples, with_ordinal=True)
@@ -51,15 +51,14 @@ register(
 
 
 def _q_ratio(sf_dir: str):
-    import tempfile
-
     import ray
 
     from ..state.tokenstore import compress_corpus_dataset
+    from ._util import scratch_dir
     from .timeseries import events_corpus_dataset
 
     chunks = compress_corpus_dataset(events_corpus_dataset(sf_dir))
-    out = tempfile.mkdtemp(prefix="jtse_tok_stats_")
+    out = scratch_dir(f"tok_stats_{sf_dir}")
     chunks.write_parquet(out)
     stats = ray.data.read_parquet(
         out, columns=["n_docs", "n_tokens", "raw_bytes"]

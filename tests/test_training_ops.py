@@ -727,11 +727,9 @@ class TestCountMin:
         uniq, true = np.unique(keys, return_counts=True)
         est = cms_estimate(mat, pd_.Series(uniq.astype(np.int64)))
         assert (est >= true).all()  # CMS never underestimates
-        # e/width * N bound holds for the vast majority; the idealized
-        # 1-e^-depth constant assumes fully independent hash rows, so
-        # leave margin for the practical hash family
+        # e/width * N bound holds with probability 1 - e^-depth per key
         bound = np.e / 512 * n
-        assert ((est - true) <= bound).mean() > 0.93
+        assert ((est - true) <= bound).mean() > 0.97
         assert np.median(est - true) <= bound / 4
 
     def test_partition_merge_equals_single_build(self, ray_session):
