@@ -292,3 +292,30 @@ class TestTokenFrequencies:
         # "ab" never crosses d0|d1 boundary: (98,97) count comes only
         # from within-doc pairs
         assert got_map.get((ord("b"), ord("c"))) == 2  # abcab + bc
+
+
+class TestShuffleJoinNullKeys:
+    def test_null_keys_never_match(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.joins import (
+            shuffle_join,
+        )
+
+        left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                             "lv": [10, 20, 30]})
+        right = pd.DataFrame({"k": pd.array([None, 3], dtype="Int64"),
+                              "rv": ["x", "y"]})
+        inner = shuffle_join(
+            _mk_ds(ray_session, left), _mk_ds(ray_session, right),
+            on="k", num_shards=4,
+        ).to_pandas()
+        # SQL: NULL = NULL is not true -> only the k=3 pair joins
+        assert inner["lv"].tolist() == [30]
+        assert inner["rv"].tolist() == ["y"]
+
+        outer = shuffle_join(
+            _mk_ds(ray_session, left), _mk_ds(ray_session, right),
+            on="k", how="left", num_shards=4,
+        ).to_pandas().sort_values("lv", ignore_index=True)
+        assert outer["lv"].tolist() == [10, 20, 30]
+        assert outer["rv"].tolist()[2] == "y"
+        assert outer["rv"].isna().tolist() == [True, True, False]
