@@ -173,11 +173,12 @@ def _events_gorilla_counts(sf_dir: str):
                              zero_copy_batch=True)
 
 
-def _events_gorilla_readback(sf_dir: str):
+def _events_gorilla_readback(sf_dir: str, bucket_ns: int | None = None):
     """Full compressed-storage cycle, oracle-checked: extract -> Gorilla
     chunk files on disk -> chunk SOURCE decodes them back to samples.  The
     codec is bit-exact, so the read-back must hash-match the plain numeric
-    samples relation."""
+    samples relation.  ``bucket_ns`` exercises the hot-key-safe chunking
+    mode (one chunk per series x time bucket) against the SAME oracle."""
     from json_time_series_extractor_ray.pipelines._util import scratch_dir
     from json_time_series_extractor_ray.sources.gorilla_chunks import (
         read_gorilla_chunks,
@@ -187,8 +188,10 @@ def _events_gorilla_readback(sf_dir: str):
     )
 
     corpus = events_corpus_dataset(sf_dir)
-    chunks = compress_series_dataset(extract_pipeline(corpus))
-    out = scratch_dir(f"gorilla_rb_{sf_dir}")
+    chunks = compress_series_dataset(extract_pipeline(corpus),
+                                     bucket_ns=bucket_ns)
+    tag = "" if bucket_ns is None else "_bkt"
+    out = scratch_dir(f"gorilla_rb{tag}_{sf_dir}")
     chunks.write_parquet(out)
     return read_gorilla_chunks(out)
 
@@ -369,6 +372,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
         "events_gorilla_chunk_counts": _events_gorilla_counts,
         "events_gorilla_readback": _events_gorilla_readback,
+        # hot-key-safe chunking (one chunk per series x day) vs same oracle
+        "events_gorilla_readback_bucketed":
+            lambda sf: _events_gorilla_readback(
+                sf, bucket_ns=86_400_000_000_000
+            ),
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
         "events_extract_wildcards": _events_wildcards,
@@ -415,6 +423,11 @@ def oracle_sql() -> dict[str, str]:
         # Gorilla codec is bit-exact: chunk files read back == the plain
         # numeric-samples relation (series_key, ts_ns, value_num)
         "events_gorilla_readback": f"""
+            SELECT series_key, ts_ns, value_num
+            FROM ({_EVENTS_SAMPLES_SQL})
+            WHERE value_num IS NOT NULL
+        """,
+        "events_gorilla_readback_bucketed": f"""
             SELECT series_key, ts_ns, value_num
             FROM ({_EVENTS_SAMPLES_SQL})
             WHERE value_num IS NOT NULL

@@ -220,13 +220,42 @@ class GorillaChunkWriter:
         )
 
 
-def compress_series_dataset(samples_ds):
-    """Samples Dataset -> one Gorilla chunk row per series (one shuffle)."""
+def compress_series_dataset(samples_ds, *, bucket_ns: int | None = None):
+    """Samples Dataset -> Gorilla chunk rows (one shuffle).
+
+    Default: one chunk per series.  ``bucket_ns`` co-partitions on
+    ``(series_key, ts // bucket_ns)`` instead — one chunk per series x
+    time bucket — so a hot series' points never exceed one group task or
+    one chunk row (the same hot-key bound as the bucketed as-of join).
+    Chunk rows are self-contained, so readers need no change: a
+    time-range read prunes per-chunk ``t_min``/``t_max`` exactly as
+    before, just at finer granularity.
+    """
     writer = GorillaChunkWriter()
 
     def _compress(df):
         return writer(df)
 
-    return samples_ds.groupby("series_key").map_groups(
-        _compress, batch_format="pandas"
+    if bucket_ns is None:
+        return samples_ds.groupby("series_key").map_groups(
+            _compress, batch_format="pandas"
+        )
+
+    import pyarrow as pa
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(ts // bucket_ns, pa.int64())
+        )
+
+    def _compress_drop(df):
+        return writer(df.drop(columns="__bucket"))
+
+    bucketed = samples_ds.map_batches(
+        _add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby(["series_key", "__bucket"]).map_groups(
+        _compress_drop, batch_format="pandas"
     )

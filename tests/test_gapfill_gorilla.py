@@ -215,3 +215,83 @@ class TestSaltedRollup:
         import pandas as pd
 
         pd.testing.assert_frame_equal(plain, salted)
+
+
+class TestBucketedGorillaChunks:
+    def test_bucketed_readback_equals_plain(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from json_time_series_extractor_ray.sources.gorilla_chunks import (
+            read_gorilla_chunks,
+        )
+        from json_time_series_extractor_ray.state.gorilla import (
+            compress_series_dataset,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 5000
+        df = pd.DataFrame({
+            "series_key": rng.choice(["hot"] * 8 + ["a", "b"], n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="ns"),
+            "value_num": rng.normal(size=n).round(4),
+            "value_kind": 1,
+            "doc_id": [f"d{i}" for i in range(n)],
+            "sample_ordinal": np.zeros(n, dtype=np.int32),
+        })
+        ds = ray.data.from_pandas(df).repartition(4)
+
+        plain_dir, bkt_dir = str(tmp_path / "p"), str(tmp_path / "b")
+        compress_series_dataset(ds).write_parquet(plain_dir)
+        compress_series_dataset(ds, bucket_ns=10**8).write_parquet(bkt_dir)
+
+        n_plain = len(pd.read_parquet(plain_dir))
+        n_bkt = len(pd.read_parquet(bkt_dir))
+        assert n_plain == 3          # one chunk per series
+        assert n_bkt > 3 * 3         # split across time buckets
+
+        key = ["series_key", "ts_ns", "value_num"]
+        a = read_gorilla_chunks(plain_dir).to_pandas() \
+            .sort_values(key, ignore_index=True)
+        b = read_gorilla_chunks(bkt_dir).to_pandas() \
+            .sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_bucketed_time_prune_still_exact(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from json_time_series_extractor_ray.sources.gorilla_chunks import (
+            read_gorilla_chunks,
+        )
+        from json_time_series_extractor_ray.state.gorilla import (
+            compress_series_dataset,
+        )
+
+        n = 1000
+        df = pd.DataFrame({
+            "series_key": "s",
+            "ts": pd.to_datetime(np.arange(n) * 10**6, unit="ns"),
+            "value_num": np.arange(n, dtype=np.float64),
+            "value_kind": 1,
+            "doc_id": [f"d{i}" for i in range(n)],
+            "sample_ordinal": np.zeros(n, dtype=np.int32),
+        })
+        out = str(tmp_path / "bkt")
+        compress_series_dataset(
+            ray.data.from_pandas(df), bucket_ns=10**8
+        ).write_parquet(out)
+        got = read_gorilla_chunks(
+            out, min_ts_ns=2 * 10**8, max_ts_ns=5 * 10**8
+        ).to_pandas()
+        want = df[(df["ts"].astype("int64") >= 2 * 10**8 - 10**8)
+                  & (df["ts"].astype("int64") <= 5 * 10**8 + 10**8)]
+        # chunk-granular prune: everything in range survives
+        in_range = got[(got["ts_ns"] >= 2 * 10**8)
+                       & (got["ts_ns"] <= 5 * 10**8)]
+        assert len(in_range) == ((df["ts"].astype("int64") >= 2 * 10**8)
+                                 & (df["ts"].astype("int64") <= 5 * 10**8)).sum()
+        assert len(got) <= len(want)
