@@ -168,15 +168,20 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
             address="local", num_cpus=num_cpus, include_dashboard=False,
             log_to_driver=False,
         )
-    # 8 MB block target: the shredded extraction kernel is superlinear in
-    # batch size (per-batch lexsort + hash kernels fall out of cache), so
-    # smaller blocks cut extract CPU ~2-3x.  Interleaved A/B at 32 CPUs on
-    # the 6M-doc headline (same output, 381,824 points): default blocks
-    # 26-46 s / 336-549 extract-CPU-s vs 8 MB 16-19 s / 117-173 CPU-s;
-    # 4 MB and 2 MB keep shrinking CPU but scheduling overhead grows wall
-    # time, 16 MB is ~25% slower.  Per-task state stays tiny, so this
-    # holds per-node on a multi-node cluster (the knob is per-driver).
-    ray.data.DataContext.get_current().target_max_block_size = 8 * 1024 * 1024
+        # 8 MB block target (bench-owned sessions ONLY — never mutate a
+        # caller-owned session's global context, same rule as job.py):
+        # the shredded extraction kernel is superlinear in batch size
+        # (per-batch lexsort + hash kernels fall out of cache), so
+        # smaller blocks cut extract CPU ~2-3x.  Interleaved A/B at 32
+        # CPUs on the 6M-doc headline (same output, 381,824 points):
+        # default blocks 26-46 s / 336-549 extract-CPU-s vs 8 MB
+        # 16-19 s / 117-173 CPU-s; 4/2 MB keep shrinking CPU but
+        # scheduling overhead grows wall time, 16 MB is ~25% slower.
+        # Per-task state stays tiny, so this holds per-node on a
+        # multi-node cluster (the knob is per-driver).
+        ray.data.DataContext.get_current().target_max_block_size = (
+            8 * 1024 * 1024
+        )
 
     queries: dict[str, float] = {}
     headline = bench_iot_rollup(num_cpus, IOT_DOCS, shred=shred)
@@ -295,25 +300,36 @@ def run_scaling(low: int, high: int, *, repeats: int = 2) -> dict:
     One shredded leg per level is reported alongside for the absolute
     numbers.
     """
+    def _run_leg(cpus: int, *extra_args: str) -> dict:
+        """One fresh-process headline leg; surfaces the subprocess stderr
+        instead of an IndexError when the leg dies (an hour of interleaved
+        pairs must not be lost to a silent [-1] on empty output)."""
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--cpus", str(cpus), "--headline-only", "--internal-json",
+                *extra_args,
+            ],
+            capture_output=True, text=True, timeout=3600, cwd=REPO,
+        )
+        lines = [
+            l for l in out.stdout.strip().splitlines() if l.startswith("{")
+        ]
+        if not lines:
+            raise RuntimeError(
+                f"scaling leg (cpus={cpus}, args={extra_args}) produced no "
+                f"JSON; rc={out.returncode}; stderr tail: "
+                f"{out.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])
+
     results: dict = {}
     all_secs: dict = {low: [], high: []}
     pair_eff: list = []
     for _ in range(repeats):
         pair: dict = {}
         for cpus in (low, high):
-            out = subprocess.run(
-                [
-                    sys.executable, os.path.abspath(__file__),
-                    "--cpus", str(cpus), "--headline-only", "--internal-json",
-                    "--no-shred",
-                ],
-                capture_output=True, text=True, timeout=3600,
-                cwd=REPO,
-            )
-            line = [
-                l for l in out.stdout.strip().splitlines() if l.startswith("{")
-            ][-1]
-            parsed = json.loads(line)
+            parsed = _run_leg(cpus, "--no-shred")
             all_secs[cpus].append(parsed["value"])
             pair[cpus] = parsed["detail"]["iot_extract_rollup"]["docs_per_sec"]
             if cpus not in results or parsed["value"] < results[cpus]["value"]:
@@ -321,17 +337,7 @@ def run_scaling(low: int, high: int, *, repeats: int = 2) -> dict:
         pair_eff.append(round((pair[high] / pair[low]) / (high / low), 3))
     shred_legs: dict = {}
     for cpus in (low, high):
-        out = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__),
-                "--cpus", str(cpus), "--headline-only", "--internal-json",
-            ],
-            capture_output=True, text=True, timeout=3600, cwd=REPO,
-        )
-        line = [
-            l for l in out.stdout.strip().splitlines() if l.startswith("{")
-        ][-1]
-        parsed = json.loads(line)
+        parsed = _run_leg(cpus)
         shred_legs[cpus] = {
             "sec": parsed["value"],
             "docs_per_sec":

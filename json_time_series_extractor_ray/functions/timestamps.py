@@ -63,13 +63,6 @@ _DATE_CACHE: dict = {}
 _MINUTE_CACHE: dict = {}
 
 
-def _ascii_digits(s: str) -> bool:
-    """ASCII-only digit check: ``str.isdigit`` alone accepts non-ASCII
-    digits (e.g. superscripts) that ``int()`` rejects, which would raise
-    instead of returning None from the fast path."""
-    return s.isascii() and s.isdigit()
-
-
 def parse_iso_timestamp_ns(text: str):
     """Parse an ISO 8601 string to int nanoseconds since epoch (UTC).
 

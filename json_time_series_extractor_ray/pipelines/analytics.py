@@ -244,15 +244,27 @@ def zscore_anomalies(samples_fn, *, threshold: float = 3.0,
         t = _numeric(batch)
         keys = t.column("series_key").to_pandas()
         v = t.column("value_num").to_numpy(zero_copy_only=False)
-        z = np.full(len(v), np.nan)
-        for key, (s, ss, n) in lut.items():
+        # one factorize + gather instead of a full-batch scan per series
+        # (round-2 review: k series cost k passes over every batch); the
+        # per-element expression (v - s/n) / sqrt(var) is unchanged, so
+        # z is bit-identical to the scalar loop
+        codes, uniques = pd.factorize(keys, sort=False)
+        mean_k = np.full(len(uniques), np.nan)
+        std_k = np.full(len(uniques), np.nan)
+        for i, key in enumerate(uniques):
+            ent = lut.get(key)
+            if ent is None:
+                continue
+            s, ss, n = ent
             if n < 2:
                 continue
             var = (ss - s * s / n) / (n - 1)
             if var <= 0:
                 continue
-            m = keys.to_numpy() == key
-            z[m] = (v[m] - s / n) / np.sqrt(var)
+            mean_k[i] = s / n
+            std_k[i] = np.sqrt(var)
+        with np.errstate(invalid="ignore"):
+            z = (v - mean_k[codes]) / std_k[codes]
         z = round_half_away(z, round_digits)
         keep = np.abs(z) > threshold
         t = t.filter(pa.array(keep & ~np.isnan(z)))
@@ -288,10 +300,16 @@ def twa_rollup(samples_ds, *, window_ns: int = WINDOW_NS["1d"],
         ts = df["ts_ns"].to_numpy()
         v = df["value_num"].to_numpy()
         w = ts - (ts % window_ns)
+        # windows are contiguous runs after the sort — slice by run
+        # boundaries instead of a fresh O(n) mask per window (round-2
+        # review: the mask loop was O(windows x points) per series).
+        # Slices keep the summation expression byte-identical.
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        ends = np.r_[starts[1:], len(w)]
         out_w, out_twa = [], []
-        for win in np.unique(w):
-            m = w == win
-            twin, vwin = ts[m], v[m]
+        for s_i, e_i in zip(starts, ends):
+            win = w[s_i]
+            twin, vwin = ts[s_i:e_i], v[s_i:e_i]
             if len(twin) < 2 or twin[-1] == twin[0]:
                 continue
             dt_s = (twin[1:] - twin[:-1]) / 1_000_000_000.0

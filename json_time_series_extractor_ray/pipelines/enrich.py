@@ -205,9 +205,14 @@ def global_extremes(events_ds, *, n: int = 50):
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     # Candidate set is tiny (<= 2n per block) — the one safe materialize.
-    tbl = pa.concat_tables(
-        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    )
+    parts = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not parts:  # empty input: empty result, not a concat_tables crash
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+            "side": pa.array([], pa.string()),
+        }))
+    tbl = pa.concat_tables(parts)
     v = tbl.column("value").to_numpy(zero_copy_only=False)
     e = tbl.column("event_id").to_numpy(zero_copy_only=False)
     top = _order(v, e, True)[:n]

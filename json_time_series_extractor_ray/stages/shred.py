@@ -369,7 +369,16 @@ def try_shred_batch(texts, plan, fallback_arr, default_now,
             return None
         if texts_arr_lazy[0] is None:
             texts_arr_lazy[0] = _texts_arr()
-        pres = pc.match_substring(texts_arr_lazy[0], f'"{f.name}":')
+        # '"name"\s*:' not '"name":' — legal JSON allows whitespace
+        # before the colon, and a plain-substring miss there would make
+        # an explicit null look ABSENT (masks agree -> proof passes ->
+        # silently dropped NULL-kind sample).  A value-string false
+        # positive only forces a harmless fallback.
+        import re as _re
+
+        pres = pc.match_substring_regex(
+            texts_arr_lazy[0], f'"{_re.escape(f.name)}"\\s*:'
+        )
         if not pc.all(pc.equal(pres, pc.is_valid(col))).as_py():
             return None
 

@@ -210,3 +210,26 @@ class TestShredRandomized:
         a, b, _ = _both(texts)
         assert a.equals(b)
         assert a.num_rows > 400
+
+
+class TestWhitespaceBeforeColon:
+    def test_null_with_space_before_colon_falls_back(self):
+        # Legal JSON whitespace around the key: a plain-substring presence
+        # proof missed '"v" :null' and silently dropped the NULL-kind
+        # sample; the regex proof must force the traversal fallback (or
+        # agree byte-for-byte).
+        texts = [
+            '{"time":"2024-01-01T00:00:01.000000Z","v" :null}',
+            '{"time":"2024-01-01T00:00:02.000000Z","v": 5}',
+            '{"time":"2024-01-01T00:00:03.000000Z"}',
+        ]
+        slow, fast, _ = _both(texts)
+        assert slow.equals(fast)
+
+    def test_newline_before_colon(self):
+        texts = [
+            '{"time":"2024-01-01T00:00:01.000000Z","v"\n:null}',
+            '{"time":"2024-01-01T00:00:02.000000Z","v":1}',
+        ]
+        slow, fast, _ = _both(texts)
+        assert slow.equals(fast)
