@@ -105,17 +105,7 @@ def change_suppress(samples_ds, *, epsilon: float = 0.0):
     variant of the same group kernel.
     """
 
-    def _numeric(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = batch.filter(pc.equal(batch.column("value_kind"), 1))
-        return pa.table({
-            "series_key": t.column("series_key"),
-            "ts_ns": t.column("ts").cast(pa.int64()),
-            "value_num": t.column("value_num"),
-            "doc_id": t.column("doc_id"),
-            "ordinal": t.column("sample_ordinal").cast(pa.int64()),
-        })
+    from .analytics import _numeric  # shared numeric-sample projection
 
     def _suppress(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(_ORDER, kind="stable", ignore_index=True)
@@ -201,10 +191,7 @@ def window_top_series(samples_ds, *, window_ns: int = 3_600_000_000_000,
 # Driver queries + oracles
 # ---------------------------------------------------------------------------
 
-def _events_samples(sf_dir: str):
-    from .timeseries import events_corpus_dataset, extract_pipeline
-
-    return extract_pipeline(events_corpus_dataset(sf_dir))
+from .analytics import _events_samples  # shared driver-sample helper
 
 
 def _register() -> None:
