@@ -151,7 +151,7 @@ def run_job(config: dict) -> dict:
         # (read_token_chunks(out) == the corpus, bit-for-bit).
         from .state.tokenstore import compress_corpus_dataset
 
-        tchunks = compress_corpus_dataset(ray.data.read_parquet(config["input"]))
+        tchunks = compress_corpus_dataset(corpus)
         tchunks.write_parquet(f"{out_dir}/token_chunks")
         result["token_chunks_written"] = True
 

@@ -33,16 +33,18 @@ def hash_shards(values, num_shards: int, *, mix=None):
 
 
 def scratch_dir(name: str) -> str:
-    """Fixed per-purpose scratch directory under /tmp, wiped on reuse so
-    repeated bench/correctness runs hold at most ONE copy per purpose
-    (tempfile.mkdtemp per invocation leaked a corpus-sized directory
-    every run until /tmp filled)."""
+    """Per-purpose, per-process scratch directory under /tmp, wiped on
+    reuse so repeated bench/correctness runs hold at most ONE copy per
+    purpose per process (tempfile.mkdtemp per invocation leaked a
+    corpus-sized directory every run until /tmp filled).  The pid suffix
+    keeps concurrent processes of the same query from rmtree-ing each
+    other's still-lazy reads."""
     import os
     import re
     import shutil
 
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
-    path = os.path.join("/tmp/jtse_scratch", safe)
+    path = os.path.join("/tmp/jtse_scratch", f"{safe}.{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

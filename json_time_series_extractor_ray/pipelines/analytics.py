@@ -249,8 +249,10 @@ def zscore_anomalies(samples_fn, *, threshold: float = 3.0,
         # per-element expression (v - s/n) / sqrt(var) is unchanged, so
         # z is bit-identical to the scalar loop
         codes, uniques = pd.factorize(keys, sort=False)
-        mean_k = np.full(len(uniques), np.nan)
-        std_k = np.full(len(uniques), np.nan)
+        # +1 sentinel slot: factorize maps null keys to code -1, which
+        # must read NaN (z stays NaN), not the last real series' stats
+        mean_k = np.full(len(uniques) + 1, np.nan)
+        std_k = np.full(len(uniques) + 1, np.nan)
         for i, key in enumerate(uniques):
             ent = lut.get(key)
             if ent is None:

@@ -132,7 +132,6 @@ def _make_merge(left_names, right_names, direction: str = "backward"):
         else:  # forward: earliest right row with r_ts >= l_ts
             idx = np.searchsorted(r_ts, left["__ts"].to_numpy(), side="left")
             matched = idx < len(r_ts)
-            idx = np.where(matched, idx, 0)
         if not matched.any():
             return empty
         left_m = left[matched]
@@ -253,7 +252,6 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
         if forward:
             idx = np.searchsorted(cb, pres_b, side="right")
             ok = idx < len(cb)
-            idx = np.where(ok, idx, 0)
         else:
             idx = np.searchsorted(cb, pres_b, side="left") - 1
             ok = idx >= 0

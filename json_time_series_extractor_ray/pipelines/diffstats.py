@@ -190,6 +190,16 @@ def simple_window_rollup(samples_ds, *, window_ns: int, ts_col: str = "ts",
             "window_ns": ts // window_ns * window_ns,
             "v": batch.column("value_num").to_numpy(zero_copy_only=False),
         }).dropna(subset=["v"])
+        if df.empty:  # typed empty block, not a null-inferred schema
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "mn": pa.array([], pa.float64()),
+                "mx": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
         g = df.groupby(["series_key", "window_ns"], sort=True).agg(
             n=("v", "size"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max")
         ).reset_index()

@@ -229,17 +229,22 @@ def weighted_sample(ds, *, k: int, weight_col: str,
             .astype(np.float64)
         from ._util import round_half_away
 
-        rank = np.where(w > 0, -np.log(u) / np.where(w > 0, w, 1.0), np.inf)
-        rank = round_half_away(rank, 6)
+        # zero/negative/NaN weights are excluded entirely (the SQL
+        # mirror's WHERE w > 0): keeping them as rank=inf rows would pad
+        # the result to k when positive-weight rows are scarce, where
+        # the oracle returns fewer
+        pos = w > 0
+        rank = round_half_away(-np.log(u[pos]) / w[pos], 6)
         t = pa.table({
-            id_column: batch.column(id_column),
-            weight_col: batch.column(weight_col),
+            id_column: batch.column(id_column).filter(pa.array(pos)),
+            weight_col: batch.column(weight_col).filter(pa.array(pos)),
             "rank_key": pa.array(rank, pa.float64()),
         })
         # local prune MUST apply the same (rank, id) order as the global
         # sort: rounding creates ties, and a rank-only prune could drop
         # the smaller-id row the oracle keeps at the k boundary
-        idx = np.lexsort((np.asarray(ids, dtype=object), rank))[:k]
+        kept_ids = np.asarray(ids, dtype=object)[pos]
+        idx = np.lexsort((kept_ids, rank))[:k]
         return t.take(pa.array(idx, pa.int64()))
 
     return (

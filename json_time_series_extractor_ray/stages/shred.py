@@ -369,6 +369,13 @@ def try_shred_batch(texts, plan, fallback_arr, default_now,
             return None
         if texts_arr_lazy[0] is None:
             texts_arr_lazy[0] = _texts_arr()
+        # A \uXXXX escape can spell the key in raw text without the
+        # regex below ever matching ('"v":' decodes to '"v":'),
+        # flipping presence to a silent false-absent — the dangerous
+        # direction.  \u appears only inside JSON strings, so any doc
+        # containing it goes to the traversal.
+        if pc.any(pc.match_substring(texts_arr_lazy[0], "\\u")).as_py():
+            return None
         # '"name"\s*:' not '"name":' — legal JSON allows whitespace
         # before the colon, and a plain-substring miss there would make
         # an explicit null look ABSENT (masks agree -> proof passes ->

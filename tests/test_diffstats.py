@@ -259,3 +259,23 @@ class TestSimpleWindowRollup:
         assert got["min"].tolist() == want["mn"].tolist()
         assert got["max"].tolist() == want["mx"].tolist()
         np.testing.assert_allclose(got["sum"], want["s"], atol=1e-6)
+
+
+class TestWeightedSampleZeroWeights:
+    def test_nonpositive_weights_excluded(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.split import (
+            weighted_sample,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array([f"z{i:03d}" for i in range(30)], pa.string()),
+            "w": pa.array([2.0] * 10 + [0.0] * 10 + [-1.0] * 10,
+                          pa.float64()),
+        })
+        got = weighted_sample(ray.data.from_arrow(t), k=25,
+                              weight_col="w").to_pandas()
+        # only the 10 positive-weight rows are eligible (SQL WHERE w > 0)
+        assert len(got) == 10
+        assert (got["w"] > 0).all()

@@ -233,3 +233,13 @@ class TestWhitespaceBeforeColon:
         ]
         slow, fast, _ = _both(texts)
         assert slow.equals(fast)
+
+    def test_unicode_escaped_key_falls_back(self):
+        # '"v"' decodes to key 'v' but never matches the raw-text
+        # regex — any \u doc must take the traversal
+        texts = [
+            '{"time":"2024-01-01T00:00:01.000000Z","\\u0076":null}',
+            '{"time":"2024-01-01T00:00:02.000000Z","v":5}',
+        ]
+        slow, fast, _ = _both(texts)
+        assert slow.equals(fast)
