@@ -170,9 +170,28 @@ class ExtractorOptions:
             "path_separator": str,
             "include_array_indexes_in_sample_keys": bool,
         }
+        def _as_bool(key, raw):
+            # string-config parity with the .NET binder: "false"/"0" must
+            # bind to False (Python's bool("false") is True)
+            if isinstance(raw, bool):
+                return raw
+            if isinstance(raw, (int, float)) and raw in (0, 1):
+                return bool(raw)
+            if isinstance(raw, str):
+                low = raw.strip().lower()
+                if low in ("true", "1", "yes"):
+                    return True
+                if low in ("false", "0", "no"):
+                    return False
+            raise OptionsValidationError(
+                f"Option {key!r} expects a boolean, got {raw!r}"
+            )
+
         for key, typ in simple.items():
             if key in cfg and cfg[key] is not None:
-                setattr(opts, key, typ(cfg.pop(key)))
+                raw = cfg.pop(key)
+                setattr(opts, key,
+                        _as_bool(key, raw) if typ is bool else typ(raw))
         for key in ("start_at", "timestamp_property"):
             if key in cfg:
                 raw = cfg.pop(key)
@@ -182,7 +201,10 @@ class ExtractorOptions:
                     setattr(opts, key, pointer_to_string(_as_pointer(raw, what=key)))
         include = cfg.pop("include", None)
         exclude = cfg.pop("exclude", None)
-        allow_wildcards = bool(cfg.pop("allow_wildcard_expressions", False))
+        allow_wildcards = _as_bool(
+            "allow_wildcard_expressions",
+            cfg.pop("allow_wildcard_expressions", False),
+        )
         if include is not None or exclude is not None:
             include = [r for r in (include or []) if r not in (None, "")] or None
             exclude = [r for r in (exclude or []) if r not in (None, "")] or None

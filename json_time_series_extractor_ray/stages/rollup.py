@@ -126,20 +126,32 @@ def _merge_windows(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
     df = df.copy()
     df["window_start"] = df["window_start"] - (df["window_start"] % window_ns)
     df.sort_values(
-        ["window_start", "last_ts", "last_doc", "last_ord"], inplace=True, kind="stable"
+        ["window_start", "last_ts", "last_doc", "last_ord"], inplace=True,
+        kind="stable", ignore_index=True,
     )
-    g = df.groupby("window_start", sort=True)
-    out = g.agg(
-        sum=("sum", "sum"),
-        count=("count", "sum"),
-        min=("min", "min"),
-        max=("max", "max"),
-        last=("last", "last"),
-        last_ts=("last_ts", "last"),
-        last_doc=("last_doc", "last"),
-        last_ord=("last_ord", "last"),
-    ).reset_index()
-    return out
+    w = df["window_start"].to_numpy()
+    if not len(w):
+        return df[["window_start", "sum", "count", "min", "max", "last",
+                   "last_ts", "last_doc", "last_ord"]]
+    # reduceat, NOT pandas agg: pandas' sum/min/max/'last' aggregators
+    # skip NaN while the partial kernel's reduceat propagates it, which
+    # made merged results depend on block boundaries and could stitch
+    # the 'last' tie-break triple from DIFFERENT rows (a NaN 'last' with
+    # another row's last_ts/doc) — the mergeability invariant breaks.
+    # Taking the whole group-end ROW keeps the triple consistent.
+    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+    ends = np.r_[starts[1:], len(w)] - 1
+    return pd.DataFrame({
+        "window_start": w[starts],
+        "sum": np.add.reduceat(df["sum"].to_numpy(), starts),
+        "count": np.add.reduceat(df["count"].to_numpy(), starts),
+        "min": np.minimum.reduceat(df["min"].to_numpy(), starts),
+        "max": np.maximum.reduceat(df["max"].to_numpy(), starts),
+        "last": df["last"].to_numpy()[ends],
+        "last_ts": df["last_ts"].to_numpy()[ends],
+        "last_doc": df["last_doc"].to_numpy()[ends],
+        "last_ord": df["last_ord"].to_numpy()[ends],
+    })
 
 
 def cascade_series_group(df: pd.DataFrame, tiers=TIER_ORDER) -> pd.DataFrame:
@@ -272,8 +284,14 @@ def merge_tier_rollups(rollup_dss, tiers=TIER_ORDER):
     """
     import pyarrow.compute as pc
 
+    # the finest tier of THIS ladder, not a hardcoded '1m': a job with
+    # tiers=("1h","1d") stores no 1m rows, and filtering on '1m' would
+    # silently merge nothing (an empty rollups_updated overwriting the
+    # real ladder)
+    finest = tiers[0]
+
     def _to_partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch.column("tier"), "1m"))
+        t = batch.filter(pc.equal(batch.column("tier"), finest))
         return pa.table(
             {
                 "series_key": t.column("series_key"),

@@ -24,11 +24,12 @@ operation in the pipeline (SURVEY.md §4).
 
 from __future__ import annotations
 
-import hashlib
+import hashlib  # noqa: F401  (shard_of's stable md5)
 import json
 import os
 import shutil
 import time
+import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -85,15 +86,22 @@ def _fsync_dir(path: str) -> None:
 
 
 def _checksum_table(table: pa.Table) -> str:
-    """Order-insensitive value checksum: per-row hash xor-folded."""
+    """Order-insensitive value checksum: per-row hashes SUM-folded mod
+    2^64 (with the row count appended).  Sum, not xor: an xor fold is
+    blind to rows duplicated an even number of times — exactly the
+    double-counting corruption the lineage record exists to detect.
+    Vectorized (pandas' stable row hash), not a per-row Python loop —
+    the commit path runs this on every shard."""
     if table.num_rows == 0:
-        return "0" * 16
-    acc = 0
-    cols = [table.column(n).to_pylist() for n in sorted(table.column_names)]
-    for row in zip(*cols):
-        h = hashlib.blake2b(repr(row).encode(), digest_size=8).digest()
-        acc ^= int.from_bytes(h, "big")
-    return f"{acc:016x}"
+        return "0" * 16 + "-0"
+    import numpy as np
+    import pandas as pd
+
+    df = table.select(sorted(table.column_names)).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    with np.errstate(over="ignore"):
+        acc = int(np.sum(h, dtype=np.uint64))
+    return f"{acc:016x}-{len(h)}"
 
 
 class CheckpointManifest:
@@ -106,6 +114,32 @@ class CheckpointManifest:
 
     def record_path(self, shard: int) -> str:
         return os.path.join(self.manifest_dir, f"shard-{shard:05d}.json")
+
+    def ensure_sharding(self, num_shards: int) -> None:
+        """Pin the shard count on first run; REFUSE a resume under a
+        different one.  Shard ids from a 64-way run are meaningless to a
+        32-way rerun — silently mixing them drops some series from
+        recompute while their data never lands (the exact missing/
+        double-counted outcome resume exists to prevent)."""
+        meta_path = os.path.join(self.manifest_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f).get("num_shards")
+            if stored != num_shards:
+                raise ValueError(
+                    f"manifest at {self.manifest_dir} was written with "
+                    f"num_shards={stored}; resuming with {num_shards} would "
+                    "mix incompatible shardings — rerun with the original "
+                    "value or start a fresh output_dir"
+                )
+            return
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"num_shards": num_shards}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_path)
+        _fsync_dir(self.manifest_dir)
 
     def shard_dir(self, shard: int) -> str:
         return os.path.join(self.out_dir, f"shard={shard:05d}")
@@ -129,9 +163,11 @@ class CheckpointManifest:
         """Atomically publish one shard: tmp write -> fsync -> rename, then
         the lineage record (record last => record implies data)."""
         final_dir = self.shard_dir(shard)
-        tmp_dir = final_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
+        # per-attempt tmp name: a retried task racing a presumed-dead
+        # worker must never rmtree the other attempt's in-progress dir
+        # and publish a partial shard — whichever attempt renames last
+        # wins atomically
+        tmp_dir = f"{final_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp_dir)
         t0 = time.perf_counter()
         part_path = os.path.join(tmp_dir, "part-0.parquet")
@@ -142,6 +178,11 @@ class CheckpointManifest:
             shutil.rmtree(final_dir)
         os.rename(tmp_dir, final_dir)
         _fsync_dir(os.path.dirname(final_dir))
+        # best-effort sweep of stale tmp dirs left by dead attempts
+        import glob
+
+        for stale in glob.glob(f"{final_dir}.tmp.*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
         ts_col = None
         for cand in ("ts", "window_start", "last_ts"):
@@ -203,24 +244,29 @@ def run_sharded_rollup(samples_ds, out_dir: str, num_shards: int, *,
     from ..stages.rollup import rollup_ladder
 
     manifest = CheckpointManifest(out_dir)
+    manifest.ensure_sharding(num_shards)  # refuse mismatched resumes
     done = manifest.completed_shards()
 
-    sharded = samples_ds.map_batches(
-        lambda b: add_shard_column(b, num_shards),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
     if done:
+        # only a RESUME needs the input-side shard column (to filter
+        # completed shards before the shuffle); a fresh run skips the
+        # whole hash+append+drop pass over every sample
         done_list = sorted(done)
-        sharded = sharded.map_batches(
+        sharded = samples_ds.map_batches(
+            lambda b: add_shard_column(b, num_shards),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).map_batches(
             lambda b: b.filter(
                 pc.invert(pc.is_in(b.column("shard"),
                                    value_set=pa.array(done_list, pa.int32())))
             ),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        ladder_input = sharded.drop_columns(["shard"])
+    else:
+        ladder_input = samples_ds
 
-    rollups = rollup_ladder(sharded.drop_columns(["shard"]), tiers=tiers,
-                            gap_fill=gap_fill)
+    rollups = rollup_ladder(ladder_input, tiers=tiers, gap_fill=gap_fill)
     resharded = rollups.map_batches(
         lambda b: add_shard_column(b, num_shards),
         batch_format="pyarrow", zero_copy_batch=True,

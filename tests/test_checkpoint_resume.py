@@ -123,3 +123,39 @@ class TestResume:
         assert metrics["shards_completed"] == len(run)
         assert metrics["rows"] > 0
         assert metrics["watermark_max"] is not None
+
+
+class TestShardingGuards:
+    def test_resume_with_different_num_shards_refused(self, tmp_path):
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from json_time_series_extractor_ray.state.checkpoint import (
+            CheckpointManifest,
+        )
+
+        m = CheckpointManifest(str(tmp_path / "out"))
+        m.ensure_sharding(64)
+        m.ensure_sharding(64)  # same value: fine
+        with _pytest.raises(ValueError, match="num_shards=64"):
+            m.ensure_sharding(32)
+        meta = json.load(open(os.path.join(m.manifest_dir, "_meta.json")))
+        assert meta["num_shards"] == 64
+
+    def test_checksum_detects_even_duplication(self):
+        import pyarrow as pa
+
+        from json_time_series_extractor_ray.state.checkpoint import (
+            _checksum_table,
+        )
+
+        t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+        doubled = pa.table({"a": [1, 1, 2, 2], "b": ["x", "x", "y", "y"]})
+        empty = t.slice(0, 0)
+        assert _checksum_table(t) != _checksum_table(doubled)
+        assert _checksum_table(t) != _checksum_table(empty)
+        # order-insensitive: permuted rows hash identically
+        perm = pa.table({"a": [2, 1], "b": ["y", "x"]})
+        assert _checksum_table(t) == _checksum_table(perm)

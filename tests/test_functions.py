@@ -276,3 +276,33 @@ def test_parse_hooks_on_string_entry():
         parse_int=lambda s: int(s) * 10,
     )
     assert [s.value for s in hooked] == [2.5, 70.0]
+
+
+class TestFromDictBoolStrings:
+    def test_string_false_binds_false(self):
+        from json_time_series_extractor_ray.extractor import ExtractorOptions
+
+        opts = ExtractorOptions.from_dict(
+            {"recursive": "false", "allow_nested_timestamps": "true"}
+        )
+        assert opts.recursive is False
+        assert opts.allow_nested_timestamps is True
+
+    def test_zero_one_strings(self):
+        from json_time_series_extractor_ray.extractor import ExtractorOptions
+
+        opts = ExtractorOptions.from_dict({"recursive": "0"})
+        assert opts.recursive is False
+        opts = ExtractorOptions.from_dict({"recursive": "1"})
+        assert opts.recursive is True
+
+    def test_garbage_bool_raises(self):
+        import pytest as _pytest
+
+        from json_time_series_extractor_ray.extractor import (
+            ExtractorOptions,
+            OptionsValidationError,
+        )
+
+        with _pytest.raises(OptionsValidationError, match="boolean"):
+            ExtractorOptions.from_dict({"recursive": "maybe"})

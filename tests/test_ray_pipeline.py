@@ -296,3 +296,99 @@ def test_incremental_merge_equals_batch(ray_session):
                                   check_exact=True)
     for c in float_cols:
         np.testing.assert_allclose(batch[c], merged[c], rtol=1e-12)
+
+
+class TestMergeWindowsNaN:
+    def _partials(self, rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows,
+            columns=["window_start", "sum", "count", "min", "max", "last",
+                     "last_ts", "last_doc", "last_ord"],
+        )
+
+    def test_nan_merge_is_partition_invariant(self):
+        import numpy as np
+
+        from json_time_series_extractor_ray.stages.rollup import (
+            _merge_windows,
+        )
+
+        # window 0: clean partial + NaN-bearing partial (NaN last row)
+        rows = [
+            (0, 3.0, 2, 1.0, 2.0, 2.0, 10, "a", 0),
+            (0, np.nan, 1, np.nan, np.nan, np.nan, 20, "b", 0),
+        ]
+        merged = _merge_windows(self._partials(rows), 60)
+        assert len(merged) == 1
+        r = merged.iloc[0]
+        # NaN propagates (matching the partial kernel's reduceat), and
+        # the whole 'last' triple comes from ONE row — the true last
+        assert np.isnan(r["sum"]) and np.isnan(r["min"]) and np.isnan(r["max"])
+        assert np.isnan(r["last"])
+        assert r["last_ts"] == 20 and r["last_doc"] == "b"
+        assert r["count"] == 3
+
+    def test_clean_merge_unchanged(self):
+        from json_time_series_extractor_ray.stages.rollup import (
+            _merge_windows,
+        )
+
+        rows = [
+            (0, 3.0, 2, 1.0, 2.0, 2.0, 10, "a", 0),
+            (0, 5.0, 1, 5.0, 5.0, 5.0, 20, "b", 0),
+            (60, 7.0, 1, 7.0, 7.0, 7.0, 70, "c", 0),
+        ]
+        merged = _merge_windows(self._partials(rows), 60)
+        assert merged["sum"].tolist() == [8.0, 7.0]
+        assert merged["count"].tolist() == [3, 1]
+        assert merged["last"].tolist() == [5.0, 7.0]
+        assert merged["last_doc"].tolist() == ["b", "c"]
+
+
+def test_incremental_merge_non_default_tiers(ray_session):
+    """merge_tier_rollups over a ladder stored WITHOUT a 1m tier must
+    merge that ladder's finest tier, not silently filter on '1m'."""
+    import pyarrow.compute as pc
+
+    from json_time_series_extractor_ray.corpus import iot_corpus_table
+    from json_time_series_extractor_ray.pipelines.timeseries import (
+        extract_pipeline,
+    )
+    from json_time_series_extractor_ray.stages.rollup import (
+        merge_tier_rollups,
+        rollup_ladder,
+    )
+    import ray
+
+    corpus = ray.data.from_arrow(iot_corpus_table(400, seed=5))
+    tiers = ("1h", "1d")
+
+    def _half(parity):
+        def _f(batch):
+            import pyarrow as pa
+
+            last = pc.utf8_slice_codeunits(batch.column("doc_id"),
+                                           start=13, stop=14)
+            digits = "02468" if parity == 0 else "13579"
+            return batch.filter(
+                pc.is_in(last, value_set=pa.array(list(digits)))
+            )
+        return corpus.map_batches(_f, batch_format="pyarrow")
+
+    batch_df = rollup_ladder(
+        extract_pipeline(corpus), tiers=tiers
+    ).to_pandas()
+    merged_df = merge_tier_rollups(
+        [rollup_ladder(extract_pipeline(_half(p)), tiers=tiers)
+         for p in (0, 1)],
+        tiers=tiers,
+    ).to_pandas()
+    key = ["tier", "series_key", "window_start"]
+    a = batch_df.sort_values(key, ignore_index=True)
+    b = merged_df.sort_values(key, ignore_index=True)
+    assert len(b) == len(a) > 0
+    assert a["count"].tolist() == b["count"].tolist()
+    assert a["min"].tolist() == b["min"].tolist()
+    assert a["last"].tolist() == b["last"].tolist()
