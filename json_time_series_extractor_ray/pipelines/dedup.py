@@ -55,8 +55,16 @@ def _read(sf_dir: str, table: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=list(columns))
 
 
+def _regex_trim(text_col):
+    """RE2 trim (ASCII \s only) — matches the DuckDB oracles'
+    regexp_replace exactly; Arrow's utf8_trim_whitespace strips Unicode
+    whitespace DuckDB's trim()/RE2 do not, a latent hash-parity break on
+    texts with leading tabs/newlines/U+00A0."""
+    return pc.replace_substring_regex(text_col, r"^\s+|\s+$", "")
+
+
 def _norm_text(text_col):
-    return pc.replace_substring_regex(pc.utf8_trim_whitespace(text_col), _WS, " ")
+    return pc.replace_substring_regex(_regex_trim(text_col), _WS, " ")
 
 
 # ---------------------------------------------------------------------------
@@ -94,9 +102,7 @@ def exact_dedup(docs_ds):
 
 def shingle_sets(text_col, k: int = 3):
     """Per-doc sets of word k-gram shingles."""
-    words_list = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(text_col), _WS
-    ).to_pylist()
+    words_list = pc.split_pattern_regex(_regex_trim(text_col), _WS).to_pylist()
     return [
         {" ".join(words[i : i + k]) for i in range(max(0, len(words) - k + 1))}
         for words in words_list
@@ -184,25 +190,33 @@ class MinHashLshStage:
         x = (shingle_hashes % _P31)[:, None]  # (n_shingles, 1)
         return ((self.a[None, :] * x + self.b[None, :]) % _P31).min(axis=0)
 
-    def _batch_signatures(self, text_col) -> np.ndarray:
+    def _batch_signatures(self, text_col):
         """All documents' signatures in one vectorized pass (shared gram
         hashing in :func:`_batch_gram_hashes`), then per-permutation
-        ``minimum.reduceat`` over doc segments."""
+        ``minimum.reduceat`` over doc segments.  Returns ``(sigs,
+        has_grams)`` — rows without any shingle keep the all-sentinel
+        signature and MUST be excluded from banding (two gramless docs
+        would otherwise share every band and verify at est=1.0)."""
         n_docs, present, seg_starts, x = _batch_gram_hashes(text_col)
         sigs = np.full((n_docs, self.n_perm), _P31, dtype=np.uint64)
+        has = np.zeros(n_docs, dtype=bool)
+        has[present] = True
         if not len(x):
-            return sigs
+            return sigs, has
         x = x % np.uint64(_P31)
         p = np.uint64(_P31)
         for j in range(self.n_perm):
             vals = (self.a[j] * x + self.b[j]) % p
             sigs[present, j] = np.minimum.reduceat(vals, seg_starts)
-        return sigs
+        return sigs, has
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = self._batch_signatures(batch.column("text"))
+        sigs, has = self._batch_signatures(batch.column("text"))
+        # gramless docs (< k words) never band: the exact Jaccard path
+        # skips empty shingle sets, and the LSH path must agree
+        sigs = sigs[has]
         n = sigs.shape[0]
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
         # (n_docs * bands, rows_per_band) slices, folded to one uint64 key
         # per band in a single vectorized pass; the band index is folded in
         # so equal slices in DIFFERENT bands never share a bucket (classic
@@ -366,7 +380,7 @@ def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=None):
                 "doc_id": pa.array([], pa.int64()),
                 "sig": pa.array([], pa.binary()),
             })
-        sigs = stage._batch_signatures(hit.column("text"))
+        sigs, _has = stage._batch_signatures(hit.column("text"))
         return pa.table({
             "doc_id": hit.column("doc_id").cast(pa.int64()),
             "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
@@ -393,9 +407,16 @@ def minhash_lsh_dups(docs_ds, *, threshold: float = 0.3, concurrency=None):
             sig_rows.column("sig").to_pylist(),
         )
     }
-    sig_a = np.stack([sig_by_id[i] for i in doc_a])
-    sig_b = np.stack([sig_by_id[i] for i in doc_b])
-    est = (sig_a == sig_b).mean(axis=1)
+    # chunked scoring: stacking all pairs at once costs
+    # n_pairs x n_perm x 8 B per side (~25 GB at the candidate cap) —
+    # the cap bounded the collect but not this allocation
+    est = np.empty(len(doc_a), dtype=np.float64)
+    _CHUNK = 1_000_000
+    for lo in range(0, len(doc_a), _CHUNK):
+        hi = lo + _CHUNK
+        sig_a = np.stack([sig_by_id[i] for i in doc_a[lo:hi]])
+        sig_b = np.stack([sig_by_id[i] for i in doc_b[lo:hi]])
+        est[lo:hi] = (sig_a == sig_b).mean(axis=1)
     keep = est >= threshold
     order = np.lexsort((doc_b[keep], doc_a[keep]))
     return ray.data.from_arrow(pa.table({
@@ -544,10 +565,16 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             # sign of sum(2*bit - 1) > 0  <=>  ones*2 > n_grams
             sim |= ((ones * 2 > n_grams).astype(np.uint64) << np.uint64(j))
         hashes[present] = sim
+    has = np.zeros(n_docs, dtype=bool)
+    has[present] = True
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "simhash": pa.array([f"{h:016x}" for h in hashes], pa.string()),
+            # gramless docs carry hash 0 as a placeholder — candidate
+            # expansion must skip them or every short doc pairs with
+            # every other at Hamming 0
+            "has_grams": pa.array(has, pa.bool_()),
         }
     )
 
@@ -558,6 +585,8 @@ def simhash_dups(docs_ds, *, max_hamming: int = 3):
     at least one of its four 16-bit chunks exactly."""
 
     def _expand(batch: pa.Table) -> pa.Table:
+        if "has_grams" in batch.column_names:
+            batch = batch.filter(batch.column("has_grams"))
         ids = batch.column("doc_id").to_pylist()
         hashes = [int(h, 16) for h in batch.column("simhash").to_pylist()]
         out_key, out_id, out_hash = [], [], []
@@ -683,7 +712,7 @@ register(
     f"""
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM documents
-    GROUP BY md5(regexp_replace(trim(text), '{_WS}', ' ', 'g'))
+    GROUP BY md5(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}', ' ', 'g'))
     """,
 )
 
@@ -692,7 +721,7 @@ register(
     lambda sf: jaccard_block_pairs(_read(sf, "documents", ["doc_id", "text", "lang"])),
     f"""
     WITH w AS (
-        SELECT doc_id, lang, regexp_split_to_array(trim(text), '{_WS}') AS words
+        SELECT doc_id, lang, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}') AS words
         FROM documents
     ),
     pos AS (
@@ -757,6 +786,12 @@ def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
             ["vec_a", "vec_b"]
         ).take_all(limit=max_edges)
     except ValueError as exc:
+        # only translate the DRIVER-side take_all(limit) overflow; a
+        # ValueError raised inside a Ray task (e.g. the max_block_vecs
+        # guard) surfaces as a RayTaskError subclass and must keep its
+        # own message — "raise tau" is the wrong remedy for it
+        if isinstance(exc, ray.exceptions.RayTaskError):
+            raise
         raise RuntimeError(
             f"near-dup pair graph exceeds max_edges={max_edges}; the "
             "driver-side union-find assumes edges << rows. Raise tau, "
@@ -784,8 +819,22 @@ def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
 
     def _assign(batch: pa.Table) -> pa.Table:
         table = ray.get(labels_ref)
-        ids = batch.column("vec_id").to_pandas()
-        cluster = ids.map(table).fillna(ids).astype("int64")
+        idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # pure-int64 vectorized lookup: Series.map(dict) upcasts to
+        # float64 when any id is unmapped, corrupting ids above 2^53
+        if table:
+            keys = np.fromiter(table.keys(), dtype=np.int64,
+                               count=len(table))
+            vals = np.fromiter(table.values(), dtype=np.int64,
+                               count=len(table))
+            order = np.argsort(keys)
+            keys, vals = keys[order], vals[order]
+            pos = np.clip(np.searchsorted(keys, idn), 0, len(keys) - 1)
+            hit = keys[pos] == idn
+            cluster = np.where(hit, vals[pos], idn)
+        else:
+            cluster = idn
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
@@ -867,8 +916,7 @@ def passage_chunks_batch(batch: pa.Table,
     """
     import pandas as pd
 
-    words = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(batch.column("text")), _WS)
+    words = pc.split_pattern_regex(_regex_trim(batch.column("text")), _WS)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -37,21 +37,7 @@ from ._util import round_half_away
 _ORDER = ["ts_ns", "doc_id", "ordinal"]
 
 
-def _numeric_samples(batch: pa.Table) -> pa.Table:
-    """Project a SAMPLE_SCHEMA block to the numeric-series compare shape."""
-    import pyarrow.compute as pc
-
-    mask = pc.equal(batch.column("value_kind"), 1)
-    t = batch.filter(mask)
-    return pa.table(
-        {
-            "series_key": t.column("series_key"),
-            "ts_ns": t.column("ts").cast(pa.int64()),
-            "value_num": t.column("value_num"),
-            "doc_id": t.column("doc_id"),
-            "ordinal": t.column("sample_ordinal").cast(pa.int64()),
-        }
-    )
+from .analytics import _numeric as _numeric_samples  # shared projection
 
 
 def stride_downsample(samples_ds, n: int):
@@ -291,10 +277,7 @@ def ladder_for_compare(rollup_ds, *, round_digits: int = 6):
 # Driver queries (events corpus -> extract -> downsample/rate/retention)
 # ---------------------------------------------------------------------------
 
-def _events_samples(sf_dir: str):
-    from .timeseries import events_corpus_dataset, extract_pipeline
-
-    return extract_pipeline(events_corpus_dataset(sf_dir))
+from .analytics import _events_samples  # shared driver-sample helper
 
 
 def _q_stride(sf_dir: str):

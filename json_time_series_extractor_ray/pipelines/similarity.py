@@ -47,7 +47,10 @@ def _load_query_matrix(sf_dir: str, n_queries: int):
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     order = np.argsort(ids)
     Q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[order]
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    # same zero-norm guard as _normalize: a zero query vector must score
+    # cosine 0 everywhere, not poison its whole result set with NaN
+    Qn = Q / np.where(norms == 0, 1.0, norms)
     return ids[order], Qn
 
 

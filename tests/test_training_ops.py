@@ -746,3 +746,44 @@ class TestCountMin:
         many = cms_build(ray.data.from_arrow(t).repartition(9), column="k",
                          width=256, depth=3)
         assert np.array_equal(one, many)
+
+
+class TestShortDocDedup:
+    def test_minhash_short_docs_never_pair(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            minhash_lsh_dups,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([
+                "hello there", "bye", "", "ok",
+                "the quick brown fox jumps over the lazy dog again today",
+                "the quick brown fox jumps over the lazy dog again today",
+            ], pa.string()),
+        })
+        pairs = minhash_lsh_dups(ray.data.from_arrow(t)).to_pandas()
+        # the two long identical docs pair; no gramless doc appears
+        assert set(pairs["doc_a"]) | set(pairs["doc_b"]) <= {4, 5}
+        assert len(pairs) == 1
+
+    def test_simhash_short_docs_never_pair(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            simhash_dups,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array([
+                "xy", "", "ab",
+                "one two three four five six seven eight nine ten",
+                "one two three four five six seven eight nine ten",
+            ], pa.string()),
+        })
+        pairs = simhash_dups(ray.data.from_arrow(t)).to_pandas()
+        assert set(pairs["doc_a"]) | set(pairs["doc_b"]) <= {3, 4}
+        assert len(pairs) == 1
