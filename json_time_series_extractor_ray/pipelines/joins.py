@@ -39,31 +39,49 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
                  how: str = "inner", num_shards: int = DEFAULT_SHARDS):
     """Equi-join two Datasets on a key column; returns the left columns
     followed by the right's non-key columns (right key is dropped —
-    it equals ``on``).  ``how`` is ``inner`` or ``left``.
+    it equals ``on``).  ``how`` is ``inner``, ``left``, ``semi``, or
+    ``anti`` — the latter two return left columns only (existence
+    filters, SQL ``WHERE [NOT] EXISTS``), shuffling just the right's
+    KEY column (its payload never moves).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
     right_key = right_on or on
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     lcols = list(left_schema.names)
-    rcols = [c for c in right_schema.names if c != right_key]
+    rcols = ([] if how in ("semi", "anti")
+             else [c for c in right_schema.names if c != right_key])
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
     decl = {
         **{n: t for n, t in zip(left_schema.names, left_schema.types)},
         **{n: t for n, t in zip(right_schema.names, right_schema.types)
-           if n != right_key},
+           if n != right_key and n in rcols},
     }
     key_type = decl[on]
     all_cols = lcols + rcols  # union is positional: fix one column order
+
+    def _canon_key(key):
+        """Dtype-stable view for shard hashing: a nullable-int batch
+        decays to float64 in to_pandas() while a null-free batch of the
+        SAME column stays int64 — pd.util.hash_array hashes those
+        differently, scattering one key value across shards.  Null keys
+        never match anyway, so fill them with 0 (any consistent shard)."""
+        s = key.to_pandas()
+        if pa.types.is_integer(key_type):
+            return s.fillna(0).astype(np.int64)
+        if pa.types.is_floating(key_type):
+            return s.astype(np.float64)
+        return s.astype(str)
 
     def _tag(side: int):
         def _prep(batch: pa.Table) -> pa.Table:
             key = (batch.column(on) if side == 0
                    else batch.column(right_key).cast(key_type))
-            shard = _hash_shards(key.to_pandas(), num_shards)
+            shard = _hash_shards(_canon_key(key), num_shards)
             cols = {"__key": key}
             for name in all_cols:
                 mine = (side == 0) == (name in lcols)
@@ -96,6 +114,12 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
         # inner join and survives a left join unmatched, as SQL does.
         right = df[df["__side"] == 1][["__key"] + rcols]
         right = right[right["__key"].notna()]
+        if how in ("semi", "anti"):
+            # Existence filter: a null left key matches nothing, so it
+            # falls out of semi and survives anti — SQL [NOT] EXISTS.
+            mask = left["__key"].isin(right["__key"].unique())
+            picked = left[mask if how == "semi" else ~mask]
+            return picked.rename(columns={"__key": on})[all_cols]
         if how == "inner":
             left = left[left["__key"].notna()]
         merged = left.merge(right, on="__key", how=how, sort=False)
@@ -212,6 +236,49 @@ register(
     SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
            o.o_custkey, o.o_orderstatus
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Anti join with a selective right side (every customer has SOME
+    order in this fixture, so the unfiltered anti set would be empty)."""
+    import pyarrow.compute as pc
+    import ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def _selective(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("o_orderstatus"), pa.scalar("P")),
+            pc.greater(batch.column("o_totalprice"), pa.scalar(150000.0)),
+        )
+        return batch.filter(keep).select(["o_custkey"])
+
+    orders = orders.map_batches(_selective, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return shuffle_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                        how="anti")
+
+
+register(
+    "customers_without_orders",
+    _q_customers_without_orders,
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'P' AND o.o_totalprice > 150000
+    )
     """,
 )
 

@@ -52,6 +52,7 @@ def _load_all() -> None:
         multimodal,
         packing,
         rangejoin,
+        relational,
         similarity,
         sketches,
         snapshot,

@@ -1,0 +1,595 @@
+"""Relational / multi-table operators: grouping sets, funnels, set ops,
+table profiling, and multi-join compositions.
+
+The reference library has no relational layer at all (it is a
+per-document flat-map, SURVEY.md §2.6); these are the engine-side
+operators a warehouse-shaped workload needs around the extraction core.
+Every operator keeps the repo's one-shuffle discipline: a vectorized
+per-block combiner bounds what moves, then ONE small groupby finishes —
+never a driver-side loop over the big side.
+
+Scale shapes
+------------
+- ``grouping_sets_stats``: partials only for the FINEST level move (one
+  row per block x group); coarser levels are re-aggregated from the
+  merged finest table, which is bounded by group cardinality, not row
+  count — the classic rollup-from-finest trick, so a 3-level cube costs
+  the same shuffle as a single groupby.
+- ``funnel_users`` / ``member_set_op``: per-block partial min/max (or
+  presence bits) per member — the shuffle carries one row per
+  block x member, and the final merge groups are member-sized.
+- ``table_profile``: per-block stats partials plus block-DISTINCT value
+  strings; shuffle volume is bounded by sum of per-block distincts
+  (column cardinality at worst), never raw rows.
+- ``revenue_by_nation`` (query): two bounded shuffle joins
+  (``joins.shuffle_join``) + one broadcast lookup + a 25-row aggregate —
+  the join tree a TPC-H Q5-style pipeline needs, expressed Ray-native.
+- ``bloom-prefiltered join`` (query): the small side's keys become a
+  fixed-size bloom bitmap broadcast once (``ray.put``); the big side is
+  pruned BEFORE its shuffle, so the exchange moves only probable
+  matches + a bounded false-positive residue — at 100 TB this is the
+  difference between shuffling the corpus and shuffling the matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+DAY_NS = 86_400_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup-from-finest
+# ---------------------------------------------------------------------------
+
+def grouping_sets_stats(ds, *, key: str, ts: str, value: str,
+                        window_ns: int = DAY_NS,
+                        all_key: str = "<all>", all_window: int = -1):
+    """count + round-6 value sum at three grouping levels —
+    ``(key, window)``, ``(key)``, ``()`` — in ONE pass / ONE shuffle.
+
+    Per-block combiner reduces each block to its local finest-level
+    partials; one groupby merges them; the two coarser levels are
+    re-aggregated from the merged finest rows (exact for counts,
+    round-6-normalized for float sums, the repo-standard sum rule).
+    Sentinels (``all_key`` / ``all_window``) stand in for NULL grouping
+    columns so the output stays cleanly typed (driver-hash lesson:
+    nullable BIGINT oracles decay to float64).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = t - (t % window_ns)
+        df = pd.DataFrame({
+            "k": batch.column(key).to_pandas().to_numpy(),
+            "w": w,
+            "v": batch.column(value).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["k", "w"], sort=False).agg(
+            n=("v", "size"), vsum=("v", "sum")).reset_index()
+        return pa.table({
+            "__g": pa.array(g["k"].astype(str) + "\x00" + g["w"].astype(str)),
+            "key": pa.array(g["k"], pa.string()),
+            "window_ns": pa.array(g["w"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "vsum": pa.array(g["vsum"].to_numpy(), pa.float64()),
+        })
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": [df["key"].iloc[0]],
+            "window_ns": pd.Series([df["window_ns"].iloc[0]], dtype="int64"),
+            "n": pd.Series([int(df["n"].sum())], dtype="int64"),
+            "vsum": [float(df["vsum"].sum())],
+        })
+
+    finest = ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("__g").map_groups(_merge, batch_format="pandas") \
+        .to_pandas()  # bounded by group cardinality, not row count
+
+    by_key = finest.groupby("key", sort=False).agg(
+        n=("n", "sum"), vsum=("vsum", "sum")).reset_index()
+    levels = [
+        pd.DataFrame({"key": finest["key"], "window_ns": finest["window_ns"],
+                      "n": finest["n"], "vsum": finest["vsum"]}),
+        pd.DataFrame({"key": by_key["key"], "window_ns": all_window,
+                      "n": by_key["n"], "vsum": by_key["vsum"]}),
+        pd.DataFrame({"key": [all_key], "window_ns": [all_window],
+                      "n": [int(finest["n"].sum())],
+                      "vsum": [float(finest["vsum"].sum())]}),
+    ]
+    out = pd.concat(levels, ignore_index=True)
+    return pa.table({
+        "key": pa.array(out["key"], pa.string()),
+        "window_ns": pa.array(out["window_ns"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        "value_sum": pa.array(round_half_away(out["vsum"].to_numpy(), 6),
+                              pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Funnel (step A then step B per member)
+# ---------------------------------------------------------------------------
+
+def funnel_conversions(ds, *, member: str, ts: str, step_col: str,
+                       step_a: str, step_b: str,
+                       window_ns: int | None = None):
+    """Members whose FIRST ``step_a`` precedes their LAST ``step_b``
+    (optionally within each tumbling window): the two-step conversion
+    funnel.  Per-block partials carry one (member[, window]) row with the
+    block-local min-A / max-B timestamps (int64 sentinels, not nulls —
+    nullable int partials decay to float); one groupby merges and
+    filters.  Output: member[, window_ns], first_a_ns, last_b_ns.
+    """
+    # Sentinels must survive a float64 round-trip exactly (the pandas
+    # min/max partials are float once NaN enters): +/-2^62 is exact where
+    # int64-max would round up to 2^63 and overflow the cast back.
+    I64_MAX = 1 << 62
+    I64_MIN = -(1 << 62)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        step = batch.column(step_col).to_pandas().to_numpy()
+        is_a = step == step_a
+        is_b = step == step_b
+        keep = is_a | is_b
+        # Sentinel-filled int64 columns BEFORE the groupby: a NaN-bearing
+        # min/max would decay to float64 and shave ns precision off
+        # epoch-ns values (~1.7e18 ≫ 2^53).
+        df = pd.DataFrame({
+            "m": m[keep],
+            "ta": np.where(is_a[keep], t[keep], I64_MAX),
+            "tb": np.where(is_b[keep], t[keep], I64_MIN),
+        })
+        if window_ns is not None:
+            w = t[keep]
+            df["w"] = w - (w % window_ns)
+        gcols = ["m"] + (["w"] if window_ns is not None else [])
+        j = df.groupby(gcols, sort=False).agg(
+            a=("ta", "min"), b=("tb", "max")).reset_index()
+        cols = {
+            "member": pa.array(j["m"].to_numpy(np.int64), pa.int64()),
+            "a": pa.array(j["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(j["b"].to_numpy(np.int64), pa.int64()),
+        }
+        if window_ns is not None:
+            cols["window_ns"] = pa.array(j["w"].to_numpy(np.int64),
+                                         pa.int64())
+            cols["__g"] = pa.array(j["m"].astype(str) + "\x00"
+                                   + j["w"].astype(str))
+        else:
+            cols["__g"] = pa.array(j["m"].astype(str))
+        return pa.table(cols)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        a = int(df["a"].min())
+        b = int(df["b"].max())
+        if a == I64_MAX or b == I64_MIN or not a < b:
+            return pd.DataFrame({"member": pd.Series([], dtype="int64"),
+                                 **({"window_ns": pd.Series([], dtype="int64")}
+                                    if window_ns is not None else {}),
+                                 "first_a_ns": pd.Series([], dtype="int64"),
+                                 "last_b_ns": pd.Series([], dtype="int64")})
+        row = {"member": pd.Series([df["member"].iloc[0]], dtype="int64"),
+               "first_a_ns": pd.Series([a], dtype="int64"),
+               "last_b_ns": pd.Series([b], dtype="int64")}
+        if window_ns is not None:
+            row["window_ns"] = pd.Series([df["window_ns"].iloc[0]],
+                                         dtype="int64")
+        cols = (["member", "window_ns"] if window_ns is not None
+                else ["member"]) + ["first_a_ns", "last_b_ns"]
+        return pd.DataFrame(row)[cols]
+
+    return ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__g").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distinct-member set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+def member_set_op(ds, *, member: str, slice_col: str, pred_a, pred_b,
+                  op: str):
+    """``DISTINCT member WHERE pred_a(slice_col)  <op>  DISTINCT member
+    WHERE pred_b(slice_col)`` with ``op`` in ``intersect`` / ``except``.
+
+    ``pred_a`` / ``pred_b`` take the slice column as a pyarrow ChunkedArray
+    and return a boolean mask (pyarrow or numpy).  Per-block combiner
+    reduces to one (member, seen_a, seen_b) row per block-distinct member
+    — presence bits OR-merge in the final groupby, so the shuffle carries
+    member cardinality, not rows.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        col = batch.column(slice_col)
+        ma = np.asarray(pred_a(col), dtype=bool)
+        mb = np.asarray(pred_b(col), dtype=bool)
+        keep = ma | mb
+        df = pd.DataFrame({"m": m[keep], "a": ma[keep], "b": mb[keep]})
+        g = df.groupby("m", sort=False).agg(a=("a", "max"),
+                                            b=("b", "max")).reset_index()
+        return pa.table({
+            "member": pa.array(g["m"].to_numpy(np.int64), pa.int64()),
+            "a": pa.array(g["a"].to_numpy(bool), pa.bool_()),
+            "b": pa.array(g["b"].to_numpy(bool), pa.bool_()),
+        })
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        in_a = bool(df["a"].any())
+        in_b = bool(df["b"].any())
+        keep = (in_a and in_b) if op == "intersect" else (in_a and not in_b)
+        if not keep:
+            return pd.DataFrame({"member": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"member": pd.Series([df["member"].iloc[0]], dtype="int64")})
+
+    return ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("member").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+def table_profile(ds, columns: list[str]):
+    """Per-column data profile: row count, null count, exact distinct
+    count, numeric min/max (NaN for non-numeric columns).
+
+    One stream carries two row kinds — per-block stats partials (one row
+    per column per block) and block-DISTINCT value strings — through ONE
+    groupby(col).  Exact distinct via value strings (``repr`` is
+    injective on doubles), bounded by column cardinality.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = {"col": [], "kind": [], "val": [], "n": [], "n_null": [],
+               "mn": [], "mx": []}
+        for name in columns:
+            col = batch.column(name)
+            n = len(col)
+            n_null = col.null_count
+            numeric = pa.types.is_floating(col.type) or \
+                pa.types.is_integer(col.type)
+            if numeric:
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                valid = v[~np.isnan(v)] if n_null or \
+                    pa.types.is_floating(col.type) else v
+                mn = float(valid.min()) if len(valid) else np.nan
+                mx = float(valid.max()) if len(valid) else np.nan
+                uniq = np.unique(valid)
+                vals = [repr(float(x)) for x in uniq]
+            else:
+                s = col.to_pandas().dropna().astype(str)
+                mn = mx = np.nan
+                vals = s.unique().tolist()
+            out["col"].append(name)
+            out["kind"].append(0)
+            out["val"].append(None)
+            out["n"].append(n)
+            out["n_null"].append(n_null)
+            out["mn"].append(mn)
+            out["mx"].append(mx)
+            for v_ in vals:
+                out["col"].append(name)
+                out["kind"].append(1)
+                out["val"].append(v_)
+                out["n"].append(0)
+                out["n_null"].append(0)
+                out["mn"].append(np.nan)
+                out["mx"].append(np.nan)
+        return pa.table({
+            "col": pa.array(out["col"], pa.string()),
+            "kind": pa.array(out["kind"], pa.int8()),
+            "val": pa.array(out["val"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "mn": pa.array(out["mn"], pa.float64()),
+            "mx": pa.array(out["mx"], pa.float64()),
+        })
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df["kind"] == 0]
+        vals = df.loc[df["kind"] == 1, "val"]
+        mn = stats["mn"].min()  # pandas min skips NaN
+        mx = stats["mx"].max()
+        return pd.DataFrame({
+            "col": [df["col"].iloc[0]],
+            "n_rows": pd.Series([int(stats["n"].sum())], dtype="int64"),
+            "n_null": pd.Series([int(stats["n_null"].sum())], dtype="int64"),
+            "n_distinct": pd.Series([int(vals.nunique())], dtype="int64"),
+            "min_num": [float(mn) if pd.notna(mn) else np.nan],
+            "max_num": [float(mx) if pd.notna(mx) else np.nan],
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("col").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_grouping_sets(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return grouping_sets_stats(ds, key="event_type", ts="ts", value="value")
+
+
+register(
+    "events_grouping_sets",
+    _q_grouping_sets,
+    f"""
+    SELECT COALESCE(event_type, '<all>') AS key,
+           COALESCE(epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}, -1) AS window_ns,
+           count(*) AS n,
+           round(sum(value), 6) AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS
+        ((event_type, epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}),
+         (event_type), ())
+    """,
+)
+
+
+def _q_funnel(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out = funnel_conversions(ds, member="user_id", ts="ts",
+                             step_col="event_type", step_a="click",
+                             step_b="purchase", window_ns=DAY_NS)
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["user_id" if c == "member" else c for c in b.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+register(
+    "events_funnel_click_purchase",
+    _q_funnel,
+    f"""
+    WITH s AS (
+        SELECT user_id,
+               epoch_ns(ts) - epoch_ns(ts) % {DAY_NS} AS window_ns,
+               min(CASE WHEN event_type = 'click'
+                        THEN epoch_ns(ts) END) AS first_a_ns,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN epoch_ns(ts) END) AS last_b_ns
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, window_ns, first_a_ns, last_b_ns
+    FROM s
+    WHERE first_a_ns IS NOT NULL AND last_b_ns IS NOT NULL
+      AND first_a_ns < last_b_ns
+    """,
+)
+
+
+_JAN96_LO = "1996-01-01"
+_JAN96_HI = "1996-02-01"
+_JAN00_LO = "2000-01-01"
+_JAN00_HI = "2000-02-01"
+
+
+def _month_preds():
+    import pyarrow.compute as pc
+
+    def _pred(lo, hi):
+        lo_ts = pa.scalar(np.datetime64(lo, "us"), pa.timestamp("us"))
+        hi_ts = pa.scalar(np.datetime64(hi, "us"), pa.timestamp("us"))
+
+        def fn(col):
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            # the fixture stores ship dates as date32 — normalize to
+            # timestamp before comparing (ADVICE round-1: silent
+            # date-vs-timestamp casts are a correctness trap)
+            c = c.cast(pa.timestamp("us"))
+            m = pc.and_(pc.greater_equal(c, lo_ts), pc.less(c, hi_ts))
+            return m.to_numpy(zero_copy_only=False)
+        return fn
+
+    return _pred(_JAN96_LO, _JAN96_HI), _pred(_JAN00_LO, _JAN00_HI)
+
+
+def _q_set_op(op: str):
+    def q(sf_dir: str):
+        import ray
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate"]
+        )
+        pred_a, pred_b = _month_preds()
+        out = member_set_op(ds, member="l_partkey", slice_col="l_shipdate",
+                            pred_a=pred_a, pred_b=pred_b, op=op)
+        return out.map_batches(
+            lambda b: b.rename_columns(["l_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return q
+
+
+_SETOP_SQL = f"""
+    SELECT DISTINCT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_JAN96_LO}'
+      AND l_shipdate <  TIMESTAMP '{_JAN96_HI}'
+    {{op}}
+    SELECT DISTINCT l_partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_JAN00_LO}'
+      AND l_shipdate <  TIMESTAMP '{_JAN00_HI}'
+"""
+
+register("parts_intersect_months", _q_set_op("intersect"),
+         _SETOP_SQL.format(op="INTERSECT"))
+register("parts_except_months", _q_set_op("except"),
+         _SETOP_SQL.format(op="EXCEPT"))
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag",
+                 "l_linestatus", "l_suppkey"]
+
+
+def _q_table_profile(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=_PROFILE_COLS
+    )
+    return table_profile(ds, _PROFILE_COLS)
+
+
+def _profile_branch(col: str, numeric: bool) -> str:
+    mn = f"CAST(min({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(max({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return f"""
+    SELECT '{col}' AS col, count(*) AS n_rows,
+           count(*) - count({col}) AS n_null,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num
+    FROM lineitem"""
+
+
+register(
+    "lineitem_profile",
+    _q_table_profile,
+    " UNION ALL ".join(
+        _profile_branch(c, c not in ("l_returnflag", "l_linestatus"))
+        for c in _PROFILE_COLS),
+)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-style join tree: lineitem ⋈ orders ⋈ customer (two bounded
+    shuffle joins) ⋈ nation (broadcast) → 25-row aggregate.  Revenue is
+    summed raw and rounded to 2 digits — cents precision, and a margin
+    ~200x wider than cross-engine summation-order noise at sf0.1."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .enrich import broadcast_join
+    from .joins import shuffle_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice")
+        disc = batch.column("l_discount")
+        rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev": rev})
+
+    li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey")
+
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lut = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_name").to_pylist()))
+    j3 = broadcast_join(j2, lut, key="c_nationkey", value_name="n_name")
+
+    agg = j3.groupby("n_name").aggregate(Count(), Sum("rev"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "n_items": batch.column("count()").cast(pa.int64()),
+            "revenue": pa.array(
+                round_half_away(
+                    batch.column("sum(rev)").to_numpy(zero_copy_only=False),
+                    2),
+                pa.float64()),
+        })
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+register(
+    "revenue_by_nation",
+    _q_revenue_by_nation,
+    """
+    SELECT n.n_name AS n_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+
+
+def _q_bloom_join(sf_dir: str):
+    """Bloom-prefiltered join: 'F'-status orders are the selective side;
+    their keys become one broadcast bitmap that prunes lineitem BEFORE
+    the join shuffle.  FPs pass into the exact join and fall out there,
+    so the result is value-identical to the plain join."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .joins import shuffle_join
+    from .sketches import bloom_build, bloom_filter_out
+
+    def _orders():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+        ).filter(expr="o_orderstatus == 'F'")
+
+    bloom = bloom_build(_orders(), column="o_orderkey")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    li = bloom_filter_out(li, bloom, column="l_orderkey", keep="member")
+    out = shuffle_join(li, _orders(), on="l_orderkey",
+                       right_on="o_orderkey")
+    return out.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "l_quantity",
+                            "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+register(
+    "lineitem_orders_bloom_join",
+    _q_bloom_join,
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)

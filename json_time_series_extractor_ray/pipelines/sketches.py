@@ -261,14 +261,21 @@ def bloom_build(ds, *, column: str, m_bits: int = BLOOM_BITS,
 
 
 def bloom_filter_out(big_ds, bloom_bits: bytes, *, column: str,
-                     m_bits: int = BLOOM_BITS, k: int = BLOOM_K):
+                     m_bits: int = BLOOM_BITS, k: int = BLOOM_K,
+                     keep: str = "new"):
     """Keep rows whose ``column`` is NOT (probably) in the bloom — the
     cross-run dedup shape: the previous run's fingerprints live in a
     fixed-size bitmap broadcast once via ``ray.put``; no shuffle, no join.
     False positives (rate ~(1-e^{-kn/m})^k) drop a few genuinely-new rows;
-    false negatives are impossible — nothing already seen gets through."""
+    false negatives are impossible — nothing already seen gets through.
+
+    ``keep="member"`` inverts the filter (keep probable members): the
+    join-prefilter shape — FPs pass harmlessly into the exact join that
+    follows, so the composition stays value-exact."""
     import ray
 
+    if keep not in ("new", "member"):
+        raise ValueError(f"keep must be 'new' or 'member', got {keep!r}")
     bits_ref = ray.put(bloom_bits)
 
     def _keep_new(batch: pa.Table) -> pa.Table:
@@ -279,7 +286,7 @@ def bloom_filter_out(big_ds, bloom_bits: bytes, *, column: str,
         pos = _bloom_positions(vals, m_bits, k)
         hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
         member = hit.all(axis=0)  # all k bits set -> probably seen
-        return batch.filter(pa.array(~member))
+        return batch.filter(pa.array(member if keep == "member" else ~member))
 
     return big_ds.map_batches(_keep_new, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -1,0 +1,204 @@
+"""Relational operators: semi/anti shuffle join, grouping sets, funnel,
+member set ops, table profile, bloom join prefilter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray.pipelines.joins import shuffle_join
+from json_time_series_extractor_ray.pipelines.relational import (
+    funnel_conversions,
+    grouping_sets_stats,
+    member_set_op,
+    table_profile,
+)
+
+
+def _ds(ray, table: pa.Table, blocks: int = 4):
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+class TestSemiAntiJoin:
+    @pytest.fixture()
+    def sides(self, ray_session):
+        rng = np.random.default_rng(11)
+        left = pa.table({
+            "k": pa.array(
+                list(rng.integers(0, 50, 300)) + [None, None], pa.int64()),
+            "x": pa.array(range(302), pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array(
+                list(rng.integers(25, 60, 100)) + [None], pa.int64()),
+            "y": pa.array(range(101), pa.int64()),
+        })
+        return left, right
+
+    def test_semi_matches_pandas_isin(self, ray_session, sides):
+        left, right = sides
+        out = shuffle_join(_ds(ray_session, left), _ds(ray_session, right),
+                           on="k", how="semi", num_shards=8).to_pandas()
+        ldf = left.to_pandas()
+        rkeys = right.to_pandas()["k"].dropna().unique()
+        want = ldf[ldf["k"].isin(rkeys)]
+        assert sorted(out["x"]) == sorted(want["x"])
+        assert list(out.columns) == ["k", "x"]
+
+    def test_anti_matches_pandas_and_keeps_null_keys(self, ray_session,
+                                                     sides):
+        left, right = sides
+        out = shuffle_join(_ds(ray_session, left), _ds(ray_session, right),
+                           on="k", how="anti", num_shards=8).to_pandas()
+        ldf = left.to_pandas()
+        rkeys = right.to_pandas()["k"].dropna().unique()
+        want = ldf[~ldf["k"].isin(rkeys)]
+        assert sorted(out["x"]) == sorted(want["x"])
+        # NOT EXISTS is vacuously true for a null left key
+        assert ldf[ldf["k"].isna()]["x"].isin(out["x"]).all()
+
+    def test_semi_output_schema_is_left_only(self, ray_session, sides):
+        left, right = sides
+        out = shuffle_join(_ds(ray_session, left), _ds(ray_session, right),
+                           on="k", how="semi", num_shards=8)
+        assert out.schema().names == ["k", "x"]
+
+
+class TestGroupingSets:
+    def test_three_levels_match_pandas(self, ray_session):
+        rng = np.random.default_rng(5)
+        n = 2000
+        base = 1_700_000_000_000_000_000
+        day = 86_400_000_000_000
+        t = base + rng.integers(0, 5 * day, n)
+        table = pa.table({
+            "k": pa.array(rng.choice(["a", "b", "c"], n)),
+            "ts": pa.array(t, pa.int64()).cast(pa.timestamp("ns")),
+            "v": pa.array(rng.normal(0, 10, n), pa.float64()),
+        })
+        out = grouping_sets_stats(
+            _ds(ray_session, table), key="k", ts="ts", value="v",
+            window_ns=day).to_pandas()
+        df = pd.DataFrame({"k": table.column("k").to_pandas(),
+                           "w": t - t % day,
+                           "v": table.column("v").to_pandas()})
+        finest = df.groupby(["k", "w"]).agg(n=("v", "size")).reset_index()
+        assert len(out) == len(finest) + 3 + 1
+        total = out[(out["key"] == "<all>") & (out["window_ns"] == -1)]
+        assert total["n"].iloc[0] == n
+        assert total["value_sum"].iloc[0] == pytest.approx(df["v"].sum(),
+                                                           abs=1e-5)
+        lvl1 = out[(out["key"] == "a") & (out["window_ns"] == -1)]
+        assert lvl1["n"].iloc[0] == (df["k"] == "a").sum()
+
+
+class TestFunnel:
+    def test_planted_funnel_exact_ns(self, ray_session):
+        # ns values deliberately above 2^53: a float64 round-trip would
+        # corrupt them (the bug this test pins).
+        base = 1_704_000_000_000_000_001
+        rows = [
+            (1, base + 10, "a"), (1, base + 20, "b"),      # converts
+            (2, base + 30, "b"), (2, base + 40, "a"),      # b before a: no
+            (3, base + 50, "a"),                           # no b: no
+            (4, base + 60, "b"),                           # no a: no
+            (5, base + 70, "a"), (5, base + 71, "b"),      # converts
+        ]
+        table = pa.table({
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+                .cast(pa.timestamp("ns")),
+            "et": pa.array([r[2] for r in rows]),
+        })
+        out = funnel_conversions(
+            _ds(ray_session, table, blocks=3), member="u", ts="ts",
+            step_col="et", step_a="a", step_b="b").to_pandas()
+        out = out.sort_values("member", ignore_index=True)
+        assert list(out["member"]) == [1, 5]
+        assert list(out["first_a_ns"]) == [base + 10, base + 70]
+        assert list(out["last_b_ns"]) == [base + 20, base + 71]
+
+    def test_windowed_funnel_splits_by_window(self, ray_session):
+        day = 86_400_000_000_000
+        base = 1_704_000_000_000_000_000
+        rows = [
+            (1, base + 10, "a"), (1, base + 20, "b"),          # day 0: yes
+            (1, base + day + 20, "b"), (1, base + day + 30, "a"),  # day 1: no
+        ]
+        table = pa.table({
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+                .cast(pa.timestamp("ns")),
+            "et": pa.array([r[2] for r in rows]),
+        })
+        out = funnel_conversions(
+            _ds(ray_session, table, blocks=2), member="u", ts="ts",
+            step_col="et", step_a="a", step_b="b",
+            window_ns=day).to_pandas()
+        assert len(out) == 1
+        assert out["window_ns"].iloc[0] == base - base % day
+
+
+class TestMemberSetOp:
+    def _run(self, ray, op):
+        table = pa.table({
+            "m": pa.array([1, 1, 2, 3, 3, 4, 5, 5], pa.int64()),
+            "s": pa.array(["x", "y", "x", "y", "y", "x", "x", "y"]),
+        })
+
+        def in_x(col):
+            return np.asarray(col.to_pandas() == "x")
+
+        def in_y(col):
+            return np.asarray(col.to_pandas() == "y")
+
+        out = member_set_op(_ds(ray, table, blocks=3), member="m",
+                            slice_col="s", pred_a=in_x, pred_b=in_y,
+                            op=op).to_pandas()
+        return sorted(out["member"])
+
+    def test_intersect(self, ray_session):
+        # x-members {1,2,4,5}, y-members {1,3,5}
+        assert self._run(ray_session, "intersect") == [1, 5]
+
+    def test_except(self, ray_session):
+        assert self._run(ray_session, "except") == [2, 4]
+
+
+class TestTableProfile:
+    def test_profile_matches_pandas(self, ray_session):
+        table = pa.table({
+            "num": pa.array([1.5, 2.5, None, 1.5, -3.0], pa.float64()),
+            "cat": pa.array(["a", None, "b", "a", "b"]),
+            "i": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        })
+        out = table_profile(_ds(ray_session, table, blocks=2),
+                            ["num", "cat", "i"]).to_pandas()
+        out = out.set_index("col")
+        assert (out["n_rows"] == 5).all()
+        assert out.loc["num", "n_null"] == 1
+        assert out.loc["cat", "n_null"] == 1
+        assert out.loc["i", "n_null"] == 0
+        assert out.loc["num", "n_distinct"] == 3
+        assert out.loc["cat", "n_distinct"] == 2
+        assert out.loc["i", "n_distinct"] == 3
+        assert out.loc["num", "min_num"] == -3.0
+        assert out.loc["num", "max_num"] == 2.5
+        assert out.loc["i", "max_num"] == 9.0
+        assert np.isnan(out.loc["cat", "min_num"])
+
+
+class TestBloomPrefilter:
+    def test_member_mode_has_no_false_negatives(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            bloom_build,
+            bloom_filter_out,
+        )
+
+        members = pa.table({"k": pa.array(range(0, 1000, 2), pa.int64())})
+        probe = pa.table({"k": pa.array(range(1000), pa.int64())})
+        bloom = bloom_build(_ds(ray_session, members), column="k")
+        kept = bloom_filter_out(_ds(ray_session, probe), bloom, column="k",
+                                keep="member").to_pandas()
+        # every true member survives; FPs are allowed (exact join later)
+        assert set(range(0, 1000, 2)) <= set(kept["k"])
