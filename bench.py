@@ -219,6 +219,10 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("tokens_chunk_readback", sf_dir)),
             ("events_window_stddev_1h",
              lambda: bench_query("events_window_stddev_1h", sf_dir)),
+            ("revenue_by_nation",
+             lambda: bench_query("revenue_by_nation", sf_dir)),
+            ("events_funnel_click_purchase",
+             lambda: bench_query("events_funnel_click_purchase", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

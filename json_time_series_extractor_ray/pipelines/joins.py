@@ -69,19 +69,40 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
         decays to float64 in to_pandas() while a null-free batch of the
         SAME column stays int64 — pd.util.hash_array hashes those
         differently, scattering one key value across shards.  Null keys
-        never match anyway, so fill them with 0 (any consistent shard)."""
-        s = key.to_pandas()
+        never match anyway, so fill them Arrow-side (any consistent
+        shard); filling BEFORE to_pandas keeps int64 exact — a pandas
+        fillna would still run through float64 and round keys > 2^53."""
+        import pyarrow.compute as pc
+
         if pa.types.is_integer(key_type):
-            return s.fillna(0).astype(np.int64)
+            return pc.fill_null(key, 0).to_pandas().astype(np.int64)
         if pa.types.is_floating(key_type):
-            return s.astype(np.float64)
-        return s.astype(str)
+            return key.to_pandas().astype(np.float64)
+        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+            return pc.fill_null(key, "").to_pandas().astype(str)
+        return key.to_pandas().astype(str)
 
     def _tag(side: int):
         def _prep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if side == 1:
+                # Null right keys never match any join mode — drop them
+                # BEFORE the shuffle (less exchange, and no NaN decay in
+                # downstream pandas frames).
+                batch = batch.filter(pc.is_valid(batch.column(right_key)))
             key = (batch.column(on) if side == 0
                    else batch.column(right_key).cast(key_type))
             shard = _hash_shards(_canon_key(key), num_shards)
+            if side == 0:
+                # Null LEFT keys must survive left/anti joins, but a null
+                # inside a shard frame decays its int64 __key to float64
+                # in pandas (corrupting co-resident keys > 2^53): route
+                # them to a dedicated null-only shard instead.
+                null_mask = pc.is_null(batch.column(on)) \
+                    .to_numpy(zero_copy_only=False)
+                shard = np.where(null_mask, num_shards, shard) \
+                    .astype(np.int32)
             cols = {"__key": key}
             for name in all_cols:
                 mine = (side == 0) == (name in lcols)

@@ -49,34 +49,44 @@ DAY_NS = 86_400_000_000_000
 
 def grouping_sets_stats(ds, *, key: str, ts: str, value: str,
                         window_ns: int = DAY_NS,
-                        all_key: str = "<all>", all_window: int = -1):
+                        all_key: str = "<all>", all_window: int = -1,
+                        null_key: str = "<null>", null_window: int = -2):
     """count + round-6 value sum at three grouping levels —
     ``(key, window)``, ``(key)``, ``()`` — in ONE pass / ONE shuffle.
 
     Per-block combiner reduces each block to its local finest-level
-    partials; one groupby merges them; the two coarser levels are
-    re-aggregated from the merged finest rows (exact for counts,
-    round-6-normalized for float sums, the repo-standard sum rule).
-    Sentinels (``all_key`` / ``all_window``) stand in for NULL grouping
-    columns so the output stays cleanly typed (driver-hash lesson:
-    nullable BIGINT oracles decay to float64).
+    partials; one multi-column groupby merges them; the two coarser
+    levels are re-aggregated from the merged finest rows (exact for
+    counts, round-6-normalized for float sums, the repo-standard sum
+    rule).  NULL grouping values get their OWN sentinels (``null_key`` /
+    ``null_window``, distinct from the ``all_*`` grouping-level
+    sentinels — SQL's ``GROUPING()`` distinction) so null-key rows form
+    a real group and the grand total counts every row; all sentinels keep
+    the output cleanly typed (driver-hash lesson: nullable BIGINT
+    oracles decay to float64).  Null VALUES are skipped by the sums
+    (SQL ``sum`` semantics; an all-null group sums to 0.0 here where SQL
+    yields NULL — counts are over rows either way).
     """
+    import pyarrow.compute as pc
 
     def _partial(batch: pa.Table) -> pa.Table:
-        t = batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        tcol = batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64())
+        ts_null = pc.is_null(tcol).to_numpy(zero_copy_only=False)
+        # fill Arrow-side so the int64 ns path never decays to float64
+        t = pc.fill_null(tcol, 0).to_numpy(zero_copy_only=False)
         w = t - (t % window_ns)
+        w[ts_null] = null_window
         df = pd.DataFrame({
-            "k": batch.column(key).to_pandas().to_numpy(),
-            "w": w,
+            "key": pc.fill_null(batch.column(key).cast(pa.string()),
+                                null_key).to_pandas().to_numpy(),
+            "window_ns": w,
             "v": batch.column(value).to_numpy(zero_copy_only=False),
         })
-        g = df.groupby(["k", "w"], sort=False).agg(
+        g = df.groupby(["key", "window_ns"], sort=False).agg(
             n=("v", "size"), vsum=("v", "sum")).reset_index()
         return pa.table({
-            "__g": pa.array(g["k"].astype(str) + "\x00" + g["w"].astype(str)),
-            "key": pa.array(g["k"], pa.string()),
-            "window_ns": pa.array(g["w"].to_numpy(), pa.int64()),
+            "key": pa.array(g["key"], pa.string()),
+            "window_ns": pa.array(g["window_ns"].to_numpy(), pa.int64()),
             "n": pa.array(g["n"].to_numpy(), pa.int64()),
             "vsum": pa.array(g["vsum"].to_numpy(), pa.float64()),
         })
@@ -91,7 +101,8 @@ def grouping_sets_stats(ds, *, key: str, ts: str, value: str,
 
     finest = ds.map_batches(_partial, batch_format="pyarrow",
                             zero_copy_batch=True) \
-        .groupby("__g").map_groups(_merge, batch_format="pandas") \
+        .groupby(["key", "window_ns"]) \
+        .map_groups(_merge, batch_format="pandas") \
         .to_pandas()  # bounded by group cardinality, not row count
 
     by_key = finest.groupby("key", sort=False).agg(
@@ -128,7 +139,15 @@ def funnel_conversions(ds, *, member: str, ts: str, step_col: str,
     block-local min-A / max-B timestamps (int64 sentinels, not nulls —
     nullable int partials decay to float); one groupby merges and
     filters.  Output: member[, window_ns], first_a_ns, last_b_ns.
+
+    Rows with a NULL timestamp or NULL member are dropped Arrow-side
+    BEFORE the numpy conversion — SQL min/max ignore null timestamps
+    anyway, and one NaN would decay the whole batch's int64 ns values to
+    float64, shaving ns precision off co-resident rows (~256 ns at
+    epoch-ns magnitudes).
     """
+    import pyarrow.compute as pc
+
     # Sentinels must survive a float64 round-trip exactly (the pandas
     # min/max partials are float once NaN enters): +/-2^62 is exact where
     # int64-max would round up to 2^63 and overflow the cast back.
@@ -136,6 +155,8 @@ def funnel_conversions(ds, *, member: str, ts: str, step_col: str,
     I64_MIN = -(1 << 62)
 
     def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(ts)),
+                                     pc.is_valid(batch.column(member))))
         t = batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         m = batch.column(member).to_numpy(zero_copy_only=False)
@@ -147,28 +168,25 @@ def funnel_conversions(ds, *, member: str, ts: str, step_col: str,
         # min/max would decay to float64 and shave ns precision off
         # epoch-ns values (~1.7e18 ≫ 2^53).
         df = pd.DataFrame({
-            "m": m[keep],
+            "member": m[keep],
             "ta": np.where(is_a[keep], t[keep], I64_MAX),
             "tb": np.where(is_b[keep], t[keep], I64_MIN),
         })
+        gcols = ["member"]
         if window_ns is not None:
             w = t[keep]
-            df["w"] = w - (w % window_ns)
-        gcols = ["m"] + (["w"] if window_ns is not None else [])
+            df["window_ns"] = w - (w % window_ns)
+            gcols.append("window_ns")
         j = df.groupby(gcols, sort=False).agg(
             a=("ta", "min"), b=("tb", "max")).reset_index()
         cols = {
-            "member": pa.array(j["m"].to_numpy(np.int64), pa.int64()),
+            "member": pa.array(j["member"].to_numpy(np.int64), pa.int64()),
             "a": pa.array(j["a"].to_numpy(np.int64), pa.int64()),
             "b": pa.array(j["b"].to_numpy(np.int64), pa.int64()),
         }
         if window_ns is not None:
-            cols["window_ns"] = pa.array(j["w"].to_numpy(np.int64),
+            cols["window_ns"] = pa.array(j["window_ns"].to_numpy(np.int64),
                                          pa.int64())
-            cols["__g"] = pa.array(j["m"].astype(str) + "\x00"
-                                   + j["w"].astype(str))
-        else:
-            cols["__g"] = pa.array(j["m"].astype(str))
         return pa.table(cols)
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -190,9 +208,10 @@ def funnel_conversions(ds, *, member: str, ts: str, step_col: str,
                 else ["member"]) + ["first_a_ns", "last_b_ns"]
         return pd.DataFrame(row)[cols]
 
+    gkeys = ["member"] + (["window_ns"] if window_ns is not None else [])
     return ds.map_batches(_partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
-        .groupby("__g").map_groups(_merge, batch_format="pandas")
+        .groupby(gkeys).map_groups(_merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -209,11 +228,18 @@ def member_set_op(ds, *, member: str, slice_col: str, pred_a, pred_b,
     reduces to one (member, seen_a, seen_b) row per block-distinct member
     — presence bits OR-merge in the final groupby, so the shuffle carries
     member cardinality, not rows.
+
+    NULL members are excluded (dropped Arrow-side, before the int64 view
+    could decay to float64).  This is a documented divergence from SQL
+    set ops, which treat NULLs as equal to each other and may emit one
+    NULL member row.
     """
     if op not in ("intersect", "except"):
         raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    import pyarrow.compute as pc
 
     def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(member)))
         m = batch.column(member).to_numpy(zero_copy_only=False)
         col = batch.column(slice_col)
         ma = np.asarray(pred_a(col), dtype=bool)
@@ -252,29 +278,42 @@ def table_profile(ds, columns: list[str]):
 
     One stream carries two row kinds — per-block stats partials (one row
     per column per block) and block-DISTINCT value strings — through ONE
-    groupby(col).  Exact distinct via value strings (``repr`` is
-    injective on doubles), bounded by column cardinality.
+    groupby(col).  Exact distinct via value strings: integer columns keep
+    exact int64 reprs (a float round-trip would collide ints > 2^53),
+    float columns normalize signed zero (``+ 0.0``) so -0.0/0.0 count as
+    ONE value across blocks and emit a single ``'nan'`` entry for genuine
+    NaNs — matching DuckDB, which treats NaN = NaN as one distinct value
+    that sorts ABOVE every number (so ``max`` is NaN whenever one is
+    present, ``min`` stays finite).
     """
 
     def _partial(batch: pa.Table) -> pa.Table:
         out = {"col": [], "kind": [], "val": [], "n": [], "n_null": [],
-               "mn": [], "mx": []}
+               "mn": [], "mx": [], "has_nan": []}
         for name in columns:
             col = batch.column(name)
             n = len(col)
             n_null = col.null_count
-            numeric = pa.types.is_floating(col.type) or \
-                pa.types.is_integer(col.type)
-            if numeric:
-                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-                valid = v[~np.isnan(v)] if n_null or \
-                    pa.types.is_floating(col.type) else v
-                mn = float(valid.min()) if len(valid) else np.nan
-                mx = float(valid.max()) if len(valid) else np.nan
-                uniq = np.unique(valid)
-                vals = [repr(float(x)) for x in uniq]
+            nonnull = col.drop_null() if n_null else col
+            has_nan = False
+            if pa.types.is_integer(col.type):
+                v = nonnull.to_numpy(zero_copy_only=False)
+                mn = float(v.min()) if len(v) else np.nan
+                mx = float(v.max()) if len(v) else np.nan
+                vals = [repr(int(x)) for x in np.unique(v)]
+            elif pa.types.is_floating(col.type):
+                v = nonnull.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                nan_mask = np.isnan(v)
+                has_nan = bool(nan_mask.any())
+                finite = v[~nan_mask] + 0.0  # normalize -0.0 -> 0.0
+                mn = float(finite.min()) if len(finite) else np.nan
+                mx = float(finite.max()) if len(finite) else np.nan
+                vals = [repr(float(x)) for x in np.unique(finite)]
+                if has_nan:
+                    vals.append("nan")
             else:
-                s = col.to_pandas().dropna().astype(str)
+                s = nonnull.to_pandas().astype(str)
                 mn = mx = np.nan
                 vals = s.unique().tolist()
             out["col"].append(name)
@@ -284,6 +323,7 @@ def table_profile(ds, columns: list[str]):
             out["n_null"].append(n_null)
             out["mn"].append(mn)
             out["mx"].append(mx)
+            out["has_nan"].append(has_nan)
             for v_ in vals:
                 out["col"].append(name)
                 out["kind"].append(1)
@@ -292,6 +332,7 @@ def table_profile(ds, columns: list[str]):
                 out["n_null"].append(0)
                 out["mn"].append(np.nan)
                 out["mx"].append(np.nan)
+                out["has_nan"].append(False)
         return pa.table({
             "col": pa.array(out["col"], pa.string()),
             "kind": pa.array(out["kind"], pa.int8()),
@@ -300,13 +341,14 @@ def table_profile(ds, columns: list[str]):
             "n_null": pa.array(out["n_null"], pa.int64()),
             "mn": pa.array(out["mn"], pa.float64()),
             "mx": pa.array(out["mx"], pa.float64()),
+            "has_nan": pa.array(out["has_nan"], pa.bool_()),
         })
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         stats = df[df["kind"] == 0]
         vals = df.loc[df["kind"] == 1, "val"]
         mn = stats["mn"].min()  # pandas min skips NaN
-        mx = stats["mx"].max()
+        mx = np.nan if stats["has_nan"].any() else stats["mx"].max()
         return pd.DataFrame({
             "col": [df["col"].iloc[0]],
             "n_rows": pd.Series([int(stats["n"].sum())], dtype="int64"),
@@ -337,9 +379,15 @@ def _q_grouping_sets(sf_dir: str):
 register(
     "events_grouping_sets",
     _q_grouping_sets,
+    # GROUPING() separates grouping-level NULLs ('<all>'/-1) from genuine
+    # data NULLs ('<null>'/-2) — same sentinel scheme as the engine
     f"""
-    SELECT COALESCE(event_type, '<all>') AS key,
-           COALESCE(epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}, -1) AS window_ns,
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN '<all>'
+                ELSE COALESCE(event_type, '<null>') END AS key,
+           CASE WHEN GROUPING(epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}) = 1
+                THEN -1
+                ELSE COALESCE(epoch_ns(ts) - epoch_ns(ts) % {DAY_NS}, -2)
+                END AS window_ns,
            count(*) AS n,
            round(sum(value), 6) AS value_sum
     FROM events
@@ -564,10 +612,13 @@ def _q_bloom_join(sf_dir: str):
     from .sketches import bloom_build, bloom_filter_out
 
     def _orders():
+        # project o_orderstatus away right after the filter consumes it —
+        # it must not ride through the join exchange just to be dropped
         return ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderstatus"],
-        ).filter(expr="o_orderstatus == 'F'")
+        ).filter(expr="o_orderstatus == 'F'") \
+            .select_columns(["o_orderkey", "o_custkey"])
 
     bloom = bloom_build(_orders(), column="o_orderkey")
     li = ray.data.read_parquet(

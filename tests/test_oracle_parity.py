@@ -67,6 +67,14 @@ SUBSET = [
     "passage_dedup",
     "events_acf_1m",
     "events_interarrival",
+    # relational family (semi/anti join, grouping sets, funnel, set ops,
+    # profile, join trees)
+    "customers_without_orders",
+    "events_grouping_sets",
+    "events_funnel_click_purchase",
+    "parts_except_months",
+    "lineitem_profile",
+    "revenue_by_nation",
 ]
 
 

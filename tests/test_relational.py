@@ -63,6 +63,23 @@ class TestSemiAntiJoin:
                            on="k", how="semi", num_shards=8)
         assert out.schema().names == ["k", "x"]
 
+    def test_keys_above_2_53_with_nulls_still_match(self, ray_session):
+        # a pandas fillna/astype round-trip would round 2^53+1 to 2^53
+        # and scatter the two sides across shards (review finding)
+        big = (1 << 53) + 1
+        left = pa.table({"k": pa.array([big, big + 2], pa.int64()),
+                         "x": pa.array([1, 2], pa.int64())})
+        right = pa.table({"k": pa.array([big, None], pa.int64()),
+                          "y": pa.array([10, 11], pa.int64())})
+        inner = shuffle_join(_ds(ray_session, left, 2),
+                             _ds(ray_session, right, 2),
+                             on="k", num_shards=4).to_pandas()
+        assert list(inner["k"]) == [big] and list(inner["y"]) == [10]
+        semi = shuffle_join(_ds(ray_session, left, 2),
+                            _ds(ray_session, right, 2),
+                            on="k", how="semi", num_shards=4).to_pandas()
+        assert list(semi["k"]) == [big]
+
 
 class TestGroupingSets:
     def test_three_levels_match_pandas(self, ray_session):
@@ -90,6 +107,28 @@ class TestGroupingSets:
                                                            abs=1e-5)
         lvl1 = out[(out["key"] == "a") & (out["window_ns"] == -1)]
         assert lvl1["n"].iloc[0] == (df["k"] == "a").sum()
+
+    def test_null_keys_form_their_own_group_and_count_in_total(
+            self, ray_session):
+        # review finding: pandas dropna silently dropped null-key rows
+        # from every level including the grand total
+        table = pa.table({
+            "k": pa.array(["a", None, "a", None], pa.string()),
+            "ts": pa.array([0, 0, 0, None], pa.int64())
+                .cast(pa.timestamp("ns")),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        })
+        out = grouping_sets_stats(
+            _ds(ray_session, table, blocks=2), key="k", ts="ts",
+            value="v").to_pandas()
+        total = out[(out["key"] == "<all>") & (out["window_ns"] == -1)]
+        assert total["n"].iloc[0] == 4
+        assert total["value_sum"].iloc[0] == pytest.approx(10.0)
+        null_grp = out[(out["key"] == "<null>") & (out["window_ns"] == -1)]
+        assert null_grp["n"].iloc[0] == 2
+        # null ts lands in the null-window sentinel, not window 0
+        null_win = out[(out["key"] == "<null>") & (out["window_ns"] == -2)]
+        assert null_win["n"].iloc[0] == 1
 
 
 class TestFunnel:
@@ -137,6 +176,24 @@ class TestFunnel:
             window_ns=day).to_pandas()
         assert len(out) == 1
         assert out["window_ns"].iloc[0] == base - base % day
+
+    def test_null_ts_row_does_not_corrupt_sibling_precision(
+            self, ray_session):
+        # review finding: one null ts decayed the whole batch to float64,
+        # shaving ns off co-resident values (~256 ns at epoch scale)
+        base = 1_704_000_000_000_000_001
+        table = pa.table({
+            "u": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([base + 10, base + 20, None], pa.int64())
+                .cast(pa.timestamp("ns")),
+            "et": pa.array(["a", "b", "b"]),
+        })
+        out = funnel_conversions(
+            _ds(ray_session, table, blocks=1), member="u", ts="ts",
+            step_col="et", step_a="a", step_b="b").to_pandas()
+        assert len(out) == 1
+        assert out["first_a_ns"].iloc[0] == base + 10
+        assert out["last_b_ns"].iloc[0] == base + 20
 
 
 class TestMemberSetOp:
@@ -186,6 +243,29 @@ class TestTableProfile:
         assert out.loc["num", "max_num"] == 2.5
         assert out.loc["i", "max_num"] == 9.0
         assert np.isnan(out.loc["cat", "min_num"])
+
+    def test_signed_zero_and_nan_follow_duckdb(self, ray_session):
+        # review finding: -0.0/0.0 counted as two distinct across blocks;
+        # DuckDB counts one, treats NaN as ONE distinct value > max
+        table = pa.table({
+            "num": pa.array([-0.0, 1.0, 0.0, float("nan"), float("nan")],
+                            pa.float64()),
+        })
+        out = table_profile(_ds(ray_session, table, blocks=3),
+                            ["num"]).to_pandas().set_index("col")
+        assert out.loc["num", "n_distinct"] == 3  # {0.0, 1.0, nan}
+        assert np.isnan(out.loc["num", "max_num"])  # NaN sorts above all
+        assert out.loc["num", "min_num"] == 0.0
+
+    def test_int_distinct_above_2_53_is_exact(self, ray_session):
+        big = (1 << 53) + 1
+        table = pa.table({"i": pa.array([big, big + 1, big + 2, None],
+                                        pa.int64())})
+        out = table_profile(_ds(ray_session, table, blocks=2),
+                            ["i"]).to_pandas().set_index("col")
+        # a float64 round-trip would collapse big/big+1 into one value
+        assert out.loc["i", "n_distinct"] == 3
+        assert out.loc["i", "n_null"] == 1
 
 
 class TestBloomPrefilter:
