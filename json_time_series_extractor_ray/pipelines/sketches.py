@@ -40,6 +40,60 @@ def group_percentiles(ds, *, key: str, value: str, pcts=PCTS):
     return ds.groupby(key).map_groups(_fn, batch_format="pandas")
 
 
+def quantile_buckets(ds_fn, *, key: str, value: str,
+                     pcts=(0.25, 0.5, 0.75)):
+    """Row counts per (key, quantile bucket) — NTILE-style histogram over
+    EXACT per-key quantile bounds.
+
+    Two-pass broadcast shape (same as ``joins.winsorize``): pass 1
+    computes the discrete quantile bounds per key (one tiny row each,
+    collected driver-side and captured in the task closure); pass 2 is a
+    stateless vectorized bucketing scan whose per-block partial counts —
+    bounded by ``keys × (len(pcts)+1)`` — feed one tiny groupby.  Bucket
+    assignment is pure comparison against existing values (quantile_disc
+    picks, no interpolation), so the result oracles exactly; rows whose
+    value is NULL/NaN fall into the last bucket on both engines (SQL
+    CASE: a NULL comparison is never TRUE).
+    """
+    bounds = group_percentiles(ds_fn(), key=key, value=value,
+                               pcts=pcts).to_pandas()
+    pct_cols = [f"p{int(p * 100)}" for p in pcts]
+    lut = {row[key]: [row[c] for c in pct_cols]
+           for _, row in bounds.iterrows()}
+    n_buckets = len(pcts) + 1
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_pandas().to_numpy()
+        v = batch.column(value).to_numpy(zero_copy_only=False)
+        bucket = np.full(len(v), n_buckets, np.int64)
+        for kk, qs in lut.items():
+            mask = k == kk
+            vv = v[mask]
+            b = np.full(len(vv), n_buckets, np.int64)
+            for i in range(len(qs) - 1, -1, -1):
+                b[vv <= qs[i]] = i + 1
+            bucket[mask] = b
+        g = pd.DataFrame({key: k, "bucket": bucket}) \
+            .groupby([key, "bucket"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.table({
+            key: pa.array(g[key].astype(str), pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: [df[key].iloc[0]],
+            "bucket": pd.Series([df["bucket"].iloc[0]], dtype="int64"),
+            "n": pd.Series([int(df["n"].sum())], dtype="int64"),
+        })
+
+    return ds_fn().map_batches(_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby([key, "bucket"]).map_groups(_sum, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------
@@ -577,3 +631,37 @@ def _q_cms_user_counts(sf_dir: str):
 
 
 register("events_cms_user_counts", _q_cms_user_counts)
+
+
+def _q_quantile_buckets(sf_dir: str):
+    import ray
+
+    def _events():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+
+    return quantile_buckets(_events, key="event_type", value="value")
+
+
+register(
+    "events_quantile_buckets",
+    _q_quantile_buckets,
+    """
+    WITH b AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.50) AS p50,
+               quantile_disc(value, 0.75) AS p75
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CASE WHEN e.value <= b.p25 THEN 1
+                WHEN e.value <= b.p50 THEN 2
+                WHEN e.value <= b.p75 THEN 3
+                ELSE 4 END AS bucket,
+           count(*) AS n
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1, 2
+    """,
+)

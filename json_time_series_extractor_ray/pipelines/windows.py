@@ -88,6 +88,61 @@ def topk_per_group(ds, *, key: str, order_by, k: int, columns):
     return ds.groupby(key).map_groups(_fn, batch_format="pandas")
 
 
+def transition_counts(ds, *, member: str, ts: str, state_col: str,
+                      order_col: str, num_shards: int = 64):
+    """Per-member consecutive state transitions (prev → next), counted
+    corpus-wide — the Markov transition matrix of an event stream.
+
+    Scale shape: ONE hash-shard groupby (``hash(member) % num_shards``),
+    never per-member tiny groups; inside each shard task rows sort by
+    ``(member, ts, order_col)`` (the deterministic tie-break) and pair
+    extraction is one vectorized shift with a member-boundary mask.
+    A member's rows all land in one shard by construction, so no pair
+    crosses tasks.  Shard-local (prev, next) counts — bounded by
+    ``num_shards × states²`` — feed one tiny final groupby.
+    """
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+
+    def _project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
+                                     pc.is_valid(batch.column(ts))))
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": batch.column(member),
+            "t": batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "s": batch.column(state_col),
+            "o": batch.column(order_col),
+            "__shard": pa.array(hash_shards(m, num_shards), pa.int32()),
+        })
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["m", "t", "o"], kind="stable",
+                            ignore_index=True)
+        same = df["m"].to_numpy()[1:] == df["m"].to_numpy()[:-1]
+        s = df["s"].to_numpy()
+        pairs = pd.DataFrame({"prev_state": s[:-1][same],
+                              "next_state": s[1:][same]})
+        g = pairs.groupby(["prev_state", "next_state"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prev_state": [df["prev_state"].iloc[0]],
+            "next_state": [df["next_state"].iloc[0]],
+            "n": pd.Series([int(df["n"].sum())], dtype="int64"),
+        })
+
+    return ds.map_batches(_project, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(_pairs, batch_format="pandas") \
+        .groupby(["prev_state", "next_state"]) \
+        .map_groups(_sum, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Driver queries
 # ---------------------------------------------------------------------------
@@ -458,3 +513,32 @@ def _mavg_sql(width: int = 5) -> str:
 
 
 register("events_moving_avg_1m", _q_mavg, _mavg_sql())
+
+
+def _q_transitions(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return transition_counts(ds, member="user_id", ts="ts",
+                             state_col="event_type", order_col="event_id")
+
+
+register(
+    "events_transition_matrix",
+    _q_transitions,
+    """
+    SELECT prev_state, next_state, count(*) AS n
+    FROM (
+        SELECT event_type AS prev_state,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_state
+        FROM events
+    )
+    WHERE next_state IS NOT NULL
+    GROUP BY prev_state, next_state
+    """,
+)

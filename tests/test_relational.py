@@ -268,6 +268,77 @@ class TestTableProfile:
         assert out.loc["i", "n_null"] == 1
 
 
+class TestTransitionCounts:
+    def test_matches_pandas_lead(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.windows import (
+            transition_counts,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 500
+        table = pa.table({
+            "u": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**6, n) * 1000, pa.int64())
+                .cast(pa.timestamp("ns")),
+            "s": pa.array(rng.choice(["x", "y", "z"], n)),
+            "o": pa.array(range(n), pa.int64()),
+        })
+        out = transition_counts(
+            _ds(ray_session, table, blocks=5), member="u", ts="ts",
+            state_col="s", order_col="o", num_shards=4).to_pandas()
+        df = pd.DataFrame({
+            "u": table.column("u").to_pandas(),
+            "t": table.column("ts").to_pandas(),
+            "s": table.column("s").to_pandas(),
+            "o": table.column("o").to_pandas(),
+        }).sort_values(["u", "t", "o"], ignore_index=True)
+        nxt = df.groupby("u")["s"].shift(-1)
+        want = pd.DataFrame({"prev_state": df["s"], "next_state": nxt}) \
+            .dropna().groupby(["prev_state", "next_state"]) \
+            .size().rename("n").reset_index()
+        got = out.sort_values(["prev_state", "next_state"],
+                              ignore_index=True)
+        want = want.sort_values(["prev_state", "next_state"],
+                                ignore_index=True)
+        assert got.to_dict("list") == {
+            "prev_state": list(want["prev_state"]),
+            "next_state": list(want["next_state"]),
+            "n": list(want["n"]),
+        }
+
+
+class TestQuantileBuckets:
+    def test_bucket_counts_match_manual_rule(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            quantile_buckets,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 400
+        table = pa.table({
+            "k": pa.array(rng.choice(["a", "b"], n)),
+            "v": pa.array(rng.normal(0, 1, n), pa.float64()),
+        })
+        out = quantile_buckets(
+            lambda: _ds(ray_session, table, blocks=3), key="k", value="v"
+        ).to_pandas()
+        df = pd.DataFrame({"k": table.column("k").to_pandas(),
+                           "v": table.column("v").to_pandas()})
+        for kk, grp in df.groupby("k"):
+            v = np.sort(grp["v"].to_numpy())
+            qs = [v[max(int(np.ceil(len(v) * p)) - 1, 0)]
+                  for p in (0.25, 0.5, 0.75)]
+            b = np.full(len(grp), 4, np.int64)
+            vv = grp["v"].to_numpy()
+            for i in (2, 1, 0):
+                b[vv <= qs[i]] = i + 1
+            want = pd.Series(b).value_counts()
+            got = out[out["k"] == kk].set_index("bucket")["n"]
+            for bucket, cnt in want.items():
+                assert got.loc[bucket] == cnt
+        assert out["n"].sum() == n
+
+
 class TestBloomPrefilter:
     def test_member_mode_has_no_false_negatives(self, ray_session):
         from json_time_series_extractor_ray.pipelines.sketches import (
