@@ -781,6 +781,31 @@ def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
     """
     import ray
 
+    labels_ref = _cluster_labels_ref(emb_ds, tau=tau, max_edges=max_edges)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(labels_ref)
+        idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster_id": pa.array(_lookup_labels(idn, table),
+                                       pa.int64()),
+            }
+        )
+
+    return emb_ds.select_columns(["vec_id"]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _cluster_labels_ref(emb_ds, *, tau: float, max_edges: int):
+    """Shared head of the connected-components family: blocked
+    similarity join -> driver-side union-find -> ``ray.put`` label map
+    (non-root members only; absent ids are their own cluster)."""
+    import ray
+
     try:
         edges = embedding_near_dups(emb_ds, tau=tau).select_columns(
             ["vec_a", "vec_b"]
@@ -815,36 +840,22 @@ def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     labels = {x: _find(x) for x in list(parent)}
-    labels_ref = ray.put(labels)
+    return ray.put(labels)
 
-    def _assign(batch: pa.Table) -> pa.Table:
-        table = ray.get(labels_ref)
-        idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        # pure-int64 vectorized lookup: Series.map(dict) upcasts to
-        # float64 when any id is unmapped, corrupting ids above 2^53
-        if table:
-            keys = np.fromiter(table.keys(), dtype=np.int64,
-                               count=len(table))
-            vals = np.fromiter(table.values(), dtype=np.int64,
-                               count=len(table))
-            order = np.argsort(keys)
-            keys, vals = keys[order], vals[order]
-            pos = np.clip(np.searchsorted(keys, idn), 0, len(keys) - 1)
-            hit = keys[pos] == idn
-            cluster = np.where(hit, vals[pos], idn)
-        else:
-            cluster = idn
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "cluster_id": pa.array(cluster, pa.int64()),
-            }
-        )
 
-    return emb_ds.select_columns(["vec_id"]).map_batches(
-        _assign, batch_format="pyarrow", zero_copy_batch=True
-    )
+def _lookup_labels(idn: np.ndarray, table: dict) -> np.ndarray:
+    """Vectorized label lookup: pure-int64 searchsorted — Series.map(dict)
+    upcasts to float64 when any id is unmapped, corrupting ids above
+    2^53; unmapped ids are their own cluster."""
+    if not table:
+        return idn
+    keys = np.fromiter(table.keys(), dtype=np.int64, count=len(table))
+    vals = np.fromiter(table.values(), dtype=np.int64, count=len(table))
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    pos = np.clip(np.searchsorted(keys, idn), 0, len(keys) - 1)
+    hit = keys[pos] == idn
+    return np.where(hit, vals[pos], idn)
 
 
 register(
@@ -873,6 +884,119 @@ register(
         SELECT e.u, w.l FROM walk w JOIN edges e ON e.v = w.u
     )
     SELECT u AS vec_id, min(l) AS cluster_id FROM walk GROUP BY u
+    """,
+)
+
+
+def cluster_representatives(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
+                            max_edges: int = 5_000_000,
+                            num_shards: int = 64):
+    """Canonical-member selection per near-duplicate cluster: for every
+    connected component of the cosine>=tau pair graph, keep the member
+    with the largest (6-dp-rounded) embedding norm, ties broken by min
+    vec_id — the "which copy do we train on" step of semantic dedup.
+
+    Shape: the shared union-find label map is broadcast once; the
+    embeddings table streams through one pass computing (cluster, norm)
+    per row, then ONE ``hash(cluster) % num_shards`` groupby co-locates
+    each cluster's members and a vectorized sort+first sweep picks the
+    representative — cluster count ~ row count (mostly singletons), so
+    per-cluster Ray groups would be tiny-group poison.
+    """
+    import ray
+
+    from ._util import hash_shards, round_half_away
+
+    labels_ref = _cluster_labels_ref(emb_ds, tau=tau, max_edges=max_edges)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        table = ray.get(labels_ref)
+        idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cluster = _lookup_labels(idn, table)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        sq = np.add.reduceat(flat * flat, offsets[:-1]) \
+            if len(flat) else np.zeros(0)
+        sq[np.diff(offsets) == 0] = 0.0
+        norm = round_half_away(np.sqrt(sq), 6)
+        return pa.table({
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "vec_id": pa.array(idn, pa.int64()),
+            "norm": pa.array(norm, pa.float64()),
+            "__shard": pa.array(hash_shards(cluster, num_shards),
+                                pa.int32()),
+        })
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "norm", "vec_id"],
+                            ascending=[True, False, True], kind="stable",
+                            ignore_index=True)
+        g = df.groupby("cluster_id", sort=False)
+        first = g.head(1).reset_index(drop=True)
+        sizes = g.size().reset_index(name="n_members")
+        out = first.merge(sizes, on="cluster_id", sort=False)
+        return pd.DataFrame({
+            "cluster_id": out["cluster_id"].astype("int64"),
+            "rep_vec_id": out["vec_id"].astype("int64"),
+            "n_members": out["n_members"].astype("int64"),
+            "rep_norm": out["norm"].astype("float64"),
+        })
+
+    return emb_ds.map_batches(
+        _project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__shard").map_groups(_pick, batch_format="pandas")
+
+
+register(
+    "near_dup_representatives",
+    lambda sf: cluster_representatives(
+        _read(sf, "embeddings", ["vec_id", "embedding", "label"])
+    ),
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= {EMB_NEAR_DUP_TAU}
+    ),
+    edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    walk(u, l) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.u, w.l FROM walk w JOIN edges e ON e.v = w.u
+    ),
+    labels AS (SELECT u AS vec_id, min(l) AS cluster_id FROM walk GROUP BY u),
+    norms AS (
+        SELECT vec_id,
+               round(sqrt(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[]))), 6) AS norm
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.vec_id, n.norm,
+               row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY n.norm DESC, l.vec_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN norms n USING (vec_id)
+    )
+    SELECT cluster_id, vec_id AS rep_vec_id,
+           CAST(n_members AS BIGINT) AS n_members, norm AS rep_norm
+    FROM ranked WHERE rn = 1
     """,
 )
 

@@ -354,3 +354,96 @@ register(
     FROM events GROUP BY window_ns
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Left outer join with a pre-aggregated fact side (zero-fill semantics)
+# ---------------------------------------------------------------------------
+
+def _q_customer_order_counts(sf_dir: str):
+    """Per-customer count / spend of OPEN ('O') orders, with customers
+    that have none kept at zero — the canonical left-outer shape: the
+    fact table is pre-aggregated per key FIRST (per-block partial
+    combiner -> one native groupby sum, so only ~|customers| tiny rows
+    enter the join), then LEFT-joined to the dimension and null-filled.
+    The status filter makes the null path real in this fixture (~3% of
+    customers have no open order).  At 100 TB the aggregate, not the raw
+    fact table, is what moves through the join shuffle.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ._util import round_half_away
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("o_orderstatus"), pa.scalar("O")))
+        g = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "n": np.ones(batch.num_rows, np.int64),
+            "spend": batch.column("o_totalprice")
+            .to_numpy(zero_copy_only=False),
+        }).groupby("o_custkey", sort=False).agg(
+            n=("n", "sum"), spend=("spend", "sum")).reset_index()
+        return pa.table({
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "spend": pa.array(g["spend"].to_numpy(np.float64),
+                              pa.float64()),
+        })
+
+    agg = orders.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("o_custkey").sum(["n", "spend"])
+
+    def _shape_agg(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "n_open": batch.column("sum(n)").cast(pa.int64()),
+            "open_spend": batch.column("sum(spend)"),
+        })
+
+    agg = agg.map_batches(_shape_agg, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = shuffle_join(cust, agg, on="c_custkey",
+                          right_on="o_custkey", how="left")
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        # cross-engine sum order differs -> round the FINAL sum on both
+        # sides; unmatched customers null-fill to 0 / 0.0
+        spend = batch.column("open_spend").to_numpy(zero_copy_only=False)
+        spend = np.where(np.isnan(spend), 0.0, round_half_away(spend, 6))
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "n_open": pc.fill_null(batch.column("n_open"), 0),
+            "open_spend": pa.array(spend, pa.float64()),
+        })
+
+    return joined.map_batches(_fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "customer_order_counts",
+    _q_customer_order_counts,
+    """
+    WITH a AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_open,
+               round(sum(o_totalprice), 6) AS open_spend
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COALESCE(a.n_open, 0) AS BIGINT) AS n_open,
+           COALESCE(a.open_spend, 0) AS open_spend
+    FROM customer c LEFT JOIN a ON a.o_custkey = c.c_custkey
+    """,
+)

@@ -1041,3 +1041,86 @@ register(
     SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob_mean FROM per
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate at a frequency cutoff
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(docs_ds, *, min_freq: int = 10):
+    """Corpus-level vocabulary coverage at a frequency cutoff: how much
+    of the token stream a ``count >= min_freq`` vocabulary explains —
+    the go/no-go statistic for choosing a tokenizer vocab or an OOV
+    policy before a training run.
+
+    Shape: the word-frequency relation (per-block combiner -> ONE
+    ``groupby(word).sum``) is reduced a second time to per-block partial
+    (vocab_size, covered, total) triples and one constant-key groupby —
+    no driver-side vocabulary, no broadcast: the cutoff is applied where
+    the frequency rows already live, so a 100 TB corpus's vocabulary
+    never has to fit anywhere.
+    """
+    import functools
+
+    partials = docs_ds.map_batches(
+        functools.partial(ngram_counts_batch, n=1),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = partials.groupby("ngram").sum("n")
+
+    def _partial_cov(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        in_vocab = n >= min_freq
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "vocab_size": pa.array([int(in_vocab.sum())], pa.int64()),
+            "covered_words": pa.array([int(n[in_vocab].sum())], pa.int64()),
+            "total_words": pa.array([int(n.sum())], pa.int64()),
+        })
+
+    def _final(df):
+        import pandas as pd
+
+        vocab = int(df["vocab_size"].sum())
+        covered = int(df["covered_words"].sum())
+        total = int(df["total_words"].sum())
+        return pd.DataFrame({
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "covered_words": pd.Series([covered], dtype="int64"),
+            "oov_words": pd.Series([total - covered], dtype="int64"),
+            "total_words": pd.Series([total], dtype="int64"),
+            "coverage": round_half_away(
+                np.array([covered / total]) if total else np.array([0.0]),
+                6),
+        })
+
+    return totals.map_batches(
+        _partial_cov, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("k").map_groups(_final, batch_format="pandas")
+
+
+register(
+    "corpus_vocab_coverage",
+    lambda sf: vocab_coverage(_read_documents(sf, ["doc_id", "text"]),
+                              min_freq=10),
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'
+               )) AS word
+        FROM documents
+    ),
+    f AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+    SELECT CAST(count(*) FILTER (n >= 10) AS BIGINT) AS vocab_size,
+           CAST(COALESCE(sum(n) FILTER (n >= 10), 0) AS BIGINT)
+               AS covered_words,
+           CAST(COALESCE(sum(n) FILTER (n < 10), 0) AS BIGINT)
+               AS oov_words,
+           CAST(sum(n) AS BIGINT) AS total_words,
+           round(COALESCE(sum(n) FILTER (n >= 10), 0) / sum(n), 6)
+               AS coverage
+    FROM f
+    """,
+)

@@ -542,3 +542,86 @@ register(
     GROUP BY prev_state, next_state
     """,
 )
+
+
+def lag_delta(ds, *, member: str, ts: str, value: str, order_col: str,
+              num_shards: int = 64):
+    """Row-level LAG difference per member: each row paired with the
+    member's previous value in ``(ts, order_col)`` order; first rows (no
+    predecessor) are dropped.  The distributed form of
+    ``value - LAG(value) OVER (PARTITION BY member ORDER BY ts, order)``.
+
+    Same scale shape as :func:`transition_counts`: ONE hash-shard
+    groupby co-locates each member's rows, the in-task pairing is a
+    vectorized shift with a member-boundary mask.  Output rows == input
+    rows minus one per member — this op is a row-level derivation, so
+    the shuffle carries the projected columns once and nothing else.
+    The delta is a raw IEEE double subtraction on identical operands, so
+    it hashes exactly against the SQL twin with no rounding.
+    """
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+
+    def _project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
+                                     pc.is_valid(batch.column(ts))))
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": batch.column(member),
+            "t": batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "o": batch.column(order_col),
+            "v": batch.column(value),
+            "__shard": pa.array(hash_shards(m, num_shards), pa.int32()),
+        })
+
+    def _delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["m", "t", "o"], kind="stable",
+                            ignore_index=True)
+        mm = df["m"].to_numpy()
+        same = mm[1:] == mm[:-1]
+        v = df["v"].to_numpy()
+        out = pd.DataFrame({
+            "user_id": pd.Series(mm[1:][same], dtype="int64"),
+            "event_id": pd.Series(df["o"].to_numpy()[1:][same],
+                                  dtype="int64"),
+            "ts_ns": pd.Series(df["t"].to_numpy()[1:][same],
+                               dtype="int64"),
+            "value": v[1:][same],
+            "prev_value": v[:-1][same],
+        })
+        out["delta"] = out["value"] - out["prev_value"]
+        return out
+
+    return ds.map_batches(_project, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__shard").map_groups(_delta, batch_format="pandas")
+
+
+def _q_value_delta(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return lag_delta(ds, member="user_id", ts="ts", value="value",
+                     order_col="event_id")
+
+
+register(
+    "events_value_delta",
+    _q_value_delta,
+    """
+    SELECT user_id, event_id, ts_ns, value, prev_value,
+           value - prev_value AS delta
+    FROM (
+        SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+               LAG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_value
+        FROM events
+    )
+    WHERE prev_value IS NOT NULL
+    """,
+)

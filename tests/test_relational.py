@@ -353,3 +353,39 @@ class TestBloomPrefilter:
                                 keep="member").to_pandas()
         # every true member survives; FPs are allowed (exact join later)
         assert set(range(0, 1000, 2)) <= set(kept["k"])
+
+
+class TestLagDelta:
+    def test_matches_pandas_shift(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.windows import (
+            lag_delta,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 400
+        table = pa.table({
+            "u": pa.array(rng.integers(0, 15, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10**6, n) * 1000, pa.int64())
+                .cast(pa.timestamp("ns")),
+            "o": pa.array(range(n), pa.int64()),
+            "v": pa.array(rng.normal(0, 10, n), pa.float64()),
+        })
+        out = lag_delta(
+            _ds(ray_session, table, blocks=4), member="u", ts="ts",
+            value="v", order_col="o", num_shards=4
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        df = pd.DataFrame({
+            "u": table.column("u").to_pandas(),
+            "t": table.column("ts").to_pandas(),
+            "o": table.column("o").to_pandas(),
+            "v": table.column("v").to_pandas(),
+        }).sort_values(["u", "t", "o"], ignore_index=True)
+        prev = df.groupby("u")["v"].shift(1)
+        want = df[prev.notna()].assign(prev=prev[prev.notna()])
+        want = want.sort_values("o", ignore_index=True)
+        assert list(out["event_id"]) == list(want["o"])
+        np.testing.assert_array_equal(out["prev_value"].to_numpy(),
+                                      want["prev"].to_numpy())
+        np.testing.assert_array_equal(
+            out["delta"].to_numpy(),
+            want["v"].to_numpy() - want["prev"].to_numpy())

@@ -84,3 +84,30 @@ class TestEdgeGuard:
         with pytest.raises(RuntimeError, match="max_edges"):
             near_dup_clusters(ray.data.from_arrow(emb), tau=0.5,
                               max_edges=10)
+
+
+class TestVocabCoverage:
+    def test_counts_against_hand_vocab(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.textstats import (
+            vocab_coverage,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a a a b", "a b zz", "a qq b a",
+            ], pa.string()),
+        })
+        # counts: a=6, b=3, zz=1, qq=1 -> vocab(min_freq=3) = {a, b}
+        out = vocab_coverage(
+            ray.data.from_arrow(t).repartition(2), min_freq=3
+        ).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["vocab_size"] == 2
+        assert row["covered_words"] == 9
+        assert row["oov_words"] == 2
+        assert row["total_words"] == 11
+        assert row["coverage"] == pytest.approx(9 / 11, abs=1e-6)

@@ -787,3 +787,37 @@ class TestShortDocDedup:
         pairs = simhash_dups(ray.data.from_arrow(t)).to_pandas()
         assert set(pairs["doc_a"]) | set(pairs["doc_b"]) <= {3, 4}
         assert len(pairs) == 1
+
+
+class TestClusterRepresentatives:
+    def test_max_norm_member_wins(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            cluster_representatives,
+        )
+
+        rng = np.random.default_rng(3)
+        E = rng.standard_normal((20, 8)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True) * 0.5
+        E[1] = E[0] * 1.01  # same direction, bigger norm -> representative
+        E[2] = E[0] * 0.99
+        E[11] = E[10] + 1e-4
+        t = pa.table({
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in E],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(20, np.int32)),
+        })
+        out = cluster_representatives(
+            ray.data.from_arrow(t).repartition(3), tau=0.999, num_shards=4
+        ).to_pandas().set_index("cluster_id").sort_index()
+        assert out.loc[0, "n_members"] == 3
+        assert out.loc[0, "rep_vec_id"] == 1  # 1.01x norm beats 0 and 2
+        assert out.loc[10, "n_members"] == 2
+        singles = [i for i in range(20) if i not in (0, 1, 2, 10, 11)]
+        for i in singles:
+            assert out.loc[i, "rep_vec_id"] == i
+            assert out.loc[i, "n_members"] == 1
+        norms = np.round(np.linalg.norm(E.astype(np.float64), axis=1), 6)
+        assert out.loc[0, "rep_norm"] == pytest.approx(norms[1], abs=1e-9)
