@@ -665,3 +665,100 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def mad_outliers(ds_fn, *, key: str, value: str, id_column: str,
+                 k: float = 3.0):
+    """Robust per-key outlier flags via Median Absolute Deviation:
+    a row is an outlier when ``|value - median| > k * MAD`` where
+    ``MAD = median(|value - median|)`` — the standard robust alternative
+    to z-scores (immune to the outliers it is hunting).
+
+    Three streaming scans, no shuffle of the big side: (1) per-key
+    discrete medians (tiny, collected + broadcast in the task closure),
+    (2) per-key discrete medians of the absolute deviations, (3) a
+    stateless vectorized flag pass.  Every intermediate (subtraction,
+    abs, ``k * MAD``, the comparison) is the same IEEE double expression
+    in SQL, and the medians are ``quantile_disc`` picks of existing
+    values — so the result hashes exactly with zero rounding.
+    """
+    med = group_percentiles(ds_fn(), key=key, value=value,
+                            pcts=(0.5,)).to_pandas()
+    med_lut = dict(zip(med[key], med["p50"]))
+
+    def _apply_lut(kk: np.ndarray, lut: dict) -> np.ndarray:
+        out = np.empty(len(kk), np.float64)
+        for name, x in lut.items():
+            out[kk == name] = x
+        return out
+
+    def _ad(batch: pa.Table) -> pa.Table:
+        kk = batch.column(key).to_pandas().to_numpy()
+        v = batch.column(value).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: batch.column(key),
+            "ad": pa.array(np.abs(v - _apply_lut(kk, med_lut)),
+                           pa.float64()),
+        })
+
+    mad = group_percentiles(
+        ds_fn().map_batches(_ad, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        key=key, value="ad", pcts=(0.5,),
+    ).to_pandas()
+    mad_lut = dict(zip(mad[key], mad["p50"]))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        kk = batch.column(key).to_pandas().to_numpy()
+        v = batch.column(value).to_numpy(zero_copy_only=False)
+        m = _apply_lut(kk, med_lut)
+        s = _apply_lut(kk, mad_lut)
+        ad = np.abs(v - m)
+        return pa.table({
+            id_column: batch.column(id_column),
+            key: batch.column(key),
+            value: batch.column(value),
+            "med": pa.array(m, pa.float64()),
+            "mad": pa.array(s, pa.float64()),
+            "is_outlier": pa.array((ad > k * s).astype(np.int64),
+                                   pa.int64()),
+        })
+
+    return ds_fn().map_batches(_flag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _q_mad_outliers(sf_dir: str):
+    import ray
+
+    def _events():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+
+    return mad_outliers(_events, key="event_type", value="value",
+                        id_column="event_id", k=3.0)
+
+
+register(
+    "events_mad_outliers",
+    _q_mad_outliers,
+    """
+    WITH m AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS ad
+        FROM events e JOIN m USING (event_type)
+    ),
+    s AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad
+          FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value, d.med, s.mad,
+           CAST(CASE WHEN d.ad > 3.0 * s.mad THEN 1 ELSE 0 END AS BIGINT)
+               AS is_outlier
+    FROM d JOIN s USING (event_type)
+    """,
+)

@@ -281,3 +281,101 @@ register(
     LIMIT 100
     """,
 )
+
+
+def mixture_sample(ds, *, stratum_col: str, rates: dict,
+                   id_column: str = "doc_id", default_rate: float = 1.0):
+    """Deterministic per-stratum Bernoulli downsampling — the data-mixing
+    primitive: keep a document iff its md5 hash falls under its stratum's
+    rate (e.g. downweight a dominant language to 25% while keeping the
+    rest whole).  Hash-gated like ``train_val_split``: no RNG state,
+    stable across runs/resumes/corpus growth, embarrassingly parallel
+    (pure per-row filter, no shuffle at all).
+
+    Rates are quantized to 1/256 (two md5 hex chars compared
+    lexicographically — fixed-width lowercase hex sorts numerically);
+    a rate >= 1.0 maps to the sentinel 'g0', which every hex string
+    precedes, i.e. keep-all.
+    """
+
+    def _thr(rate: float) -> str:
+        q = int(round(rate * 256))
+        return "g0" if q >= 256 else format(max(q, 0), "02x")
+
+    thresholds = {s: _thr(r) for s, r in rates.items()}
+    default_thr = _thr(default_rate)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column(id_column).to_pylist()
+        strata = batch.column(stratum_col).to_pylist()
+        mask = np.array([
+            hashlib.md5(str(i).encode()).hexdigest()[:2]
+            < thresholds.get(s, default_thr)
+            for i, s in zip(ids, strata)
+        ], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+MIXTURE_RATES = {"en": 0.25, "zh": 0.5}
+
+
+def _q_mixture(sf_dir: str):
+    import ray
+
+    return mixture_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"]),
+        stratum_col="lang", rates=MIXTURE_RATES,
+    )
+
+
+register(
+    "doc_mixture_sample",
+    _q_mixture,
+    # same hash gate: first two md5 hex chars vs the per-stratum
+    # threshold ('40' = 64/256 = 0.25, '80' = 128/256 = 0.5; unlisted
+    # strata keep everything via the 'g0' sentinel)
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80'
+                      ELSE 'g0' END
+    """,
+)
+
+
+def _q_source_caps(sf_dir: str):
+    """Per-source document cap (RefinedWeb-style domain capping): keep at
+    most N docs per source, preferring the longest (tie: doc_id) — reuses
+    the generic ``topk_per_group`` operator; source cardinality is the
+    parallelism, and each group task holds one source's rows."""
+    import ray
+
+    from .windows import topk_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return topk_per_group(
+        docs, key="source",
+        order_by=[("n_chars", False), ("doc_id", True)], k=10,
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+
+register(
+    "doc_source_caps",
+    _q_source_caps,
+    """
+    SELECT doc_id, source, n_chars FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id
+    ) <= 10
+    """,
+)

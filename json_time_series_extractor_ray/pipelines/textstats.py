@@ -1124,3 +1124,75 @@ register(
     FROM f
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-language tokenizer fertility (tokens-per-word, mixture planning)
+# ---------------------------------------------------------------------------
+
+def lang_token_fertility(docs_ds):
+    """Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    word, aggregated corpus-wide — the statistic that sizes a
+    multilingual data mixture (a language with 3x fertility costs 3x the
+    tokens per word of text).
+
+    Per-block combiner reduces each block to <= |langs| partial rows
+    (integer word/token sums — exact), ONE tiny groupby sums them, and
+    the ratio is a single rounded division per language.
+    """
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        _, offsets, _ = _words_and_offsets(text)
+        n_words = np.diff(offsets).astype(np.int64)
+        n_bpe = pc.count_substring_regex(text, BPE_SPLIT) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "w": n_words,
+            "t": n_bpe,
+        }).groupby("lang", sort=False).sum().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"].astype(str), pa.string()),
+            "w": pa.array(g["w"].to_numpy(np.int64), pa.int64()),
+            "t": pa.array(g["t"].to_numpy(np.int64), pa.int64()),
+        })
+
+    totals = docs_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lang").sum(["w", "t"])
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        w = batch.column("sum(w)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch.column("sum(t)").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_words": pa.array(w, pa.int64()),
+            "n_tokens_bpe": pa.array(t, pa.int64()),
+            "fertility": pa.array(
+                round_half_away(t / np.maximum(w, 1), 6), pa.float64()),
+        })
+
+    return totals.map_batches(_shape, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "lang_token_fertility",
+    lambda sf: lang_token_fertility(
+        _read_documents(sf, ["lang", "text"])),
+    f"""
+    SELECT lang,
+           CAST(sum(len(regexp_split_to_array(trim(text), '{_WS}')))
+               AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_SPLIT}')))
+               AS BIGINT) AS n_tokens_bpe,
+           round(sum(len(regexp_extract_all(text, '{BPE_SPLIT}')))
+                 / sum(len(regexp_split_to_array(trim(text), '{_WS}'))), 6)
+               AS fertility
+    FROM documents GROUP BY lang
+    """,
+)

@@ -389,3 +389,37 @@ class TestLagDelta:
         np.testing.assert_array_equal(
             out["delta"].to_numpy(),
             want["v"].to_numpy() - want["prev"].to_numpy())
+
+
+class TestMadOutliers:
+    def test_flags_match_manual_mad(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            mad_outliers,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 300
+        v = rng.normal(10, 2, n)
+        v[::50] += 40  # planted outliers
+        table = pa.table({
+            "id": pa.array(range(n), pa.int64()),
+            "k": pa.array(rng.choice(["a", "b"], n)),
+            "v": pa.array(v, pa.float64()),
+        })
+        out = mad_outliers(
+            lambda: _ds(ray_session, table, blocks=3),
+            key="k", value="v", id_column="id", k=3.0,
+        ).to_pandas().sort_values("id", ignore_index=True)
+        df = pd.DataFrame({"k": table.column("k").to_pandas(), "v": v})
+        for kk, grp in df.groupby("k"):
+            x = np.sort(grp["v"].to_numpy())
+            med = x[max(int(np.ceil(len(x) * 0.5)) - 1, 0)]
+            ad = np.sort(np.abs(grp["v"].to_numpy() - med))
+            mad = ad[max(int(np.ceil(len(ad) * 0.5)) - 1, 0)]
+            sub = out[out["k"] == kk]
+            assert (sub["med"] == med).all()
+            assert (sub["mad"] == mad).all()
+            want = (np.abs(sub["v"].to_numpy() - med) > 3.0 * mad)
+            np.testing.assert_array_equal(
+                sub["is_outlier"].to_numpy().astype(bool), want)
+        assert out["is_outlier"].sum() >= 6  # planted spikes caught

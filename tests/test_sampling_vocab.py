@@ -111,3 +111,64 @@ class TestVocabCoverage:
         assert row["oov_words"] == 2
         assert row["total_words"] == 11
         assert row["coverage"] == pytest.approx(9 / 11, abs=1e-6)
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self, ray_session):
+        import hashlib
+
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.split import (
+            mixture_sample,
+        )
+
+        n = 400
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array((["en"] * 300) + (["de"] * 100), pa.string()),
+        })
+        out = mixture_sample(
+            ray.data.from_arrow(t).repartition(3),
+            stratum_col="lang", rates={"en": 0.25},
+        ).to_pandas()
+        # all de docs kept (default rate 1.0); en gated at < '40'
+        assert (out["lang"] == "de").sum() == 100
+        want_en = {
+            i for i in range(300)
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "40"
+        }
+        assert set(out[out["lang"] == "en"]["doc_id"]) == want_en
+        # deterministic: second run identical
+        out2 = mixture_sample(
+            ray.data.from_arrow(t).repartition(3),
+            stratum_col="lang", rates={"en": 0.25},
+        ).to_pandas()
+        assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+class TestLangTokenFertility:
+    def test_counts_against_hand_calc(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.textstats import (
+            lang_token_fertility,
+        )
+
+        t = pa.table({
+            "lang": pa.array(["en", "en", "de"], pa.string()),
+            "text": pa.array([
+                "hello world",          # 2 words, 2 bpe tokens
+                "it's a test42",        # 3 words, 6 bpe (it,',s,a,test,42)
+                "ja wohl!",             # 2 words, 3 bpe (ja,wohl,!)
+            ], pa.string()),
+        })
+        out = lang_token_fertility(
+            ray.data.from_arrow(t).repartition(2)
+        ).to_pandas().set_index("lang")
+        assert out.loc["en", "n_words"] == 5
+        assert out.loc["en", "n_tokens_bpe"] == 8
+        assert out.loc["en", "fertility"] == pytest.approx(1.6, abs=1e-9)
+        assert out.loc["de", "n_words"] == 2
+        assert out.loc["de", "n_tokens_bpe"] == 3
+        assert out.loc["de", "fertility"] == pytest.approx(1.5, abs=1e-9)
