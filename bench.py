@@ -160,8 +160,14 @@ def bench_query(name: str, sf_dir: str) -> dict:
 
 
 def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
-              shred: bool = True) -> dict:
+              shred: bool | None = None) -> dict:
+    """``shred=None`` (the default CLI path) probes host memory health and
+    picks the kernel (`pick_kernel`); True/False pin it."""
     import ray
+
+    probe = probe_host_memory()
+    if shred is None:
+        shred = pick_kernel(probe)
 
     if not ray.is_initialized():
         ray.init(
@@ -235,6 +241,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "kernel": "shredded" if shred else "traversal",
+        "host_probe": probe,
         "detail": extras,
     }
     ray.shutdown()
@@ -250,6 +258,41 @@ def _bandwidth_work(_):
         b = a.astype(np.uint8)
         b.copy()
     return time.perf_counter() - t0
+
+
+_BW_BYTES_PER_TASK = 3 * (120 + 30 + 30 + 30) * 1_000_000  # rd+wr per pass
+
+
+def probe_host_memory() -> dict:
+    """~2-10 s single-process memory-health probe (allocation-fault-heavy,
+    like the real workload).  The sandbox host's memory subsystem is
+    VOLATILE across reboots/contention windows: measured serial bandwidth
+    has ranged 0.11 GB/s (2026-08-18, post-reboot — first-touch page
+    faults ~1000x normal cost, `hrtimer interrupt took 44ms` in dmesg) to
+    7.3 GB/s (2026-08-17 busy window).  Which extraction kernel wins
+    depends on it, so `run_bench` records this probe in every JSON and
+    uses it to pick the kernel (see `pick_kernel`)."""
+    serial = _bandwidth_work(0)
+    return {"serial_gb_per_s": round(_BW_BYTES_PER_TASK / serial / 1e9, 2)}
+
+
+def pick_kernel(probe: dict) -> bool:
+    """True -> Arrow-shredded kernel, False -> per-document traversal.
+
+    Measured same-code A/B on the 6M-doc 32-CPU headline:
+
+    | host window        | serial GB/s | shredded | traversal |
+    |--------------------|-------------|----------|-----------|
+    | 2026-08-17 healthy | 1.3-7.3     | 24.8 s   | 50.6 s    |
+    | 2026-08-18 degraded| 0.11        | 188-269 s| 113.9 s   |
+
+    The shredded kernel is ~2x faster when DRAM keeps up and ~2x SLOWER
+    when first-touch page faults dominate (it allocates/moves far more
+    bytes per doc).  0.5 GB/s splits the two observed regimes with a wide
+    margin on both sides.  On a real (healthy) cluster this always picks
+    shredded; the probe is a sandbox-robustness guard, not a tuning knob.
+    """
+    return probe["serial_gb_per_s"] >= 0.5
 
 
 def measure_bandwidth_ceiling() -> dict:
@@ -341,7 +384,7 @@ def run_scaling(low: int, high: int, *, repeats: int = 2) -> dict:
         pair_eff.append(round((pair[high] / pair[low]) / (high / low), 3))
     shred_legs: dict = {}
     for cpus in (low, high):
-        parsed = _run_leg(cpus)
+        parsed = _run_leg(cpus, "--shred")
         shred_legs[cpus] = {
             "sec": parsed["value"],
             "docs_per_sec":
@@ -380,6 +423,9 @@ def main():
     ap.add_argument("--no-shred", action="store_true",
                     help="pin the per-document traversal kernel "
                          "(CPU-bound; the scaling measurement uses this)")
+    ap.add_argument("--shred", action="store_true",
+                    help="pin the Arrow-shredded kernel (default: probe "
+                         "host memory health and pick — see pick_kernel)")
     ap.add_argument("--internal-json", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -389,8 +435,9 @@ def main():
                                      repeats=repeats)))
         return
 
+    shred = True if args.shred else (False if args.no_shred else None)
     result = run_bench(args.sf_dir, args.cpus, headline_only=args.headline_only,
-                       shred=not args.no_shred)
+                       shred=shred)
     print(json.dumps(result))
 
 

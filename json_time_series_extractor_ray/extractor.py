@@ -209,7 +209,12 @@ class ExtractorOptions:
             include = [r for r in (include or []) if r not in (None, "")] or None
             exclude = [r for r in (exclude or []) if r not in (None, "")] or None
             for rule in (include or []) + (exclude or []):
-                MatchRule.parse(rule)  # raises ValueError on invalid rules
+                try:
+                    MatchRule.parse(rule)
+                except (TypeError, ValueError) as exc:
+                    raise OptionsValidationError(
+                        f"Invalid include/exclude rule {rule!r}: {exc}"
+                    ) from exc
             opts.can_process_element = make_pointer_filter(
                 include=include, exclude=exclude, allow_wildcards=allow_wildcards
             )
