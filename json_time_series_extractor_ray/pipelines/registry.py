@@ -42,6 +42,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         asof,
+        bands,
         curation,
         decontam,
         dedup,

@@ -75,6 +75,9 @@ SUBSET = [
     "parts_except_months",
     "lineitem_profile",
     "revenue_by_nation",
+    # bands family (Bollinger envelope, lead-lag cross-correlation)
+    "events_bollinger_1m",
+    "events_leadlag_corr",
 ]
 
 
