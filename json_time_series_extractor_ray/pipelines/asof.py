@@ -61,7 +61,8 @@ def _project_side(ds, side: str, by: str, ts: str, cols, all_cols):
 
 def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
               left_cols: dict, right_cols: dict,
-              bucket_ns: int | None = None, direction: str = "backward"):
+              bucket_ns: int | None = None, direction: str = "backward",
+              tolerance_ns: int | None = None):
     """Inner as-of join.  ``direction='backward'`` (default) attaches the
     latest right row with right.ts <= left.ts (DuckDB ``ON l.ts >= r.ts``);
     ``'forward'`` attaches the EARLIEST right row with right.ts >= left.ts
@@ -85,11 +86,13 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if tolerance_ns is not None and tolerance_ns < 0:
+        raise ValueError(f"tolerance_ns must be >= 0, got {tolerance_ns}")
     if bucket_ns is not None:
         return _asof_join_bucketed(
             left_ds, right_ds, by=by, left_ts=left_ts, right_ts=right_ts,
             left_cols=left_cols, right_cols=right_cols, bucket_ns=bucket_ns,
-            direction=direction,
+            direction=direction, tolerance_ns=tolerance_ns,
         )
     all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
     l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
@@ -97,17 +100,22 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     unioned = l.union(r)
 
     merged = unioned.groupby("__by").map_groups(
-        _make_merge(list(left_cols), list(right_cols), direction=direction),
+        _make_merge(list(left_cols), list(right_cols), direction=direction,
+                    tolerance_ns=tolerance_ns),
         batch_format="pandas"
     )
     return merged.map_batches(_make_recast(dict(all_cols)),
                               batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _make_merge(left_names, right_names, direction: str = "backward"):
+def _make_merge(left_names, right_names, direction: str = "backward",
+                tolerance_ns: int | None = None):
     """Per-group searchsorted merge body (one key, or one key x bucket):
     deterministic right-side dedup, vectorized match in either time
-    direction."""
+    direction.  ``tolerance_ns`` drops matches farther than the bound
+    (pandas ``merge_asof(tolerance=...)`` semantics on an inner join):
+    the as-of pick is the NEAREST candidate, so a pick beyond tolerance
+    means the left row has no match at all."""
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == "l"]
@@ -125,13 +133,19 @@ def _make_merge(left_names, right_names, direction: str = "backward"):
         right = right.drop_duplicates("__ts", keep="last")
         left = left.sort_values("__ts", kind="stable")
         r_ts = right["__ts"].to_numpy()
+        l_ts = left["__ts"].to_numpy()
         if direction == "backward":
-            idx = np.searchsorted(r_ts, left["__ts"].to_numpy(),
-                                  side="right") - 1
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
             matched = idx >= 0
+            if tolerance_ns is not None:
+                matched &= (l_ts - r_ts[np.maximum(idx, 0)]) <= tolerance_ns
         else:  # forward: earliest right row with r_ts >= l_ts
-            idx = np.searchsorted(r_ts, left["__ts"].to_numpy(), side="left")
+            idx = np.searchsorted(r_ts, l_ts, side="left")
             matched = idx < len(r_ts)
+            if tolerance_ns is not None:
+                matched &= (
+                    r_ts[np.minimum(idx, len(r_ts) - 1)] - l_ts
+                ) <= tolerance_ns
         if not matched.any():
             return empty
         left_m = left[matched]
@@ -166,7 +180,8 @@ def _make_recast(decl: dict):
 
 def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
                         right_ts: str, left_cols: dict, right_cols: dict,
-                        bucket_ns: int, direction: str = "backward"):
+                        bucket_ns: int, direction: str = "backward",
+                        tolerance_ns: int | None = None):
     """Time-bucketed as-of join: groups are ``(key, ts // bucket_ns)``.
 
     Carry-over (backward): a left row whose bucket holds no earlier
@@ -294,7 +309,8 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
 
     unioned = l.union(r).union(carried)
     merged = unioned.groupby(["__by", "__bucket"]).map_groups(
-        _make_merge(left_names, right_names, direction=direction),
+        _make_merge(left_names, right_names, direction=direction,
+                    tolerance_ns=tolerance_ns),
         batch_format="pandas"
     )
     return merged.map_batches(_make_recast(decl), batch_format="pyarrow",
@@ -306,7 +322,8 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
 # ---------------------------------------------------------------------------
 
 def _q_events_asof_orders(sf_dir: str, bucket_ns: int | None = None,
-                          direction: str = "backward"):
+                          direction: str = "backward",
+                          tolerance_ns: int | None = None):
     import ray
 
     events = ray.data.read_parquet(
@@ -336,6 +353,7 @@ def _q_events_asof_orders(sf_dir: str, bucket_ns: int | None = None,
         right_cols={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
         bucket_ns=bucket_ns,
         direction=direction,
+        tolerance_ns=tolerance_ns,
     )
 
     def _shape(batch: pa.Table) -> pa.Table:
@@ -372,6 +390,33 @@ register(
     FROM events e
     ASOF JOIN deduped d
       ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+
+#: 8500 days: the fixture's as-of gaps (1990s TPC-H order dates vs 2024
+#: events) span 8209-9311 days, so this keeps roughly half the matches
+#: and drops the rest — both tolerance branches exercised.
+_ASOF_TOL_NS = 8500 * 24 * 3600 * 1_000_000_000
+
+register(
+    "events_asof_orders_tol",
+    lambda sf: _q_events_asof_orders(sf, tolerance_ns=_ASOF_TOL_NS),
+    f"""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderkey DESC, o_totalprice DESC
+               ) AS rn
+        FROM orders
+    ),
+    deduped AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT e.event_id, epoch_ns(e.ts) AS ts_ns, e.user_id,
+           d.o_orderkey, d.o_totalprice
+    FROM events e
+    ASOF JOIN deduped d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    WHERE epoch_ns(e.ts) - epoch_ns(d.o_orderdate) <= {_ASOF_TOL_NS}
     """,
 )
 
@@ -483,5 +528,32 @@ register(
     FROM events e
     ASOF JOIN deduped d
       ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+
+#: 8500 days: the fixture's as-of gaps (1990s TPC-H order dates vs 2024
+#: events) span 8209-9311 days, so this keeps roughly half the matches
+#: and drops the rest — both tolerance branches exercised.
+_ASOF_TOL_NS = 8500 * 24 * 3600 * 1_000_000_000
+
+register(
+    "events_asof_orders_tol",
+    lambda sf: _q_events_asof_orders(sf, tolerance_ns=_ASOF_TOL_NS),
+    f"""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderkey DESC, o_totalprice DESC
+               ) AS rn
+        FROM orders
+    ),
+    deduped AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT e.event_id, epoch_ns(e.ts) AS ts_ns, e.user_id,
+           d.o_orderkey, d.o_totalprice
+    FROM events e
+    ASOF JOIN deduped d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    WHERE epoch_ns(e.ts) - epoch_ns(d.o_orderdate) <= {_ASOF_TOL_NS}
     """,
 )

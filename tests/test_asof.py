@@ -353,3 +353,77 @@ class TestForwardBucketedAsof:
         })
         out = self._join(ray, left, right, bucket_ns=10)  # 94 empty buckets
         assert out["rval"].tolist() == [9]
+
+
+class TestTolerance:
+    def _tables(self):
+        left = pa.table({
+            "__key": ["a", "a", "a", "b"],
+            "ts": pa.array([5, 15, 100, 50], pa.int64()),
+            "lval": pa.array([1, 2, 3, 4], pa.int64()),
+        })
+        right = pa.table({
+            "__key": ["a", "a", "b"],
+            "rts": pa.array([10, 20, 10], pa.int64()),
+            "rval": pa.array([100, 200, 300], pa.int64()),
+        })
+        return left, right
+
+    def test_backward_tolerance_drops_far_matches(self, ray_session):
+        import ray
+
+        left, right = self._tables()
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="__key", left_ts="ts", right_ts="rts",
+            left_cols={"lval": pa.int64()}, right_cols={"rval": pa.int64()},
+            tolerance_ns=10,
+        ).to_pandas().sort_values(["__by", "__ts"], ignore_index=True)
+        # ts=15 -> rts=10 (gap 5, keeps); ts=100 -> rts=20 (gap 80, drops);
+        # b's ts=50 -> rts=10 (gap 40, drops); ts=5 unmatched as before
+        assert out["lval"].tolist() == [2]
+        assert out["rval"].tolist() == [100]
+
+    def test_forward_tolerance(self, ray_session):
+        import ray
+
+        left, right = self._tables()
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="__key", left_ts="ts", right_ts="rts",
+            left_cols={"lval": pa.int64()}, right_cols={"rval": pa.int64()},
+            direction="forward", tolerance_ns=5,
+        ).to_pandas().sort_values(["__by", "__ts"], ignore_index=True)
+        # forward picks: ts=5 -> rts=10 (gap 5 keeps); ts=15 -> rts=20
+        # (gap 5 keeps); ts=100 -> none; b ts=50 -> none
+        assert out["lval"].tolist() == [1, 2]
+        assert out["rval"].tolist() == [100, 200]
+
+    def test_bucketed_equals_unbucketed_with_tolerance(self, ray_session):
+        import ray
+
+        rng = np.random.default_rng(3)
+        n_l, n_r = 400, 120
+        left = pa.table({
+            "__key": pa.array(rng.integers(0, 5, n_l).astype(str)),
+            "ts": pa.array(rng.integers(0, 10_000, n_l), pa.int64()),
+            "lval": pa.array(np.arange(n_l), pa.int64()),
+        })
+        right = pa.table({
+            "__key": pa.array(rng.integers(0, 5, n_r).astype(str)),
+            "rts": pa.array(rng.integers(0, 10_000, n_r), pa.int64()),
+            "rval": pa.array(np.arange(n_r), pa.int64()),
+        })
+        kw = dict(by="__key", left_ts="ts", right_ts="rts",
+                  left_cols={"lval": pa.int64()},
+                  right_cols={"rval": pa.int64()}, tolerance_ns=500)
+        flat = asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right), **kw).to_pandas()
+        buck = asof_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right), bucket_ns=1000,
+                         **kw).to_pandas()
+        key = ["__by", "__ts", "lval", "rval"]
+        pd.testing.assert_frame_equal(
+            flat.sort_values(key, ignore_index=True)[key],
+            buck.sort_values(key, ignore_index=True)[key],
+        )
