@@ -355,3 +355,155 @@ def _q_ivf_kmeans(sf_dir: str):
 
 
 register("ann_cosine_topk_ivf_kmeans", _q_ivf_kmeans)  # approximate -> rows-only
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (the third scale path: data-independent,
+# no training pass, index = one int per (vector, table))
+# ---------------------------------------------------------------------------
+
+def _lsh_planes(d: int, n_tables: int, n_bits: int, seed: int):
+    """Seeded hyperplane tensor (n_tables, n_bits, d) — identical in every
+    worker because it derives from the seed, never from worker state."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, d))
+
+
+def _lsh_buckets(En: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n_tables, n) packed sign-bit bucket ids."""
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    # (t, bits, d) @ (d, n) -> (t, bits, n); sign bits packed along axis 1
+    proj = planes @ En.T
+    return np.tensordot(weights, proj > 0, axes=([0], [1])).astype(np.int64)
+
+
+def lsh_topk(emb_ds, query_ids, query_matrix, *, k: int = TOP_K,
+             n_tables: int = 12, n_bits: int = 10, seed: int = 97):
+    """ANN via random-hyperplane LSH: a vector is a candidate for a query
+    iff they share a bucket in >= 1 of ``n_tables`` sign-hash tables.
+
+    Scale shape: the planes and the per-table query buckets are tiny,
+    seeded/broadcast state; each batch computes its own bucket matrix with
+    three matmuls and scores ONLY colliding rows — no training pass, no
+    shuffle beyond the standard per-query top-k merge.  At 100 TB the
+    bucket matrix can also be precomputed once as an index column and the
+    candidate filter pushed to the read.  Approximate by construction —
+    recall vs brute force is pinned in pytest; the driver runs rows-only.
+    """
+    d = query_matrix.shape[1]
+    planes = _lsh_planes(d, n_tables, n_bits, seed)
+    qb = _lsh_buckets(query_matrix, planes)  # (t, q)
+
+    class _LshPartial(PartialTopKStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            En = _normalize(batch.column("embedding").to_pylist())
+            vb = _lsh_buckets(En, planes)  # (t, n)
+            # collide[qi, j] = any table where buckets match
+            collide = (vb[:, None, :] == qb[:, :, None]).any(axis=0)
+            S = self.Q @ En.T
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                mask = collide[qi] & (ids != qid)
+                cand_ids = ids[mask]
+                cand_sims = S[qi][mask]
+                k2 = min(self.k, len(cand_ids))
+                if k2 == 0:
+                    continue
+                top = np.lexsort((cand_ids, -cand_sims))[:k2]
+                out_q.extend([qid] * k2)
+                out_n.extend(cand_ids[top])
+                out_s.extend(cand_sims[top])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = emb_ds.map_batches(
+        _LshPartial(query_ids, query_matrix, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+def _q_lsh(sf_dir: str):
+    qids, Q = _load_query_matrix(sf_dir, N_QUERIES)
+    return lsh_topk(_read_embeddings(sf_dir), qids, Q)
+
+
+register("ann_cosine_topk_lsh", _q_lsh)  # approximate -> rows-only
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (exact vector aggregation, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def label_centroids(emb_ds):
+    """Mean embedding per label, emitted long-form (label, dim, n,
+    centroid) so the result is relational and exactly oracle-checkable.
+
+    Shape: each batch collapses to one (label, dim) partial-sum row set
+    via a single per-label matrix reduction (labels x d rows per batch,
+    never vectors), then ONE small groupby sums partials; the mean is
+    computed from 6-dp-rounded sums on both engines (repo parity rule).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        E = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        d = E.shape[1]
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, E)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    agg = (
+        emb_ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .sum(["s", "n"])
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        s6 = round_half_away(
+            batch.column("sum(s)").to_numpy(zero_copy_only=False), 6
+        )
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "label": batch.column("label").cast(pa.int64()),
+            "dim": batch.column("dim"),
+            "n": pa.array(n, pa.int64()),
+            "centroid": pa.array(round_half_away(s6 / n, 6), pa.float64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+register(
+    "embedding_label_centroids",
+    lambda sf: label_centroids(_read_embeddings(sf)),
+    """
+    SELECT CAST(emb.label AS BIGINT) AS label, t.i AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(round(sum(CAST(emb.embedding[t.i + 1] AS DOUBLE)), 6)
+                 / count(*), 6) AS centroid
+    FROM embeddings AS emb,
+         LATERAL (SELECT unnest(range(len(emb.embedding))) AS i) AS t
+    GROUP BY 1, 2
+    """,
+)

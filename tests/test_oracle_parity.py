@@ -78,6 +78,9 @@ SUBSET = [
     # bands family (Bollinger envelope, lead-lag cross-correlation)
     "events_bollinger_1m",
     "events_leadlag_corr",
+    # vector aggregation + tolerance-bounded as-of
+    "embedding_label_centroids",
+    "events_asof_orders_tol",
 ]
 
 

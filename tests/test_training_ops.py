@@ -821,3 +821,69 @@ class TestClusterRepresentatives:
             assert out.loc[i, "n_members"] == 1
         norms = np.round(np.linalg.norm(E.astype(np.float64), axis=1), 6)
         assert out.loc[0, "rep_norm"] == pytest.approx(norms[1], abs=1e-9)
+
+
+class TestLshAnn:
+    def test_lsh_recall_and_centroids(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.similarity import (
+            label_centroids,
+            lsh_topk,
+        )
+
+        t, E = _emb_table()
+        En = E.astype(np.float64)
+        En /= np.linalg.norm(En, axis=1, keepdims=True)
+        qids = np.arange(4, dtype=np.int64)
+        brute = brute_force_topk(
+            ray.data.from_arrow(t), qids, En[:4], k=5
+        ).to_pandas()
+        approx = lsh_topk(
+            ray.data.from_arrow(t), qids, En[:4], k=5,
+            n_tables=12, n_bits=6,
+        ).to_pandas()
+        hits = 0
+        for qi in range(4):
+            b = set(brute[brute["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            hits += len(a & b)
+        # 12 tables x 6 bits on random 16-d data: near neighbors collide
+        # with high probability; pin a conservative floor.
+        assert hits / (4 * 5) >= 0.5
+        # every LSH neighbor must be a genuine (bucket-colliding) corpus
+        # row with a true cosine score — never self, never out of range
+        assert (approx["neighbor_id"] != approx["query_id"]).all()
+
+    def test_lsh_deterministic_across_runs(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.similarity import lsh_topk
+
+        t, E = _emb_table()
+        En = E.astype(np.float64)
+        En /= np.linalg.norm(En, axis=1, keepdims=True)
+        qids = np.arange(4, dtype=np.int64)
+        a = lsh_topk(ray.data.from_arrow(t), qids, En[:4], k=5).to_pandas()
+        b = lsh_topk(ray.data.from_arrow(t), qids, En[:4], k=5).to_pandas()
+        key = ["query_id", "neighbor_id"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key, ignore_index=True),
+            b.sort_values(key, ignore_index=True),
+        )
+
+    def test_label_centroids_match_numpy(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.similarity import (
+            label_centroids,
+        )
+
+        t, E = _emb_table()
+        out = label_centroids(ray.data.from_arrow(t)).to_pandas()
+        labs = (np.arange(len(E)) % 5)
+        for lab in range(5):
+            want = E[labs == lab].astype(np.float64).mean(axis=0)
+            got = out[out["label"] == lab].sort_values("dim")["centroid"]
+            np.testing.assert_allclose(got.to_numpy(), want, atol=1e-5)
+        assert out["n"].unique().tolist() == [40]
