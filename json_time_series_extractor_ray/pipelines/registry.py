@@ -56,6 +56,7 @@ def _load_all() -> None:
         relational,
         similarity,
         sketches,
+        novelty,
         snapshot,
         split,
         textstats,

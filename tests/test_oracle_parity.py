@@ -81,6 +81,9 @@ SUBSET = [
     # vector aggregation + tolerance-bounded as-of
     "embedding_label_centroids",
     "events_asof_orders_tol",
+    # novelty family (n-gram novelty, keep-best dedup)
+    "doc_ngram_novelty",
+    "doc_keep_best_dedup",
 ]
 
 
