@@ -644,3 +644,129 @@ register(
     WHERE o.o_orderstatus = 'F'
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (single-table combiner aggregate)
+# ---------------------------------------------------------------------------
+
+#: Q1 ship-date cutoff — mid-range of the synthetic l_shipdate span so the
+#: filter actually prunes rows (mirrored verbatim in the oracle).
+Q1_CUTOFF = "2000-01-01"
+
+
+def pricing_summary(li_ds):
+    """TPC-H Q1 over lineitem: per (l_returnflag, l_linestatus), the sums
+    and means of quantity / price / discounted price / charged price plus
+    the row count, over rows shipped on or before ``Q1_CUTOFF``.
+
+    Scale shape: the classic combiner aggregate — each block reduces to at
+    most 6 partial rows (|returnflag| x |linestatus|), ONE tiny groupby
+    merges them, means derive from the merged (sum, count) pairs.  The
+    shuffle moves O(blocks x 6) rows regardless of corpus size.  Float
+    sums are round-2 (cents; summation-order noise margin ~1e-2 vs values
+    ~1e9, same rule as ``revenue_by_nation``); means are round-6 over the
+    round-2 sums so both engines derive them from identical inputs.
+    """
+    import pyarrow.compute as pc
+
+    cutoff = np.datetime64(Q1_CUTOFF, "ns")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("ns")).to_numpy(
+            zero_copy_only=False)
+        keep = ship <= cutoff
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas()[keep],
+            "l_linestatus": batch.column("l_linestatus").to_pandas()[keep],
+            "qty": batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)[keep],
+            "price": batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[keep],
+            "disc": batch.column("l_discount").to_numpy(
+                zero_copy_only=False)[keep],
+            "tax": batch.column("l_tax").to_numpy(zero_copy_only=False)[keep],
+        })
+        df["disc_price"] = df["price"] * (1.0 - df["disc"])
+        df["charge"] = df["disc_price"] * (1.0 + df["tax"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            s_qty=("qty", "sum"), s_price=("price", "sum"),
+            s_disc_price=("disc_price", "sum"), s_charge=("charge", "sum"),
+            s_disc=("disc", "sum"), n=("qty", "size"),
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        li_ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["s_qty", "s_price", "s_disc_price", "s_charge", "s_disc", "n"])
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        def col(name):
+            return batch.column(f"sum({name})").to_numpy(zero_copy_only=False)
+
+        n = col("n").astype(np.int64)
+        s_qty = round_half_away(col("s_qty"), 2)
+        s_price = round_half_away(col("s_price"), 2)
+        s_disc_price = round_half_away(col("s_disc_price"), 2)
+        s_charge = round_half_away(col("s_charge"), 2)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array(s_qty, pa.float64()),
+            "sum_base_price": pa.array(s_price, pa.float64()),
+            "sum_disc_price": pa.array(s_disc_price, pa.float64()),
+            "sum_charge": pa.array(s_charge, pa.float64()),
+            "avg_qty": pa.array(round_half_away(s_qty / n, 6), pa.float64()),
+            "avg_price": pa.array(round_half_away(s_price / n, 6),
+                                  pa.float64()),
+            "avg_disc": pa.array(
+                round_half_away(round_half_away(col("s_disc"), 6) / n, 6),
+                pa.float64()),
+            "count_order": pa.array(n, pa.int64()),
+        })
+
+    return merged.map_batches(_finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _q_pricing_summary(sf_dir: str):
+    import ray
+
+    return pricing_summary(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    ))
+
+
+register(
+    "lineitem_pricing_summary",
+    _q_pricing_summary,
+    f"""
+    WITH agg AS (
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(sum(l_discount), 6) AS s_disc,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+           sum_disc_price, sum_charge,
+           round(sum_qty / n, 6) AS avg_qty,
+           round(sum_base_price / n, 6) AS avg_price,
+           round(s_disc / n, 6) AS avg_disc,
+           CAST(n AS BIGINT) AS count_order
+    FROM agg
+    """,
+)

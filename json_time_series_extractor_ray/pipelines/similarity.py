@@ -507,3 +507,104 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+def _load_query_matrix_with_labels(sf_dir: str, n_queries: int):
+    """``_load_query_matrix`` plus each query's label (needed to exclude
+    same-label corpus vectors).  Same driver-side small read + broadcast-
+    by-value discipline."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < n_queries,
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)[order]
+    Q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[order]
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(norms == 0, 1.0, norms)
+    return ids[order], labels, Qn
+
+
+class PartialHardNegStage:
+    """One corpus batch -> per-query partial top-k rows over vectors whose
+    label DIFFERS from the query's (hard negatives: the most similar
+    wrong-class examples, the standard contrastive-pair mining rule).
+
+    Same shuffle bound as ``PartialTopKStage``: the exchange carries
+    O(batches x queries x k) rows, never the corpus."""
+
+    def __init__(self, query_ids: np.ndarray, query_labels: np.ndarray,
+                 query_matrix: np.ndarray, k: int):
+        self.query_ids = query_ids
+        self.query_labels = query_labels
+        self.Q = query_matrix  # (q, d), already normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        En = _normalize(batch.column("embedding").to_pylist())
+        S = self.Q @ En.T  # (q, n)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            mask = labels != self.query_labels[qi]
+            cand_ids = ids[mask]
+            cand_sims = S[qi][mask]
+            k = min(self.k, len(cand_ids))
+            if k == 0:
+                continue
+            top = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_q.extend([qid] * k)
+            out_n.extend(cand_ids[top])
+            out_s.extend(cand_sims[top])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def hard_negative_topk(emb_ds, query_ids, query_labels, query_matrix,
+                       *, k: int = TOP_K):
+    """Per query vector: the k most-cosine-similar vectors with a
+    DIFFERENT label — (query_id, neighbor_id, cosine) rows."""
+    partials = emb_ds.map_batches(
+        PartialHardNegStage(query_ids, query_labels, query_matrix, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+def _q_hard_negatives(sf_dir: str):
+    qids, qlabels, Q = _load_query_matrix_with_labels(sf_dir, N_QUERIES)
+    return hard_negative_topk(_read_embeddings(sf_dir), qids, qlabels, Q)
+
+
+register(
+    "embedding_hard_negatives",
+    _q_hard_negatives,
+    f"""
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings q
+    JOIN embeddings e ON e.label <> q.label
+    WHERE q.vec_id < {N_QUERIES}
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) DESC,
+                 e.vec_id
+    ) <= {TOP_K}
+    """,
+)

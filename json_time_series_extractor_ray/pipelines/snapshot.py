@@ -188,6 +188,59 @@ def window_top_series(samples_ds, *, window_ns: int = 3_600_000_000_000,
 
 
 # ---------------------------------------------------------------------------
+# Series staleness (monitoring: which series stopped reporting?)
+# ---------------------------------------------------------------------------
+
+HOUR_NS = 3_600_000_000_000
+
+
+def series_staleness(samples_ds, *, stale_after_ns: int = HOUR_NS):
+    """One row per series: its last-seen timestamp, the gap to the
+    newest timestamp anywhere in the corpus, and a staleness flag
+    (gap > ``stale_after_ns``) — the standard "silent sensor" monitor.
+
+    Scale shape: the ``last_value`` combiner discipline on just the
+    timestamp — each block collapses to one max-ts candidate per series,
+    ONE tiny groupby merges them, and the corpus-wide max is then the max
+    of the per-series lasts, so the samples stream is consumed exactly
+    once.  The grouped result (#series rows) is materialized before the
+    two tiny derivations; nothing input-sized ever lands on the driver.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "series_key": batch.column("series_key").to_pandas(),
+            "ts_ns": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+        })
+        g = df.groupby("series_key", sort=False)["ts_ns"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    lasts = (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key")
+        .max("ts_ns")
+        .materialize()  # #series rows — tiny; consumed twice below
+    )
+    gmax = int(lasts.max("max(ts_ns)"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        last = batch.column("max(ts_ns)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        gap = gmax - last
+        return pa.table({
+            "series_key": batch.column("series_key"),
+            "last_ts_ns": pa.array(last, pa.int64()),
+            "gap_ns": pa.array(gap, pa.int64()),
+            "is_stale": pa.array(gap > stale_after_ns, pa.bool_()),
+        })
+
+    return lasts.map_batches(_finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # Driver queries + oracles
 # ---------------------------------------------------------------------------
 
@@ -212,6 +265,22 @@ def _register() -> None:
             FROM s
         )
         SELECT series_key, ts_ns, value_num, value_str FROM r WHERE rn = 1
+        """,
+    )
+
+    register(
+        "events_staleness",
+        lambda sf: series_staleness(_events_samples(sf)),
+        f"""
+        WITH s AS ({EVENTS_SAMPLES_SQL}),
+        lasts AS (
+            SELECT series_key, max(ts_ns) AS last_ts_ns FROM s GROUP BY 1
+        ),
+        g AS (SELECT max(last_ts_ns) AS gmax FROM lasts)
+        SELECT series_key, last_ts_ns,
+               g.gmax - last_ts_ns AS gap_ns,
+               (g.gmax - last_ts_ns) > {HOUR_NS} AS is_stale
+        FROM lasts, g
         """,
     )
 

@@ -625,3 +625,105 @@ register(
     WHERE prev_value IS NOT NULL
     """,
 )
+
+
+def dwell_times(ds, *, member: str, ts: str, state_col: str, order_col: str,
+                num_shards: int = 64):
+    """Per-state dwell statistics: how long members sit in each state
+    before their next event — ``count``, total dwell, and mean dwell per
+    state (the duration-weighted companion of :func:`transition_counts`).
+
+    Same scale shape: ONE hash-shard groupby co-locates each member's
+    rows; inside the shard task the (state, next-ts) pairing is one
+    vectorized shift with a member-boundary mask, and the shard collapses
+    to at most |states| partial rows before the tiny final groupby.  A
+    member's final event has no successor and contributes no dwell (the
+    SQL LEAD semantics, so the oracle is exact).
+    """
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+
+    def _project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
+                                     pc.is_valid(batch.column(ts))))
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": batch.column(member),
+            "t": batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "s": batch.column(state_col),
+            "o": batch.column(order_col),
+            "__shard": pa.array(hash_shards(m, num_shards), pa.int32()),
+        })
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["m", "t", "o"], kind="stable",
+                            ignore_index=True)
+        same = df["m"].to_numpy()[1:] == df["m"].to_numpy()[:-1]
+        t = df["t"].to_numpy()
+        out = pd.DataFrame({
+            "state": df["s"].to_numpy()[:-1][same],
+            "dwell_ns": t[1:][same] - t[:-1][same],
+        })
+        g = out.groupby("state", sort=False)["dwell_ns"] \
+            .agg(["size", "sum"]).reset_index()
+        return pd.DataFrame({
+            "state": g["state"],
+            "n": g["size"].astype(np.int64),
+            "s": g["sum"].astype(np.int64),
+        })
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s = batch.column("sum(s)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "state": batch.column("state"),
+            "n_dwells": pa.array(n, pa.int64()),
+            "total_dwell_ns": pa.array(s, pa.int64()),
+            "avg_dwell_ms": pa.array(
+                round_half_away(s.astype(np.float64) / n / 1_000_000.0),
+                pa.float64()),
+        })
+
+    return (
+        ds.map_batches(_project, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__shard").map_groups(_partials, batch_format="pandas")
+        .groupby("state").sum(["n", "s"])
+        .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _q_dwell(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return dwell_times(ds, member="user_id", ts="ts",
+                       state_col="event_type", order_col="event_id")
+
+
+register(
+    "events_dwell_times",
+    _q_dwell,
+    """
+    WITH seq AS (
+        SELECT event_type, epoch_ns(ts) AS ts_ns,
+               LEAD(epoch_ns(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    )
+    SELECT event_type AS state,
+           CAST(count(*) AS BIGINT) AS n_dwells,
+           CAST(sum(nxt - ts_ns) AS BIGINT) AS total_dwell_ns,
+           round(CAST(sum(nxt - ts_ns) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_dwell_ms
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY event_type
+    """,
+)

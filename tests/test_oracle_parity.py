@@ -84,6 +84,11 @@ SUBSET = [
     # novelty family (n-gram novelty, keep-best dedup)
     "doc_ngram_novelty",
     "doc_keep_best_dedup",
+    # mining + monitoring (hard negatives, Q1, staleness, dwell)
+    "embedding_hard_negatives",
+    "lineitem_pricing_summary",
+    "events_staleness",
+    "events_dwell_times",
 ]
 
 
