@@ -59,6 +59,7 @@ def _load_all() -> None:
         novelty,
         snapshot,
         split,
+        symbolic,
         textstats,
         tokenchunks,
         windows,

@@ -1,0 +1,224 @@
+"""Symbolic / burst analytics over the rollup ladder: SAX symbolization
+and Poisson-style event-count burst detection.
+
+Both consume the 1h tier of the standard extract→rollup pipeline (the
+per-block partial-combiner output, stages/rollup.py), so the input to
+each per-series kernel is WINDOW rows — thousands per series per month,
+never raw samples.  One ``series_key`` groupby is the only shuffle; the
+per-group work is a small vectorized pandas frame.
+
+* **SAX** (Symbolic Aggregate approXimation, Lin et al. 2003): each
+  window's mean (the PAA value at the tier granularity) is z-normalized
+  against the series' own window-mean distribution, then discretized
+  into a 4-letter alphabet at the N(0,1) quartile breakpoints
+  (-0.6745, 0, 0.6745).  The standard shape index for similarity search
+  / motif mining over series.
+* **Count burst**: windows whose event COUNT exceeds the series' mean
+  window count by 3 Poisson standard deviations (sqrt(mean)) — the rate
+  anomaly twin of ``events_zscore_anomalies`` (which flags value
+  outliers).
+
+Float parity: window means are round-6 of (round-6 sum / count); the
+per-series moments over those means are round-6 sums (the repo-standard
+rule), so z and the breakpoint comparisons evaluate identical doubles on
+both engines.
+
+Reference anchor: the reference library stops at extraction
+(JsonTimeSeriesExtractor.cs); these extend the engine's analytics family
+over the mandated rollup ladder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+HOUR_NS = 3_600_000_000_000
+
+#: N(0,1) quartile breakpoints for a 4-symbol SAX alphabet.
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+SAX_ALPHABET = ("a", "b", "c", "d")
+
+
+def _tier_partial(tier: str):
+    """Project rollup rows of one tier to (series_key, window_ns, sum_r,
+    count) — the shared input shape for both kernels."""
+    import pyarrow.compute as pc
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "window_ns": t.column("window_start").cast(pa.int64()),
+            "sum_r": pa.array(
+                round_half_away(
+                    t.column("sum").to_numpy(zero_copy_only=False), 6
+                ),
+                pa.float64(),
+            ),
+            "count": t.column("count").cast(pa.int64()),
+        })
+
+    return _fn
+
+
+def sax_symbols(rollup_ds, *, tier: str = "1h"):
+    """Per (series, window): the window mean, its per-series z-score, and
+    the SAX symbol.  Series with < 2 windows or zero variance are skipped
+    (no defined z)."""
+
+    def _sax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = round_half_away(
+            df["sum_r"].to_numpy() / df["count"].to_numpy(), 6
+        )
+        n = len(m)
+        if n < 2:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "window_ns": pd.Series([], dtype=np.int64),
+                "paa_mean": pd.Series([], dtype=np.float64),
+                "z": pd.Series([], dtype=np.float64),
+                "symbol": pd.Series([], dtype=object),
+            })
+        s = round_half_away(m.sum(), 6)
+        ss = round_half_away((m * m).sum(), 6)
+        var = (ss - s * s / n) / (n - 1)
+        if var <= 0:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "window_ns": pd.Series([], dtype=np.int64),
+                "paa_mean": pd.Series([], dtype=np.float64),
+                "z": pd.Series([], dtype=np.float64),
+                "symbol": pd.Series([], dtype=object),
+            })
+        z = round_half_away((m - s / n) / np.sqrt(var), 6)
+        sym = np.full(n, SAX_ALPHABET[-1], dtype=object)
+        # assign from the top breakpoint down so each z gets the FIRST
+        # bucket it falls under — identical to the SQL CASE ladder
+        for i in range(len(SAX_BREAKPOINTS) - 1, -1, -1):
+            sym[z < SAX_BREAKPOINTS[i]] = SAX_ALPHABET[i]
+        return pd.DataFrame({
+            "series_key": df["series_key"],
+            "window_ns": df["window_ns"].astype(np.int64),
+            "paa_mean": m,
+            "z": z,
+            "symbol": sym,
+        })
+
+    return (
+        rollup_ds.map_batches(_tier_partial(tier), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_sax, batch_format="pandas")
+    )
+
+
+def count_bursts(rollup_ds, *, tier: str = "1h", sigmas: float = 3.0):
+    """Per (series, window): the event count, the series' mean window
+    count, and a burst flag — count > mean + ``sigmas`` * sqrt(mean)
+    (Poisson rate anomaly over OBSERVED windows; pair with gap-fill for
+    calendar-complete baselines)."""
+
+    def _burst(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        n = df["count"].to_numpy().astype(np.float64)
+        mean_n = round_half_away(n.sum() / len(n), 6)
+        return pd.DataFrame({
+            "series_key": df["series_key"],
+            "window_ns": df["window_ns"].astype(np.int64),
+            "n": df["count"].astype(np.int64),
+            "mean_n": np.full(len(df), mean_n),
+            "is_burst": n > mean_n + sigmas * np.sqrt(mean_n),
+        })
+
+    return (
+        rollup_ds.map_batches(_tier_partial(tier), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_burst, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_rollup_1h(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    return extract_and_rollup(events_corpus_dataset(sf_dir), tiers=("1h",))
+
+
+def _sax_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=HOUR_NS)
+    b0, b1, b2 = SAX_BREAKPOINTS
+    a0, a1, a2, a3 = SAX_ALPHABET
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS paa_mean
+        FROM rollup_
+    ),
+    st AS (
+        SELECT series_key,
+               round(sum(paa_mean), 6) AS s,
+               round(sum(paa_mean * paa_mean), 6) AS ss,
+               count(*) AS n
+        FROM m GROUP BY series_key
+    ),
+    z AS (
+        SELECT m.series_key, window_ns, paa_mean,
+               round((paa_mean - s / n) / sqrt((ss - s * s / n) / (n - 1)),
+                     6) AS z
+        FROM m JOIN st USING (series_key)
+        WHERE n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+    )
+    SELECT series_key, window_ns, paa_mean, z,
+           CASE WHEN z < {b0} THEN '{a0}'
+                WHEN z < {b1} THEN '{a1}'
+                WHEN z < {b2} THEN '{a2}'
+                ELSE '{a3}' END AS symbol
+    FROM z
+    """
+
+
+def _burst_sql(sigmas: float = 3.0) -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=HOUR_NS)
+    return f"""
+    WITH {ctes},
+    c AS (
+        SELECT series_key, window_ns, CAST(count AS BIGINT) AS n
+        FROM rollup_
+    ),
+    st AS (
+        SELECT series_key,
+               round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_n
+        FROM c GROUP BY series_key
+    )
+    SELECT c.series_key, window_ns, n, mean_n,
+           n > mean_n + {sigmas} * sqrt(mean_n) AS is_burst
+    FROM c JOIN st USING (series_key)
+    """
+
+
+register(
+    "events_sax_1h",
+    lambda sf: sax_symbols(_q_rollup_1h(sf)),
+    _sax_sql(),
+)
+
+register(
+    "events_count_bursts_1h",
+    lambda sf: count_bursts(_q_rollup_1h(sf)),
+    _burst_sql(),
+)

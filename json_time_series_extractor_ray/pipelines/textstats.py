@@ -1196,3 +1196,84 @@ register(
     FROM documents GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report (the "data card" aggregate)
+# ---------------------------------------------------------------------------
+
+def source_report(docs_ds):
+    """Per ``source``: document count, mean length in chars and words —
+    the per-provenance summary every training-data card starts with.
+
+    Scale shape: the classic combiner aggregate — each block collapses to
+    one partial row per source (|sources| is small by definition), one
+    tiny groupby merges, means derive from merged (sum, count).  Word
+    counts reuse the ``token_stats_batch`` splitting rule so the numbers
+    agree with the per-doc stats query.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _, offsets, _ = _words_and_offsets(batch.column("text"))
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pandas(),
+            "chars": pc.utf8_length(batch.column("text")).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "words": np.diff(offsets).astype(np.int64),
+        })
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("chars", "size"), s_chars=("chars", "sum"),
+            s_words=("words", "sum"),
+        ).reset_index()
+        for c in ("n_docs", "s_chars", "s_words"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("source")
+        .sum(["n_docs", "s_chars", "s_words"])
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_docs)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sc = batch.column("sum(s_chars)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sw = batch.column("sum(s_words)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "total_chars": pa.array(sc, pa.int64()),
+            "total_words": pa.array(sw, pa.int64()),
+            "mean_chars": pa.array(
+                round_half_away(sc.astype(np.float64) / n, 6), pa.float64()),
+            "mean_words": pa.array(
+                round_half_away(sw.astype(np.float64) / n, 6), pa.float64()),
+        })
+
+    return merged.map_batches(_finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "doc_source_report",
+    lambda sf: source_report(_read_documents(sf, ["doc_id", "text", "source"])),
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_split_to_array(trim(text), '{_WS}')))
+                AS BIGINT) AS total_words,
+           round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6)
+               AS mean_chars,
+           round(CAST(sum(len(regexp_split_to_array(trim(text), '{_WS}')))
+                      AS DOUBLE) / count(*), 6) AS mean_words
+    FROM documents
+    GROUP BY source
+    """,
+)

@@ -89,6 +89,10 @@ SUBSET = [
     "lineitem_pricing_summary",
     "events_staleness",
     "events_dwell_times",
+    # symbolic family (SAX, count bursts) + source report
+    "events_sax_1h",
+    "events_count_bursts_1h",
+    "doc_source_report",
 ]
 
 
