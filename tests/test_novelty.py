@@ -86,3 +86,82 @@ class TestKeepBestDedup:
         assert len(out) == 1
         assert out.loc[0, "doc_id"] == 2
         assert out.loc[0, "n_copies"] == 3
+
+
+class TestNoveltyKernelProperties:
+    """Hypothesis check of the vectorized kernels (no Ray round-trip):
+    blocks -> _gram_occ_rows -> shard partials -> final sum must equal a
+    brute-force Counter-based novelty computation, for any block split."""
+
+    def _brute(self, docs, n=3):
+        from collections import Counter
+
+        per_doc = {}
+        doc_freq = Counter()
+        for doc_id, words in docs:
+            grams = [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+            if not grams:
+                continue
+            per_doc[doc_id] = Counter(grams)
+            for g in set(grams):
+                doc_freq[g] += 1
+        out = {}
+        for doc_id, cnt in per_doc.items():
+            total = sum(cnt.values())
+            novel = sum(c for g, c in cnt.items() if doc_freq[g] == 1)
+            out[doc_id] = (total, novel)
+        return out
+
+    def test_matches_brute_force(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from json_time_series_extractor_ray.pipelines.novelty import (
+            NOVELTY_SHARDS,
+            _gram_occ_rows,
+            _shard_novelty_partials,
+        )
+
+        words = st.sampled_from(["aa", "bb", "cc", "dd"])
+        docs_strategy = st.lists(
+            st.lists(words, min_size=0, max_size=8), min_size=1, max_size=8
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(docs=docs_strategy, n_blocks=st.integers(1, 3))
+        def run(docs, n_blocks):
+            docs = list(enumerate(docs))
+            blocks = [docs[i::n_blocks] for i in range(n_blocks)]
+            rows = []
+            for blk in blocks:
+                if not blk:
+                    continue
+                tbl = pa.table({
+                    "doc_id": pa.array([d for d, _ in blk], pa.int64()),
+                    "text": pa.array([" ".join(w) for _, w in blk],
+                                     pa.string()),
+                })
+                rows.append(_gram_occ_rows(tbl, 3, NOVELTY_SHARDS))
+            allrows = pa.concat_tables(rows).to_pandas()
+            parts = [
+                _shard_novelty_partials(g)
+                for _, g in allrows.groupby("shard", sort=False)
+            ]
+            parts = [p for p in parts if len(p)]
+            got = {}
+            if parts:
+                final = (
+                    pd.concat(parts).groupby("doc_id")[["n_grams", "n_novel"]]
+                    .sum()
+                )
+                got = {d: (int(r["n_grams"]), int(r["n_novel"]))
+                       for d, r in final.iterrows()}
+            # brute force treats empty text as zero words; the kernel's
+            # splitter sees one empty word for "" — align by dropping
+            # docs too short for any gram on both sides
+            exp = self._brute(
+                [(d, (" ".join(w)).split()) for d, w in docs])
+            assert got == exp
+
+        run()
