@@ -229,6 +229,13 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("revenue_by_nation", sf_dir)),
             ("events_funnel_click_purchase",
              lambda: bench_query("events_funnel_click_purchase", sf_dir)),
+            ("doc_ngram_novelty",
+             lambda: bench_query("doc_ngram_novelty", sf_dir)),
+            ("lineitem_pricing_summary",
+             lambda: bench_query("lineitem_pricing_summary", sf_dir)),
+            ("events_sax_1h", lambda: bench_query("events_sax_1h", sf_dir)),
+            ("embedding_hard_negatives",
+             lambda: bench_query("embedding_hard_negatives", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]
