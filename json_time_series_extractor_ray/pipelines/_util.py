@@ -48,3 +48,15 @@ def scratch_dir(name: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def regex_trim(text_col):
+    """RE2 trim (ASCII ``\\s`` only) — the ONE canonical trim for every
+    text-splitting kernel, matching the DuckDB oracles'
+    ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')`` exactly.  Arrow's
+    ``utf8_trim_whitespace`` strips Unicode whitespace DuckDB's RE2 does
+    not (U+00A0 etc.) — a latent hash-parity break this helper exists to
+    prevent; never trim with anything else in an oracle-checked kernel."""
+    import pyarrow.compute as pc
+
+    return pc.replace_substring_regex(text_col, r"^\s+|\s+$", "")

@@ -88,8 +88,8 @@ register(
     f"""
     WITH w AS (
         SELECT doc_id, lang,
-               md5(regexp_replace(trim(text), '{_WS}', ' ', 'g')) AS fp,
-               regexp_split_to_array(trim(text), '{_WS}') AS words
+               md5(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}', ' ', 'g')) AS fp,
+               regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}') AS words
         FROM documents
     ),
     q AS (

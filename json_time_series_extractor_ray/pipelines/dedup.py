@@ -56,11 +56,11 @@ def _read(sf_dir: str, table: str, columns):
 
 
 def _regex_trim(text_col):
-    """RE2 trim (ASCII \s only) — matches the DuckDB oracles'
-    regexp_replace exactly; Arrow's utf8_trim_whitespace strips Unicode
-    whitespace DuckDB's trim()/RE2 do not, a latent hash-parity break on
-    texts with leading tabs/newlines/U+00A0."""
-    return pc.replace_substring_regex(text_col, r"^\s+|\s+$", "")
+    """RE2 trim — delegate to the repo-wide canonical ``_util.regex_trim``
+    (ASCII \s only, matching the oracles' regexp_replace exactly)."""
+    from ._util import regex_trim
+
+    return regex_trim(text_col)
 
 
 def _norm_text(text_col):
@@ -71,10 +71,17 @@ def _norm_text(text_col):
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def content_fingerprints(text_col) -> list:
+    """THE exact-dedup fingerprint: md5 hexdigest of whitespace-normalized
+    text.  Every operator that must agree on "identical content"
+    (``exact_dedup``, ``novelty.keep_best_dedup``) hashes through here."""
+    norm = _norm_text(text_col)
+    return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+
+
 def exact_dedup_project(batch: pa.Table) -> pa.Table:
     """Combiner: project to (fingerprint, doc_id) before the shuffle."""
-    norm = _norm_text(batch.column("text"))
-    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+    fps = content_fingerprints(batch.column("text"))
     return pa.table(
         {"fingerprint": pa.array(fps, pa.string()), "doc_id": batch.column("doc_id")}
     )

@@ -37,15 +37,13 @@ engine-mandated LLM-pipeline family in SURVEY.md §2.6.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ._util import hash_shards, round_half_away
 from .decontam import _doc_grams
-from .dedup import _WS, _norm_text
+from .dedup import _WS, content_fingerprints
 from .registry import register
 from .textstats import _read_documents
 
@@ -160,10 +158,9 @@ KEEP_BEST_SHARDS = 64
 
 def _keep_best_project(batch: pa.Table) -> pa.Table:
     """Combiner: (fingerprint, doc_id, n_chars, shard) — text never leaves
-    the scan.  Same normalization + md5 as ``exact_dedup_project`` so the
-    two dedup variants agree on what 'identical' means."""
-    norm = _norm_text(batch.column("text"))
-    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+    the scan.  Shares ``dedup.content_fingerprints`` so the two dedup
+    variants agree by construction on what 'identical' means."""
+    fps = content_fingerprints(batch.column("text"))
     fp_arr = np.asarray(fps, dtype=object)
     return pa.table({
         "fingerprint": pa.array(fps, pa.string()),

@@ -668,8 +668,6 @@ def pricing_summary(li_ds):
     ~1e9, same rule as ``revenue_by_nation``); means are round-6 over the
     round-2 sums so both engines derive them from identical inputs.
     """
-    import pyarrow.compute as pc
-
     cutoff = np.datetime64(Q1_CUTOFF, "ns")
 
     def _partial(batch: pa.Table) -> pa.Table:

@@ -35,13 +35,16 @@ def _read_embeddings(sf_dir: str):
     )
 
 
-def _load_query_matrix(sf_dir: str, n_queries: int):
+def _load_query_matrix(sf_dir: str, n_queries: int, *, with_labels=False):
     """Small-side lookup: read just the query vectors driver-side (tiny) so
-    they can be broadcast by value into every stage worker."""
+    they can be broadcast by value into every stage worker.  With
+    ``with_labels`` also returns each query's label (hard-negative
+    mining's same-label exclusion)."""
     import pyarrow.dataset as pads
 
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"],
+        columns=cols,
         filter=pads.field("vec_id") < n_queries,
     )
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
@@ -51,6 +54,10 @@ def _load_query_matrix(sf_dir: str, n_queries: int):
     # same zero-norm guard as _normalize: a zero query vector must score
     # cosine 0 everywhere, not poison its whole result set with NaN
     Qn = Q / np.where(norms == 0, 1.0, norms)
+    if with_labels:
+        labels = np.asarray(
+            t.column("label").to_pylist(), dtype=np.int64)[order]
+        return ids[order], labels, Qn
     return ids[order], Qn
 
 
@@ -513,25 +520,6 @@ register(
 # Hard-negative mining (contrastive-training data prep)
 # ---------------------------------------------------------------------------
 
-def _load_query_matrix_with_labels(sf_dir: str, n_queries: int):
-    """``_load_query_matrix`` plus each query's label (needed to exclude
-    same-label corpus vectors).  Same driver-side small read + broadcast-
-    by-value discipline."""
-    import pyarrow.dataset as pads
-
-    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding", "label"],
-        filter=pads.field("vec_id") < n_queries,
-    )
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)[order]
-    Q = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[order]
-    norms = np.linalg.norm(Q, axis=1, keepdims=True)
-    Qn = Q / np.where(norms == 0, 1.0, norms)
-    return ids[order], labels, Qn
-
-
 class PartialHardNegStage:
     """One corpus batch -> per-query partial top-k rows over vectors whose
     label DIFFERS from the query's (hard negatives: the most similar
@@ -586,7 +574,8 @@ def hard_negative_topk(emb_ds, query_ids, query_labels, query_matrix,
 
 
 def _q_hard_negatives(sf_dir: str):
-    qids, qlabels, Q = _load_query_matrix_with_labels(sf_dir, N_QUERIES)
+    qids, qlabels, Q = _load_query_matrix(sf_dir, N_QUERIES,
+                                          with_labels=True)
     return hard_negative_topk(_read_embeddings(sf_dir), qids, qlabels, Q)
 
 

@@ -223,7 +223,8 @@ def series_staleness(samples_ds, *, stale_after_ns: int = HOUR_NS):
         .max("ts_ns")
         .materialize()  # #series rows — tiny; consumed twice below
     )
-    gmax = int(lasts.max("max(ts_ns)"))
+    gmax_raw = lasts.max("max(ts_ns)")  # None on an empty samples stream
+    gmax = int(gmax_raw) if gmax_raw is not None else 0
 
     def _finish(batch: pa.Table) -> pa.Table:
         last = batch.column("max(ts_ns)").cast(pa.int64()).to_numpy(

@@ -77,18 +77,10 @@ def sax_symbols(rollup_ds, *, tier: str = "1h"):
             df["sum_r"].to_numpy() / df["count"].to_numpy(), 6
         )
         n = len(m)
-        if n < 2:
-            return pd.DataFrame({
-                "series_key": pd.Series([], dtype=object),
-                "window_ns": pd.Series([], dtype=np.int64),
-                "paa_mean": pd.Series([], dtype=np.float64),
-                "z": pd.Series([], dtype=np.float64),
-                "symbol": pd.Series([], dtype=object),
-            })
         s = round_half_away(m.sum(), 6)
         ss = round_half_away((m * m).sum(), 6)
-        var = (ss - s * s / n) / (n - 1)
-        if var <= 0:
+        # < 2 windows or zero variance: no defined z — skip the series
+        if n < 2 or (ss - s * s / n) / (n - 1) <= 0:
             return pd.DataFrame({
                 "series_key": pd.Series([], dtype=object),
                 "window_ns": pd.Series([], dtype=np.int64),
@@ -96,6 +88,7 @@ def sax_symbols(rollup_ds, *, tier: str = "1h"):
                 "z": pd.Series([], dtype=np.float64),
                 "symbol": pd.Series([], dtype=object),
             })
+        var = (ss - s * s / n) / (n - 1)
         z = round_half_away((m - s / n) / np.sqrt(var), 6)
         sym = np.full(n, SAX_ALPHABET[-1], dtype=object)
         # assign from the top breakpoint down so each z gets the FIRST

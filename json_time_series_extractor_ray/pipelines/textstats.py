@@ -37,8 +37,14 @@ def _read_documents(sf_dir: str, columns):
 
 
 def _words_and_offsets(text_col):
-    """Split a string column on whitespace -> (flat word array, offsets)."""
-    trimmed = pc.utf8_trim_whitespace(text_col)
+    """Split a string column on whitespace -> (flat word array, offsets).
+
+    Trim is the canonical RE2 ASCII trim (``_util.regex_trim``) so every
+    word-splitting kernel agrees with the oracles' regexp_replace form on
+    hostile whitespace (Unicode spaces, edge tabs/newlines)."""
+    from ._util import regex_trim
+
+    trimmed = regex_trim(text_col)
     words = pc.split_pattern_regex(trimmed, _WS)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -121,9 +127,9 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Deterministic document fingerprint: md5 of whitespace-normalized text
     (hashlib C loop per doc) — the exact-dedup / lineage key."""
-    norm = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(batch.column("text")), _WS, " "
-    )
+    from ._util import regex_trim
+
+    norm = pc.replace_substring_regex(regex_trim(batch.column("text")), _WS, " ")
     fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
     return pa.table(
         {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
@@ -209,11 +215,11 @@ register(
     f"""
     SELECT doc_id,
            length(text) AS n_chars,
-           len(regexp_split_to_array(trim(text), '{_WS}')) AS n_words,
+           len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}')) AS n_words,
            len(regexp_extract_all(text, '{BPE_SPLIT}')) AS n_tokens_bpe,
            round(
-             CAST(length(regexp_replace(trim(text), '{_WS}', '', 'g')) AS DOUBLE)
-             / len(regexp_split_to_array(trim(text), '{_WS}')), 6) AS avg_word_len
+             CAST(length(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}')), 6) AS avg_word_len
     FROM documents
     """,
 )
@@ -223,7 +229,7 @@ register(
     _q_quality,
     f"""
     WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS words
+        SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}') AS words
         FROM documents
     )
     SELECT doc_id,
@@ -245,7 +251,7 @@ register(
     "doc_fingerprint",
     _q_fingerprint,
     f"""
-    SELECT doc_id, md5(regexp_replace(trim(text), '{_WS}', ' ', 'g')) AS fingerprint
+    SELECT doc_id, md5(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}', ' ', 'g')) AS fingerprint
     FROM documents
     """,
 )
@@ -352,9 +358,9 @@ def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
     form used for windowed fingerprinting; whole-doc value here."""
     M = (1 << 61) - 1
     B = 257
-    norm = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(batch.column("text")), _WS, " "
-    )
+    from ._util import regex_trim
+
+    norm = pc.replace_substring_regex(regex_trim(batch.column("text")), _WS, " ")
     fps = []
     for s in norm.to_pylist():
         h = 0
@@ -1186,12 +1192,12 @@ register(
         _read_documents(sf, ["lang", "text"])),
     f"""
     SELECT lang,
-           CAST(sum(len(regexp_split_to_array(trim(text), '{_WS}')))
+           CAST(sum(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}')))
                AS BIGINT) AS n_words,
            CAST(sum(len(regexp_extract_all(text, '{BPE_SPLIT}')))
                AS BIGINT) AS n_tokens_bpe,
            round(sum(len(regexp_extract_all(text, '{BPE_SPLIT}')))
-                 / sum(len(regexp_split_to_array(trim(text), '{_WS}'))), 6)
+                 / sum(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'))), 6)
                AS fertility
     FROM documents GROUP BY lang
     """,
@@ -1262,16 +1268,16 @@ def source_report(docs_ds):
 
 register(
     "doc_source_report",
-    lambda sf: source_report(_read_documents(sf, ["doc_id", "text", "source"])),
+    lambda sf: source_report(_read_documents(sf, ["text", "source"])),
     f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(sum(len(regexp_split_to_array(trim(text), '{_WS}')))
+           CAST(sum(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}')))
                 AS BIGINT) AS total_words,
            round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6)
                AS mean_chars,
-           round(CAST(sum(len(regexp_split_to_array(trim(text), '{_WS}')))
+           round(CAST(sum(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}')))
                       AS DOUBLE) / count(*), 6) AS mean_words
     FROM documents
     GROUP BY source

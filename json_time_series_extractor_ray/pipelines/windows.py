@@ -88,6 +88,30 @@ def topk_per_group(ds, *, key: str, order_by, k: int, columns):
     return ds.groupby(key).map_groups(_fn, batch_format="pandas")
 
 
+def _member_shard_project(member: str, ts: str, payload_col: str,
+                          order_col: str, num_shards: int):
+    """Shared batch fn for the member-sequence operators
+    (:func:`transition_counts`, :func:`dwell_times`): null-member/ts rows
+    dropped, ts normalized to int64 ns, plus the stable member shard key."""
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+
+    def _project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
+                                     pc.is_valid(batch.column(ts))))
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": batch.column(member),
+            "t": batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "s": batch.column(payload_col),
+            "o": batch.column(order_col),
+            "__shard": pa.array(hash_shards(m, num_shards), pa.int32()),
+        })
+
+    return _project
+
+
 def transition_counts(ds, *, member: str, ts: str, state_col: str,
                       order_col: str, num_shards: int = 64):
     """Per-member consecutive state transitions (prev → next), counted
@@ -101,21 +125,8 @@ def transition_counts(ds, *, member: str, ts: str, state_col: str,
     crosses tasks.  Shard-local (prev, next) counts — bounded by
     ``num_shards × states²`` — feed one tiny final groupby.
     """
-    import pyarrow.compute as pc
-
-    from ._util import hash_shards
-
-    def _project(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
-                                     pc.is_valid(batch.column(ts))))
-        m = batch.column(member).to_numpy(zero_copy_only=False)
-        return pa.table({
-            "m": batch.column(member),
-            "t": batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
-            "s": batch.column(state_col),
-            "o": batch.column(order_col),
-            "__shard": pa.array(hash_shards(m, num_shards), pa.int32()),
-        })
+    _project = _member_shard_project(member, ts, state_col, order_col,
+                                     num_shards)
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["m", "t", "o"], kind="stable",
@@ -640,21 +651,8 @@ def dwell_times(ds, *, member: str, ts: str, state_col: str, order_col: str,
     member's final event has no successor and contributes no dwell (the
     SQL LEAD semantics, so the oracle is exact).
     """
-    import pyarrow.compute as pc
-
-    from ._util import hash_shards
-
-    def _project(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
-                                     pc.is_valid(batch.column(ts))))
-        m = batch.column(member).to_numpy(zero_copy_only=False)
-        return pa.table({
-            "m": batch.column(member),
-            "t": batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
-            "s": batch.column(state_col),
-            "o": batch.column(order_col),
-            "__shard": pa.array(hash_shards(m, num_shards), pa.int32()),
-        })
+    _project = _member_shard_project(member, ts, state_col, order_col,
+                                     num_shards)
 
     def _partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["m", "t", "o"], kind="stable",

@@ -165,3 +165,60 @@ class TestNoveltyKernelProperties:
             assert got == exp
 
         run()
+
+
+class TestHostileWhitespaceParity:
+    """The canonical RE2 ASCII trim (`_util.regex_trim`) must make the
+    word-splitting kernels agree with the oracles' regexp_replace form on
+    texts with edge tabs/newlines and Unicode spaces (U+00A0)."""
+
+    TEXTS = [
+        "\nhello world\t",        # edge ASCII whitespace
+        "\u00a0lead nbsp",  # U+00A0 is NOT \s in RE2: must survive
+        "  double  spaced  ",
+        "",                        # empty doc
+        "one",
+    ]
+
+    def test_word_counts_match_duckdb(self):
+        import duckdb
+
+        from json_time_series_extractor_ray.pipelines.textstats import (
+            _words_and_offsets,
+        )
+
+        tbl = pa.table({"text": pa.array(self.TEXTS, pa.string())})
+        _, offsets, _ = _words_and_offsets(tbl.column("text"))
+        kernel_counts = np.diff(offsets).tolist()
+
+        con = duckdb.connect()
+        con.register("t", tbl)
+        sql_counts = [
+            r[0] for r in con.execute(
+                r"""SELECT len(regexp_split_to_array(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+                    FROM t"""
+            ).fetchall()
+        ]
+        assert kernel_counts == sql_counts
+
+    def test_fingerprints_match_duckdb(self):
+        import duckdb
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            content_fingerprints,
+        )
+
+        tbl = pa.table({"text": pa.array(self.TEXTS, pa.string())})
+        kernel_fps = content_fingerprints(tbl.column("text"))
+        con = duckdb.connect()
+        con.register("t", tbl)
+        sql_fps = [
+            r[0] for r in con.execute(
+                r"""SELECT md5(regexp_replace(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+', ' ', 'g'))
+                    FROM t"""
+            ).fetchall()
+        ]
+        assert kernel_fps == sql_fps
