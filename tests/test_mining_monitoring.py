@@ -113,3 +113,17 @@ def test_staleness_flags_silent_series():
     assert out.loc["fresh", "gap_ns"] == 0
     assert out.loc["stale", "is_stale"]
     assert out.loc["stale", "gap_ns"] == 3 * HOUR_NS
+
+
+def test_staleness_empty_input():
+    # zero samples: must return an empty result, not crash on int(None)
+    ds = ray.data.from_arrow(pa.table({
+        "series_key": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("ns")),
+    }))
+    from json_time_series_extractor_ray.pipelines.snapshot import (
+        series_staleness,
+    )
+
+    out = series_staleness(ds).to_pandas()
+    assert len(out) == 0
