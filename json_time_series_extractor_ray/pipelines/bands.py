@@ -275,16 +275,22 @@ def _leadlag_sql(x_series: str, y_series: str, lags=_LAGS) -> str:
     x AS (SELECT window_ns, m FROM m WHERE series_key = '{x_series}'),
     y AS (SELECT window_ns, m FROM m WHERE series_key = '{y_series}'),
     lags(lag) AS (VALUES {vals}),
+    -- shift x by each lag FIRST so the lag join is a plain hash-joinable
+    -- equality (the correlated form y.window_ns = x.window_ns + lag*c is
+    -- planned as a nested-loop cross product: quadratic at sf0.1)
+    xs AS (
+        SELECT lag, x.window_ns + lag * 60000000000 AS y_win, m
+        FROM lags, x
+    ),
     p AS (
         SELECT lag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(x.m), 6) AS sx,
+               round(sum(xs.m), 6) AS sx,
                round(sum(y.m), 6) AS sy,
-               round(sum(x.m * x.m), 6) AS sxx,
+               round(sum(xs.m * xs.m), 6) AS sxx,
                round(sum(y.m * y.m), 6) AS syy,
-               round(sum(x.m * y.m), 6) AS sxy
-        FROM lags, x, y
-        WHERE y.window_ns = x.window_ns + lag * 60000000000
+               round(sum(xs.m * y.m), 6) AS sxy
+        FROM xs JOIN y ON y.window_ns = xs.y_win
         GROUP BY lag
     )
     SELECT lag, n AS n_windows,

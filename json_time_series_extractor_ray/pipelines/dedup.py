@@ -497,12 +497,19 @@ class JaccardBlockStage:
                 "corpora with dominant blocks, or raise max_block_docs "
                 "knowingly"
             )
+        # RE2 split via Arrow (never Python str.split(), whose Unicode-
+        # whitespace rule silently diverges from the oracle on U+00A0)
+        from ._util import regex_trim
+
+        words_list = pc.split_pattern_regex(
+            regex_trim(pa.array(df["text"], pa.string())), _WS
+        ).to_pylist()
         sets = [
             {
                 " ".join(words[i : i + self.k])
                 for i in range(max(0, len(words) - self.k + 1))
             }
-            for words in (t.split() for t in df["text"])
+            for words in words_list
         ]
         ids = df["doc_id"].to_numpy()
         order = np.argsort(ids)

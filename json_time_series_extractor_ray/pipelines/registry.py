@@ -43,7 +43,9 @@ def _load_all() -> None:
         analytics,
         asof,
         bands,
+        containment,
         curation,
+        datacard,
         decontam,
         dedup,
         diffstats,

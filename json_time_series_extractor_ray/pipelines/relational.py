@@ -768,3 +768,89 @@ register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Customer lifetime-value summary (single-table combiner aggregate)
+# ---------------------------------------------------------------------------
+
+def customer_ltv(orders_ds):
+    """Per customer: order count, total spend, first/last order, tenure —
+    the relational "customer card" aggregate.
+
+    Scale shape: per-block combiner collapses to one partial row per
+    customer in the block, then ONE native multi-aggregate groupby merges
+    partials (sum/min/max are all mergeable).  Spend is round-2 (cents,
+    the ``revenue_by_nation`` rule); dates stay exact int64 ns.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "custkey": batch.column("o_custkey").to_numpy(
+                zero_copy_only=False),
+            "spend": batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("o_orderdate").cast(
+                pa.timestamp("ns")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+        })
+        g = df.groupby("custkey", sort=False).agg(
+            n=("spend", "size"), s=("spend", "sum"),
+            mn=("ts", "min"), mx=("ts", "max"),
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        orders_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum("n"), Sum("s"), Min("mn"), Max("mx"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        first = batch.column("min(mn)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        last = batch.column("max(mx)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "custkey": batch.column("custkey").cast(pa.int64()),
+            "n_orders": batch.column("sum(n)").cast(pa.int64()),
+            "total_spend": pa.array(
+                round_half_away(
+                    batch.column("sum(s)").to_numpy(zero_copy_only=False), 2
+                ), pa.float64()),
+            "first_order_ns": pa.array(first, pa.int64()),
+            "last_order_ns": pa.array(last, pa.int64()),
+            "tenure_days": pa.array(
+                (last - first) // 86_400_000_000_000, pa.int64()),
+        })
+
+    return merged.map_batches(_finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _q_customer_ltv(sf_dir: str):
+    import ray
+
+    return customer_ltv(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    ))
+
+
+register(
+    "customer_ltv",
+    _q_customer_ltv,
+    """
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend,
+           CAST(min(epoch_ns(o_orderdate)) AS BIGINT) AS first_order_ns,
+           CAST(max(epoch_ns(o_orderdate)) AS BIGINT) AS last_order_ns,
+           CAST((max(epoch_ns(o_orderdate)) - min(epoch_ns(o_orderdate)))
+                // 86400000000000 AS BIGINT) AS tenure_days
+    FROM orders GROUP BY 1
+    """,
+)

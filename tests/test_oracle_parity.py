@@ -93,6 +93,11 @@ SUBSET = [
     "events_sax_1h",
     "events_count_bursts_1h",
     "doc_source_report",
+    # containment dedup + data-card aggregates + customer LTV
+    "containment_block_pairs",
+    "doc_dup_cluster_sizes",
+    "doc_lang_confusion",
+    "customer_ltv",
 ]
 
 
