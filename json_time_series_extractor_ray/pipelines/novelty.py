@@ -87,8 +87,10 @@ def _gram_occ_rows(batch: pa.Table, n: int, shards: int) -> pa.Table:
     })
 
 
-def _shard_novelty_partials(df: pd.DataFrame) -> pd.DataFrame:
-    """One gram shard -> per-doc partial (n_grams, n_novel) sums.
+def _shard_novelty_partials(df: pd.DataFrame, shards: int = NOVELTY_SHARDS
+                            ) -> pd.DataFrame:
+    """One gram shard -> per-doc partial (n_grams, n_novel) sums, keyed by
+    the DOC shard for the second (doc-merging) shuffle.
 
     Every row of a gram is in this shard, so ``transform('size')`` over
     the (gram, doc) rows IS the gram's global doc-frequency.
@@ -98,6 +100,7 @@ def _shard_novelty_partials(df: pd.DataFrame) -> pd.DataFrame:
             "doc_id": pd.Series([], dtype=np.int64),
             "n_grams": pd.Series([], dtype=np.int64),
             "n_novel": pd.Series([], dtype=np.int64),
+            "dshard": pd.Series([], dtype=np.int32),
         })
     doc_freq = df.groupby("gram", sort=False)["doc_id"].transform("size")
     novel_occ = df["occ"].to_numpy() * (doc_freq.to_numpy() == 1)
@@ -113,7 +116,30 @@ def _shard_novelty_partials(df: pd.DataFrame) -> pd.DataFrame:
     )
     out["n_grams"] = out["n_grams"].astype(np.int64)
     out["n_novel"] = out["n_novel"].astype(np.int64)
+    out["dshard"] = hash_shards(out["doc_id"].to_numpy(), shards)
     return out
+
+
+def _doc_shard_totals(df: pd.DataFrame) -> pd.DataFrame:
+    """One doc shard -> final per-doc totals + novelty score.  (The
+    native ``groupby(doc_id).sum`` aggregate took ~10x this path's wall
+    time at sf0.1: Ray's sort-based aggregate degrades with thousands of
+    tiny groups, the same pathology as per-key map_groups.)"""
+    if len(df) == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_grams": pd.Series([], dtype=np.int64),
+            "n_novel": pd.Series([], dtype=np.int64),
+            "novelty": pd.Series([], dtype=np.float64),
+        })
+    g = df.groupby("doc_id", sort=False)[["n_grams", "n_novel"]].sum()         .reset_index()
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].astype(np.int64),
+        "n_grams": g["n_grams"].astype(np.int64),
+        "n_novel": g["n_novel"].astype(np.int64),
+        "novelty": round_half_away(
+            g["n_novel"].to_numpy() / g["n_grams"].to_numpy()),
+    })
 
 
 def ngram_novelty(docs_ds, *, n: int = NOVELTY_N,
@@ -122,30 +148,16 @@ def ngram_novelty(docs_ds, *, n: int = NOVELTY_N,
     corpus-unique.  One row per document with >= 1 n-gram:
     (doc_id, n_grams, n_novel, novelty)."""
 
-    def _finish(batch: pa.Table) -> pa.Table:
-        n_grams = batch.column("sum(n_grams)").to_numpy(zero_copy_only=False)
-        n_novel = batch.column("sum(n_novel)").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
-            "n_novel": pa.array(n_novel.astype(np.int64), pa.int64()),
-            "novelty": pa.array(
-                round_half_away(n_novel / n_grams), pa.float64()
-            ),
-        })
-
-    partials = (
+    return (
         docs_ds.map_batches(
             lambda b: _gram_occ_rows(b, n, shards),
             batch_format="pyarrow", zero_copy_batch=True,
         )
         .groupby("shard")
-        .map_groups(_shard_novelty_partials, batch_format="pandas")
-    )
-    return (
-        partials.groupby("doc_id")
-        .sum(["n_grams", "n_novel"])
-        .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+        .map_groups(lambda df: _shard_novelty_partials(df, shards),
+                    batch_format="pandas")
+        .groupby("dshard")
+        .map_groups(_doc_shard_totals, batch_format="pandas")
     )
 
 
