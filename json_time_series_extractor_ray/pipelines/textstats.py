@@ -425,30 +425,48 @@ def ngram_counts_batch(batch: pa.Table, n: int = 3) -> pa.Table:
     )
 
 
-def top_ngrams(docs_ds, *, n: int = 3, k: int = 100):
+TOP_NGRAM_SHARDS = 64
+
+
+def top_ngrams(docs_ds, *, n: int = 3, k: int = 100,
+               shards: int = TOP_NGRAM_SHARDS):
     """Global top-``k`` ``n``-grams by count (ties broken by n-gram text).
 
-    Shape: per-batch combiner (above) -> ``groupby("ngram").sum`` (the one
-    shuffle, over bounded partials) -> global ``sort`` + ``limit`` over the
-    aggregated (distinct-ngram-sized) table.
+    Shape: per-batch combiner (above) -> ONE gram-sharded groupby where
+    each shard task sums its grams exactly (all rows of a gram land in
+    one shard) and keeps only its LOCAL top-``k`` -> global sort + limit
+    over the shards x k candidate rows.  Exact: any global top-k gram is
+    by definition in its own shard's top-k.  (The earlier
+    ``groupby(ngram).sum`` native aggregate degraded ~4x at sf0.1 over
+    hundreds of thousands of tiny groups — the novelty lesson.)
     """
     import functools
+
+    import pandas as pd
+
+    from ._util import hash_shards
+
+    def _add_shard(batch: pa.Table) -> pa.Table:
+        grams = batch.column("ngram").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(hash_shards(grams, shards)))
+
+    def _shard_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g = g.sort_values(["n", "ngram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g[["ngram", "n"]]
 
     partials = docs_ds.map_batches(
         functools.partial(ngram_counts_batch, n=n),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    totals = partials.groupby("ngram").sum("n")
-
-    def _rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"ngram": batch.column("ngram"),
-             "n": batch.column("sum(n)").cast(pa.int64())}
-        )
+    ).map_batches(_add_shard, batch_format="pyarrow", zero_copy_batch=True)
 
     return (
-        totals.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+        partials.groupby("shard")
+        .map_groups(_shard_topk, batch_format="pandas")
         .sort(["n", "ngram"], descending=[True, False])
         .limit(k)
     )
