@@ -15,12 +15,14 @@ complementing the drop-only dedup family in ``dedup.py``:
 
 Scale shape (novelty): one combiner ``map_batches`` pre-aggregates each
 block to (gram, doc_id, occ) rows — bounded by the block's own gram
-count, never a driver collect — then ONE shard-keyed shuffle
-(``shard = stable_hash(gram) % NOVELTY_SHARDS``) computes per-gram
-doc-frequency inside ordinary-sized pandas groups (all rows of a gram
-land in one shard by construction), and a native ``groupby(doc_id).sum``
-folds the per-shard partials.  No stage materializes the corpus and no
-group is ever larger than 1/shards of the gram stream.  At 100 TB the
+count, never a driver collect — then TWO shard-keyed shuffles: the
+gram-keyed one (``shard = stable_hash(gram) % NOVELTY_SHARDS``) computes
+per-gram doc-frequency inside ordinary-sized pandas groups (all rows of
+a gram land in one shard by construction), and the doc-keyed one merges
+each document's partials (a native ``groupby(doc_id).sum`` here was ~10x
+slower at sf0.1 — Ray's sort-based aggregate degrades over thousands of
+tiny groups).  No stage materializes the corpus and no group is ever
+larger than 1/shards of its stream.  At 100 TB the
 gram strings themselves dominate shuffle bytes; the documented scale
 path is hashing grams to u64 before the shuffle (collision odds ~n²/2⁶⁴)
 — the registered query keeps the strings so the DuckDB oracle is exact.
