@@ -805,6 +805,74 @@ def _register_analytics3() -> None:
 _register_analytics3()
 
 
+def seasonal_residuals(samples_fn, *, period_ns: int = 3_600_000_000_000,
+                       cycle: int = 24):
+    """Detrended samples: each numeric sample minus its series'
+    hour-of-cycle profile mean — the seasonality-removal companion of
+    ``seasonal_profile`` (what's left after the daily pattern).
+
+    Scale shape: the profile is SMALL by construction (#series x cycle
+    rows), so it is collected driver-side once and broadcast by value
+    into the flag scan — the ``zscore_anomalies`` two-pass discipline
+    (stats pass + streaming map pass), never a shuffle join.
+    """
+    prof = seasonal_profile(samples_fn(), period_ns=period_ns,
+                            cycle=cycle).to_pandas()
+    lut = {
+        (r.series_key, int(r.hour)): float(r.mean)
+        for r in prof.itertuples()
+    }
+
+    def _resid(batch: pa.Table) -> pa.Table:
+        t = _numeric(batch)
+        ts = t.column("ts_ns").to_numpy(zero_copy_only=False)
+        v = t.column("value_num").to_numpy(zero_copy_only=False)
+        hour = ((ts // period_ns) % cycle).astype(np.int64)
+        keys = t.column("series_key").to_pandas()
+        means = np.fromiter(
+            (lut.get((k, int(h)), np.nan) for k, h in zip(keys, hour)),
+            dtype=np.float64, count=len(hour),
+        )
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "ts_ns": t.column("ts_ns"),
+            "value_num": t.column("value_num"),
+            "hour": pa.array(hour, pa.int64()),
+            "resid": pa.array(round_half_away(v - means, 6), pa.float64()),
+        })
+
+    return samples_fn().map_batches(_resid, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def _register_analytics3b() -> None:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+    from .registry import register
+
+    register(
+        "events_seasonal_residuals",
+        lambda sf: seasonal_residuals(lambda: _events_samples(sf)),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        prof AS (
+            SELECT series_key,
+                   CAST((ts_ns // 3600000000000) % 24 AS BIGINT) AS hour,
+                   round(round(sum(value_num), 6) / count(*), 6) AS mean
+            FROM num GROUP BY 1, 2
+        )
+        SELECT num.series_key, ts_ns, value_num,
+               CAST((ts_ns // 3600000000000) % 24 AS BIGINT) AS hour,
+               round(value_num - mean, 6) AS resid
+        FROM num
+        JOIN prof ON num.series_key = prof.series_key
+                 AND (ts_ns // 3600000000000) % 24 = prof.hour
+        """,
+    )
+
+
+_register_analytics3b()
+
+
 # ---------------------------------------------------------------------------
 # Autocorrelation (lag-k ACF per series over tier windows)
 # ---------------------------------------------------------------------------

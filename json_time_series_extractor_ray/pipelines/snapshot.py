@@ -242,6 +242,53 @@ def series_staleness(samples_ds, *, stale_after_ns: int = HOUR_NS):
 
 
 # ---------------------------------------------------------------------------
+# Per-series gap report (coverage monitoring)
+# ---------------------------------------------------------------------------
+
+def gap_report(samples_ds, *, gap_threshold_ns: int = HOUR_NS):
+    """One row per series: sample count, covered span, largest
+    inter-sample gap, and how many gaps exceed ``gap_threshold_ns`` —
+    the coverage report behind "is this sensor's history contiguous?".
+
+    Scale shape: the projected (series, ts, tie-break) stream shuffles
+    ONCE on ``series_key``; each group task sorts its own series and
+    reduces to a single row, so the output is #series rows.  For a
+    hot single series compose with the time-bucketed co-partition used
+    by ``asof.py`` (adjacency breaks only at bucket boundaries, fixed by
+    a 1-row carry) — same contract as ``change_suppress``.
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_key": batch.column("series_key"),
+            "ts_ns": batch.column("ts").cast(pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "ordinal": batch.column("sample_ordinal").cast(pa.int64()),
+        })
+
+    def _report(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_ORDER, kind="stable", ignore_index=True)
+        ts = df["ts_ns"].to_numpy()
+        gaps = np.diff(ts)
+        return pd.DataFrame({
+            "series_key": [df["series_key"].iloc[0]],
+            "n_samples": np.array([len(ts)], np.int64),
+            "span_ns": np.array([ts[-1] - ts[0]], np.int64),
+            "max_gap_ns": np.array(
+                [gaps.max() if len(gaps) else 0], np.int64),
+            "n_gaps_over": np.array(
+                [(gaps > gap_threshold_ns).sum()], np.int64),
+        })
+
+    return (
+        samples_ds.map_batches(_project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_report, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver queries + oracles
 # ---------------------------------------------------------------------------
 
@@ -266,6 +313,29 @@ def _register() -> None:
             FROM s
         )
         SELECT series_key, ts_ns, value_num, value_str FROM r WHERE rn = 1
+        """,
+    )
+
+    register(
+        "events_gap_report",
+        lambda sf: gap_report(_events_samples(sf)),
+        f"""
+        WITH s AS ({EVENTS_SAMPLES_SQL}),
+        l AS (
+            SELECT series_key, ts_ns,
+                   ts_ns - lag(ts_ns) OVER (
+                       PARTITION BY series_key
+                       ORDER BY ts_ns, doc_id, ordinal
+                   ) AS gap
+            FROM s
+        )
+        SELECT series_key,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(ts_ns) - min(ts_ns) AS BIGINT) AS span_ns,
+               CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_ns,
+               CAST(count(*) FILTER (WHERE gap > {HOUR_NS}) AS BIGINT)
+                   AS n_gaps_over
+        FROM l GROUP BY series_key
         """,
     )
 

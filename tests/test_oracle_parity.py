@@ -98,6 +98,9 @@ SUBSET = [
     "doc_dup_cluster_sizes",
     "doc_lang_confusion",
     "customer_ltv",
+    # coverage monitoring + seasonality removal
+    "events_gap_report",
+    "events_seasonal_residuals",
 ]
 
 

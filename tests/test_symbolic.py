@@ -69,3 +69,51 @@ class TestSourceReport:
         assert out.loc["x", "mean_words"] == 2.5
         assert out.loc["y", "n_docs"] == 1
         assert out.loc["y", "mean_chars"] == 1.0
+
+
+class TestGapReportResiduals:
+    def test_gap_report_hand_computed(self):
+        from json_time_series_extractor_ray.pipelines.snapshot import (
+            HOUR_NS,
+            gap_report,
+        )
+
+        base = np.datetime64("2024-01-01T00:00:00", "ns")
+        m = np.timedelta64(60_000_000_000, "ns")
+        # series s: samples at 0m, 1m, then a 3h gap, then 181m
+        ts = [base, base + 1 * m, base + 181 * m]
+        ds = ray.data.from_arrow(pa.table({
+            "series_key": pa.array(["s"] * 3, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "sample_ordinal": pa.array([0, 0, 0], pa.int64()),
+        }))
+        out = gap_report(ds).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["n_samples"] == 3
+        assert r["span_ns"] == 181 * 60_000_000_000
+        assert r["max_gap_ns"] == 180 * 60_000_000_000
+        assert r["n_gaps_over"] == 1  # only the 3h gap exceeds 1h
+
+    def test_residuals_remove_constant_profile(self):
+        from json_time_series_extractor_ray.pipelines.analytics import (
+            seasonal_residuals,
+        )
+
+        base = np.datetime64("2024-01-01T00:00:00", "ns")
+        h = np.timedelta64(3_600_000_000_000, "ns")
+        # same value at the same hour across two days -> resid 0
+        tbl = pa.table({
+            "series_key": pa.array(["s"] * 4, pa.string()),
+            "ts": pa.array([base, base + 24 * h, base + h, base + 25 * h],
+                           pa.timestamp("ns")),
+            "value_num": pa.array([5.0, 5.0, 7.0, 9.0], pa.float64()),
+            "value_kind": pa.array([1] * 4, pa.int32()),
+            "doc_id": pa.array(range(4), pa.int64()),
+            "sample_ordinal": pa.array([0] * 4, pa.int64()),
+        })
+        out = seasonal_residuals(lambda: ray.data.from_arrow(tbl)) \
+            .to_pandas().sort_values("ts_ns", ignore_index=True)
+        # hour 0 profile mean = 5 -> resid 0, 0; hour 1 mean = 8 -> -1, +1
+        assert out["resid"].tolist() == [0.0, -1.0, 0.0, 1.0]
