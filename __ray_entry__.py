@@ -196,6 +196,31 @@ def _events_gorilla_readback(sf_dir: str, bucket_ns: int | None = None):
     return read_gorilla_chunks(out)
 
 
+def _events_gorilla_compacted(sf_dir: str):
+    """Chunk-compaction maintenance cycle, oracle-checked end-to-end:
+    extract -> DAILY-bucketed Gorilla chunks on disk (many small chunks)
+    -> ``compact_chunks`` merges each series back to few large chunks ->
+    chunk SOURCE decodes them.  Compaction is bit-exact, so the read-back
+    must hash-match the SAME plain numeric-samples oracle as the
+    uncompacted cycle."""
+    from json_time_series_extractor_ray.pipelines._util import scratch_dir
+    from json_time_series_extractor_ray.sources.gorilla_chunks import (
+        read_gorilla_chunks,
+    )
+    from json_time_series_extractor_ray.state.gorilla import (
+        compact_chunks,
+        compress_series_dataset,
+    )
+
+    corpus = events_corpus_dataset(sf_dir)
+    chunks = compress_series_dataset(
+        extract_pipeline(corpus), bucket_ns=86_400_000_000_000
+    )
+    out = scratch_dir(f"gorilla_compact_{sf_dir}")
+    compact_chunks(chunks).write_parquet(out)
+    return read_gorilla_chunks(out)
+
+
 def _events_filtered(sf_dir: str):
     """Include/exclude pointer filters through the whole tokenized path:
     include MQTT-style ``/props/+`` and literal ``/value``, exclude
@@ -373,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gorilla_chunk_counts": _events_gorilla_counts,
         "events_gorilla_readback": _events_gorilla_readback,
         # hot-key-safe chunking (one chunk per series x day) vs same oracle
+        "events_gorilla_compacted_readback": _events_gorilla_compacted,
         "events_gorilla_readback_bucketed":
             lambda sf: _events_gorilla_readback(
                 sf, bucket_ns=86_400_000_000_000
@@ -428,6 +454,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE value_num IS NOT NULL
         """,
         "events_gorilla_readback_bucketed": f"""
+            SELECT series_key, ts_ns, value_num
+            FROM ({_EVENTS_SAMPLES_SQL})
+            WHERE value_num IS NOT NULL
+        """,
+        "events_gorilla_compacted_readback": f"""
             SELECT series_key, ts_ns, value_num
             FROM ({_EVENTS_SAMPLES_SQL})
             WHERE value_num IS NOT NULL

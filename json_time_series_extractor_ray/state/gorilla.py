@@ -259,3 +259,65 @@ def compress_series_dataset(samples_ds, *, bucket_ns: int | None = None):
     return bucketed.groupby(["series_key", "__bucket"]).map_groups(
         _compress_drop, batch_format="pandas"
     )
+
+
+def compact_chunks(chunks_ds, *, target_points: int = 1_000_000):
+    """LSM-style chunk compaction: merge each series' many small chunks
+    into few large ones (bit-exact decode -> concat -> re-encode),
+    re-splitting at ``target_points`` so no output chunk is unbounded.
+
+    The retention ladder writes one chunk per (series, time bucket) per
+    run; after many incremental runs a series accumulates hundreds of
+    small chunks and read-side pruning/decoding overhead grows.  This is
+    the maintenance pass that restores big-chunk economics.
+
+    Scale shape: the input is CHUNK rows (one per series x bucket —
+    orders of magnitude smaller than samples), shuffled ONCE on
+    ``series_key``; each group task decodes only its own series' chunks.
+    Assumes per-series chunk time ranges do not overlap (the writer's
+    bucket invariant); chunks are concatenated in ``(t_min, t_max)``
+    order, so sample order — and therefore the re-encoded stream — is
+    deterministic.  For a series whose TOTAL history exceeds one task's
+    memory, compact per coarse epoch (filter on ``t_min`` ranges) —
+    the same bounding trick as ``bucket_ns`` on the write side.
+    """
+    import pandas as pd
+
+    def _compact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["t_min", "t_max"], kind="stable",
+                            ignore_index=True)
+        ts_parts, val_parts = [], []
+        for blob in df["chunk"]:
+            ts, vals = decompress_chunk(blob)
+            if len(ts):
+                ts_parts.append(np.asarray(ts, dtype=np.int64))
+                val_parts.append(np.asarray(vals, dtype=np.float64))
+        if not ts_parts:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "n_points": pd.Series([], dtype=np.int64),
+                "t_min": pd.Series([], dtype=np.int64),
+                "t_max": pd.Series([], dtype=np.int64),
+                "raw_bytes": pd.Series([], dtype=np.int64),
+                "chunk": pd.Series([], dtype=object),
+            })
+        ts = np.concatenate(ts_parts)
+        vals = np.concatenate(val_parts)
+        key = df["series_key"].iloc[0]
+        rows = []
+        for start in range(0, len(ts), target_points):
+            t = ts[start:start + target_points]
+            v = vals[start:start + target_points]
+            rows.append({
+                "series_key": key,
+                "n_points": np.int64(len(t)),
+                "t_min": np.int64(t[0]),
+                "t_max": np.int64(t[-1]),
+                "raw_bytes": np.int64(16 * len(t)),
+                "chunk": compress_chunk(t, v),
+            })
+        return pd.DataFrame(rows)
+
+    return chunks_ds.groupby("series_key").map_groups(
+        _compact, batch_format="pandas"
+    )

@@ -295,3 +295,82 @@ class TestBucketedGorillaChunks:
         assert len(in_range) == ((df["ts"].astype("int64") >= 2 * 10**8)
                                  & (df["ts"].astype("int64") <= 5 * 10**8)).sum()
         assert len(got) <= len(want)
+
+
+class TestChunkCompaction:
+    def test_compaction_preserves_samples_and_shrinks_chunk_count(self):
+        import pandas as pd
+
+        import ray
+
+        from json_time_series_extractor_ray.sources.gorilla_chunks import (
+            decode_chunk_batch,
+        )
+        from json_time_series_extractor_ray.state.gorilla import (
+            compact_chunks,
+            compress_series_dataset,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        base = 1_700_000_000_000_000_000
+        tbl = pa.table({
+            "series_key": pa.array(
+                ["a"] * (n // 2) + ["b"] * (n // 2), pa.string()),
+            "ts": pa.array(
+                base + np.arange(n, dtype=np.int64) * 1_000_000_000,
+                pa.timestamp("ns")),
+            "value_num": pa.array(rng.normal(size=n), pa.float64()),
+            "value_kind": pa.array([1] * n, pa.int32()),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "sample_ordinal": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+        # hourly buckets -> many small chunks per series
+        chunks = compress_series_dataset(
+            ray.data.from_arrow(tbl), bucket_ns=3_600_000_000_000
+        ).materialize()
+        assert chunks.count() > 2
+        compacted = compact_chunks(chunks, target_points=10**6) \
+            .materialize()
+        assert compacted.count() == 2  # one big chunk per series
+
+        def _decode(ds):
+            parts = [decode_chunk_batch(t)
+                     for t in ray.get(ds.to_arrow_refs())]
+            df = pa.concat_tables([p for p in parts if p.num_rows]) \
+                .to_pandas()
+            return df.sort_values(
+                ["series_key", "ts_ns"], ignore_index=True)
+
+        a = _decode(chunks)
+        b = _decode(compacted)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_target_points_splits_output(self):
+        import ray
+
+        from json_time_series_extractor_ray.state.gorilla import (
+            compact_chunks,
+            compress_series_dataset,
+        )
+
+        n = 1000
+        base = 1_700_000_000_000_000_000
+        tbl = pa.table({
+            "series_key": pa.array(["s"] * n, pa.string()),
+            "ts": pa.array(
+                base + np.arange(n, dtype=np.int64) * 1_000_000_000,
+                pa.timestamp("ns")),
+            "value_num": pa.array(np.arange(n, dtype=np.float64),
+                                  pa.float64()),
+            "value_kind": pa.array([1] * n, pa.int32()),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "sample_ordinal": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+        chunks = compress_series_dataset(
+            ray.data.from_arrow(tbl), bucket_ns=60_000_000_000)
+        out = compact_chunks(chunks, target_points=300).materialize()
+        df = out.to_pandas().sort_values("t_min", ignore_index=True)
+        assert df["n_points"].tolist() == [300, 300, 300, 100]
+        # ranges must tile the series without overlap
+        assert (df["t_min"].to_numpy()[1:] > df["t_max"].to_numpy()[:-1]).all()

@@ -101,6 +101,8 @@ SUBSET = [
     # coverage monitoring + seasonality removal
     "events_gap_report",
     "events_seasonal_residuals",
+    # chunk-store maintenance (compaction readback)
+    "events_gorilla_compacted_readback",
 ]
 
 
