@@ -20,6 +20,9 @@ Config schema (all paths may be any fsspec-able URI Ray Data can read)::
       "num_shards": 64,                    # checkpoint/partition granularity
       "fallback_now_ns": 0,                # deterministic fallback timestamp
       "gorilla_chunks": true,              # also write per-series chunk files
+      "chunk_bucket_ns": 86400000000000,   # optional: one chunk per series x bucket
+      "compact_chunks": false,             # maintenance: merge small chunks
+      "compact_target_points": 1000000,    # max points per compacted chunk
       "token_chunks": false,               # also archive the input corpus as
                                            # compressed varint token chunks
       "update_input": "/data/new/",        # incremental mode: roll up ONLY
@@ -168,9 +171,54 @@ def run_job(config: dict) -> dict:
         )
         from .state.gorilla import compress_series_dataset
 
-        chunks = compress_series_dataset(samples2)
-        chunks.write_parquet(f"{out_dir}/chunks")
+        chunks = compress_series_dataset(
+            samples2, bucket_ns=config.get("chunk_bucket_ns"))
+        # write-new-then-swap: a re-run REPLACES the chunk store instead
+        # of appending a duplicate chunk set next to the old files
+        import os
+        import shutil
+
+        store = f"{out_dir}/chunks"
+        tmp_new = f"{out_dir}/chunks_writing"
+        if os.path.isdir(tmp_new):
+            shutil.rmtree(tmp_new)
+        chunks.write_parquet(tmp_new)
+        if os.path.isdir(store):
+            old_dir = f"{out_dir}/chunks_replaced"
+            os.rename(store, old_dir)
+            os.rename(tmp_new, store)
+            shutil.rmtree(old_dir)
+        else:
+            os.rename(tmp_new, store)
         result["chunks_written"] = True
+
+    if config.get("compact_chunks", False):
+        # Maintenance pass: merge the chunk store's accumulated small
+        # chunks (one per series x bucket x run) back into few large
+        # ones — bit-exact (state/gorilla.compact_chunks), atomically
+        # swapped via write-new-then-rename so a crash mid-compaction
+        # leaves the old store readable.
+        import os
+
+        import ray
+
+        from .state.gorilla import compact_chunks
+
+        store = f"{out_dir}/chunks"
+        tmp_new = f"{out_dir}/chunks_compacting"
+        old_dir = f"{out_dir}/chunks_precompact"
+        if os.path.isdir(store):
+            compact_chunks(
+                ray.data.read_parquet(store),
+                target_points=int(config.get("compact_target_points",
+                                             1_000_000)),
+            ).write_parquet(tmp_new)
+            os.rename(store, old_dir)
+            os.rename(tmp_new, store)
+            import shutil
+
+            shutil.rmtree(old_dir)
+            result["chunks_compacted"] = True
 
     return result
 

@@ -189,3 +189,37 @@ def test_job_token_chunk_archive(ray_session, corpus_dir, tmp_path):
     assert back["doc_id"].tolist() == orig["doc_id"].tolist()
     for a, b in zip(orig["tokens"], back["tokens"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_job_compaction_pass(ray_session, corpus_dir, tmp_path):
+    """gorilla_chunks with a small bucket -> many chunks; compact_chunks
+    pass merges them; readback is identical either way."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from json_time_series_extractor_ray.sources.gorilla_chunks import (
+        read_gorilla_chunks,
+    )
+
+    out = str(tmp_path / "out")
+    cfg = _config(corpus_dir, out)
+    cfg["chunk_bucket_ns"] = 3_600_000_000_000  # hourly buckets
+    r1 = run_job(cfg)
+    assert r1["chunks_written"]
+    before = pq.read_table(f"{out}/chunks")
+    samples_before = read_gorilla_chunks(f"{out}/chunks").to_pandas() \
+        .sort_values(["series_key", "ts_ns"], ignore_index=True)
+
+    # maintenance-only run: compact the EXISTING store (a second
+    # chunk-writing run would append a duplicate chunk set)
+    cfg["compact_chunks"] = True
+    cfg["gorilla_chunks"] = False
+    r2 = run_job(cfg)
+    assert r2.get("chunks_compacted")
+    after = pq.read_table(f"{out}/chunks")
+    assert after.num_rows < before.num_rows  # fewer, larger chunks
+    assert not os.path.isdir(f"{out}/chunks_precompact")  # swap completed
+    samples_after = read_gorilla_chunks(f"{out}/chunks").to_pandas() \
+        .sort_values(["series_key", "ts_ns"], ignore_index=True)
+    pd.testing.assert_frame_equal(samples_before, samples_after)
