@@ -155,3 +155,91 @@ register(
         _read(sf, "documents", ["doc_id", "text", "lang"])),
     _lang_confusion_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplication rate by source (which provenance contributes the dup mass?)
+# ---------------------------------------------------------------------------
+
+def dup_rate_by_source(docs_ds):
+    """Per ``source``: document count, documents whose exact-content
+    fingerprint group has >1 member anywhere in the corpus, and the dup
+    rate — the provenance attribution of the duplicate mass.
+
+    Scale shape: project (fingerprint, source), ONE fingerprint-sharded
+    groupby flags dup membership and collapses each shard to per-source
+    partials (at most |sources| rows per shard), then a tiny
+    ``groupby(source)`` merge (|sources| is small by definition).
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        fps = content_fingerprints(batch.column("text"))
+        return pa.table({
+            "fingerprint": pa.array(fps, pa.string()),
+            "source": batch.column("source"),
+            "shard": pa.array(
+                hash_shards(np.asarray(fps, dtype=object), DUPSIZE_SHARDS)),
+        })
+
+    def _shard_flags(df: pd.DataFrame) -> pd.DataFrame:
+        group_size = df.groupby("fingerprint", sort=False)["source"] \
+            .transform("size")
+        out = pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_docs": np.ones(len(df), np.int64),
+            "n_duped": (group_size.to_numpy() > 1).astype(np.int64),
+        })
+        g = out.groupby("source", sort=False).sum().reset_index()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_duped"] = g["n_duped"].astype(np.int64)
+        return g
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_docs)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = batch.column("sum(n_duped)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        from ._util import round_half_away
+
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_duped": pa.array(d, pa.int64()),
+            "dup_rate": pa.array(
+                round_half_away(d.astype(np.float64) / n), pa.float64()),
+        })
+
+    return (
+        docs_ds.map_batches(_project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_shard_flags, batch_format="pandas")
+        .groupby("source")
+        .sum(["n_docs", "n_duped"])
+        .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+register(
+    "doc_dup_rate_by_source",
+    lambda sf: dup_rate_by_source(
+        _read(sf, "documents", ["text", "source"])),
+    rf"""
+    WITH f AS (
+        SELECT source,
+               md5(regexp_replace(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                   '{_WS}', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    sized AS (
+        SELECT source, count(*) OVER (PARTITION BY fp) AS gsize FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE gsize > 1) AS BIGINT) AS n_duped,
+           round(CAST(count(*) FILTER (WHERE gsize > 1) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM sized GROUP BY source
+    """,
+)

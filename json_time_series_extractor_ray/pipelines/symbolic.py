@@ -215,3 +215,75 @@ register(
     lambda sf: count_bursts(_q_rollup_1h(sf)),
     _burst_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Threshold crossings (alarm counting)
+# ---------------------------------------------------------------------------
+
+def threshold_crossings(samples_fn, *, threshold: float = 50.0):
+    """Per series: how many times the value crosses the threshold upward
+    (prev < T <= cur) and downward (prev >= T > cur) — alarm/flap
+    counting over the extracted stream.
+
+    Scale shape: ONE ``series_key`` shuffle of the projected numeric
+    samples; adjacency is a vectorized shift inside the group task (the
+    ``change_suppress`` contract — hot single series compose with the
+    time-bucketed co-partition + 1-row carry).
+    """
+    from .analytics import _numeric
+
+    def _cross(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_ns", "doc_id", "ordinal"], kind="stable",
+                            ignore_index=True)
+        v = df["value_num"].to_numpy()
+        prev, cur = v[:-1], v[1:]
+        up = int(((prev < threshold) & (cur >= threshold)).sum())
+        down = int(((prev >= threshold) & (cur < threshold)).sum())
+        return pd.DataFrame({
+            "series_key": [df["series_key"].iloc[0]],
+            "n_samples": np.array([len(v)], np.int64),
+            "n_up": np.array([up], np.int64),
+            "n_down": np.array([down], np.int64),
+        })
+
+    return (
+        samples_fn().map_batches(_numeric, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_cross, batch_format="pandas")
+    )
+
+
+def _crossings_sql(threshold: float) -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH num AS ({EVENTS_NUMERIC_SQL}),
+    l AS (
+        SELECT series_key, value_num,
+               lag(value_num) OVER (
+                   PARTITION BY series_key
+                   ORDER BY ts_ns, doc_id, ordinal
+               ) AS pv
+        FROM num
+    )
+    SELECT series_key,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(*) FILTER (
+               WHERE pv < {threshold} AND value_num >= {threshold}
+           ) AS BIGINT) AS n_up,
+           CAST(count(*) FILTER (
+               WHERE pv >= {threshold} AND value_num < {threshold}
+           ) AS BIGINT) AS n_down
+    FROM l GROUP BY series_key
+    """
+
+
+def _q_crossings(sf_dir: str):
+    from .analytics import _events_samples
+
+    return threshold_crossings(lambda: _events_samples(sf_dir))
+
+
+register("events_threshold_crossings", _q_crossings, _crossings_sql(50.0))

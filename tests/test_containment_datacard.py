@@ -92,3 +92,48 @@ def test_customer_ltv_hand_computed():
     assert out.loc[1, "tenure_days"] == 100
     assert out.loc[2, "n_orders"] == 1
     assert out.loc[2, "tenure_days"] == 0
+
+
+def test_dup_rate_by_source():
+    from json_time_series_extractor_ray.pipelines.datacard import (
+        dup_rate_by_source,
+    )
+
+    rows = [
+        (0, "dup text", "x"), (1, "dup text", "y"),  # cross-source dup
+        (2, "only x", "x"), (3, "only y", "y"), (4, "more y", "y"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    out = dup_rate_by_source(ds).to_pandas().set_index("source")
+    assert out.loc["x", "n_docs"] == 2 and out.loc["x", "n_duped"] == 1
+    assert out.loc["x", "dup_rate"] == 0.5
+    assert out.loc["y", "n_docs"] == 3 and out.loc["y", "n_duped"] == 1
+
+
+def test_threshold_crossings_hand_computed():
+    from json_time_series_extractor_ray.pipelines.symbolic import (
+        threshold_crossings,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "ns")
+    s = np.timedelta64(1_000_000_000, "ns")
+    vals = [10.0, 60.0, 55.0, 40.0, 70.0]  # up@1, down@3, up@4
+    tbl = pa.table({
+        "series_key": pa.array(["s"] * 5, pa.string()),
+        "ts": pa.array([base + i * s for i in range(5)],
+                       pa.timestamp("ns")),
+        "value_num": pa.array(vals, pa.float64()),
+        "value_kind": pa.array([1] * 5, pa.int32()),
+        "doc_id": pa.array(range(5), pa.int64()),
+        "sample_ordinal": pa.array([0] * 5, pa.int64()),
+    })
+    out = threshold_crossings(
+        lambda: ray.data.from_arrow(tbl), threshold=50.0
+    ).to_pandas()
+    assert out.iloc[0]["n_up"] == 2
+    assert out.iloc[0]["n_down"] == 1
+    assert out.iloc[0]["n_samples"] == 5

@@ -103,6 +103,9 @@ SUBSET = [
     "events_seasonal_residuals",
     # chunk-store maintenance (compaction readback)
     "events_gorilla_compacted_readback",
+    # alarm counting + provenance dup attribution
+    "events_threshold_crossings",
+    "doc_dup_rate_by_source",
 ]
 
 
