@@ -294,3 +294,28 @@ def run_sharded_rollup(samples_ds, out_dir: str, num_shards: int, *,
     ).to_pandas()
     shards_run = sorted(int(s) for s in committed["shard"]) if len(committed) else []
     return manifest, shards_run, sorted(done)
+
+
+def manifest_report(out_dir: str) -> pa.Table:
+    """All shard lineage records of one stage output as a queryable Arrow
+    table — the per-partition metrics surface (rows, watermarks, wall
+    time, checksum) the north rule's "lineage + metrics" contract exposes
+    to operators.  One row per committed shard; driver-side by design
+    (the manifest is #shards rows, not data)."""
+    mgr = CheckpointManifest(out_dir)
+    shards = sorted(mgr.completed_shards())
+    recs = [mgr.load_record(s) for s in shards]
+    return pa.table({
+        "shard": pa.array([r["shard"] for r in recs], pa.int32()),
+        "rows": pa.array([r["rows"] for r in recs], pa.int64()),
+        "watermark_min": pa.array(
+            [r.get("watermark_min") for r in recs], pa.int64()),
+        "watermark_max": pa.array(
+            [r.get("watermark_max") for r in recs], pa.int64()),
+        "wall_s": pa.array(
+            [float(r.get("wall_s", 0.0)) for r in recs], pa.float64()),
+        "checksum": pa.array(
+            [r.get("checksum") for r in recs], pa.string()),
+        "n_input_fragments": pa.array(
+            [len(r.get("input_fragments", ())) for r in recs], pa.int64()),
+    })

@@ -223,3 +223,19 @@ def test_job_compaction_pass(ray_session, corpus_dir, tmp_path):
     samples_after = read_gorilla_chunks(f"{out}/chunks").to_pandas() \
         .sort_values(["series_key", "ts_ns"], ignore_index=True)
     pd.testing.assert_frame_equal(samples_before, samples_after)
+
+
+def test_manifest_report(ray_session, corpus_dir, tmp_path):
+    from json_time_series_extractor_ray.state.checkpoint import (
+        manifest_report,
+    )
+
+    out = str(tmp_path / "out")
+    run_job(_config(corpus_dir, out))
+    rep = manifest_report(os.path.join(out, "rollups")).to_pandas()
+    # every committed shard reports; empty shards may not commit a dir
+    assert 1 <= len(rep) <= 8
+    assert (rep["rows"] >= 0).all()
+    assert rep["checksum"].notna().all()
+    done = rep[rep["rows"] > 0]
+    assert (done["watermark_max"] >= done["watermark_min"]).all()
