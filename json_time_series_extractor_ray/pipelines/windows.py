@@ -725,3 +725,97 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+DAY_NS_RETENTION = 86_400_000_000_000
+
+
+def retention_cohorts(events_ds, *, member: str = "user_id", ts: str = "ts",
+                      day_ns: int = DAY_NS_RETENTION, num_shards: int = 64):
+    """Cohort retention triangle: members grouped by their FIRST active
+    day (the cohort), counted on each later active day as an offset —
+    (cohort_day, day_offset, n_users).  The standard product-analytics
+    retention matrix, here over the events stream.
+
+    Scale shape: per-block combiner dedups to DISTINCT (member, day)
+    pairs — bounded by members x days, never raw events — then ONE
+    member-sharded groupby computes each member's cohort and offsets in
+    a vectorized pandas pass and pre-aggregates to (cohort, offset)
+    partials (at most days² rows per shard); a tiny native groupby sums
+    the partials (cohort x offset cardinality is days², independent of
+    member count).
+    """
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(member)),
+                                     pc.is_valid(batch.column(ts))))
+        m = batch.column(member).to_numpy(zero_copy_only=False)
+        day = (batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // day_ns)
+        df = pd.DataFrame({"m": m, "day": day}).drop_duplicates()
+        return pa.table({
+            "m": pa.array(df["m"].to_numpy()),
+            "day": pa.array(df["day"].to_numpy(), pa.int64()),
+            "shard": pa.array(hash_shards(df["m"].to_numpy(), num_shards)),
+        })
+
+    def _cohort_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["m", "day"])
+        cohort = df.groupby("m", sort=False)["day"].transform("min")
+        out = (
+            pd.DataFrame({
+                "cohort_day": cohort.to_numpy(),
+                "day_offset": df["day"].to_numpy() - cohort.to_numpy(),
+            })
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": batch.column("cohort_day").cast(pa.int64()),
+            "day_offset": batch.column("day_offset").cast(pa.int64()),
+            "n_users": batch.column("sum(n)").cast(pa.int64()),
+        })
+
+    return (
+        events_ds.map_batches(_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_cohort_partials, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .sum("n")
+        .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _q_retention_cohorts(sf_dir: str):
+    import ray
+
+    return retention_cohorts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
+register(
+    "events_retention_cohorts",
+    _q_retention_cohorts,
+    f"""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) // {DAY_NS_RETENTION} AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+    SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)

@@ -137,3 +137,34 @@ def test_threshold_crossings_hand_computed():
     assert out.iloc[0]["n_up"] == 2
     assert out.iloc[0]["n_down"] == 1
     assert out.iloc[0]["n_samples"] == 5
+
+
+def test_retention_cohorts_hand_computed():
+    from json_time_series_extractor_ray.pipelines.windows import (
+        retention_cohorts,
+    )
+
+    day = np.timedelta64(86_400_000_000_000, "ns")
+    base = np.datetime64("2024-01-01T00:00:00", "ns")
+    # user 1: days 0, 1, 3; user 2: days 1, 1 (dup), 2; user 3: day 3
+    rows = [
+        (1, base), (1, base + 1 * day), (1, base + 3 * day),
+        (2, base + 1 * day), (2, base + 1 * day), (2, base + 2 * day),
+        (3, base + 3 * day),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+    }))
+    out = retention_cohorts(ds).to_pandas() \
+        .set_index(["cohort_day", "day_offset"]).sort_index()
+    d0 = int(base.astype("int64") // 86_400_000_000_000)
+    # cohort day0 (user 1): offsets 0, 1, 3; cohort day1 (user 2):
+    # offsets 0, 1; cohort day3 (user 3): offset 0
+    assert out.loc[(d0, 0), "n_users"] == 1
+    assert out.loc[(d0, 1), "n_users"] == 1
+    assert out.loc[(d0, 3), "n_users"] == 1
+    assert out.loc[(d0 + 1, 0), "n_users"] == 1
+    assert out.loc[(d0 + 1, 1), "n_users"] == 1
+    assert out.loc[(d0 + 3, 0), "n_users"] == 1
+    assert out["n_users"].sum() == 6  # distinct (user, day) pairs

@@ -106,6 +106,8 @@ SUBSET = [
     # alarm counting + provenance dup attribution
     "events_threshold_crossings",
     "doc_dup_rate_by_source",
+    # cohort retention triangle
+    "events_retention_cohorts",
 ]
 
 
