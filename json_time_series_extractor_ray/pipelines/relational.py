@@ -856,3 +856,93 @@ register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Supplier census by region (double broadcast up the dimension tree)
+# ---------------------------------------------------------------------------
+
+def supplier_region_stats(supplier_ds, nation_lookup: dict,
+                          region_lookup: dict):
+    """Per region: supplier count and round-2 mean account balance —
+    the dimension-tree rollup (supplier -> nation -> region).
+
+    Scale shape: both dimension tables are tiny by definition (25
+    nations, 5 regions), so they broadcast as dicts (``ray.put`` inside
+    ``broadcast_join``) and the fact scan stays a single streaming pass;
+    the final groupby has |regions| keys.
+    """
+    from .enrich import broadcast_join
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "r_name": batch.column("r_name").to_pandas(),
+            "bal": batch.column("s_acctbal").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("r_name", sort=False)["bal"].agg(["size", "sum"]) \
+            .reset_index()
+        return pa.table({
+            "r_name": pa.array(g["r_name"], pa.string()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+            "s": pa.array(g["sum"].to_numpy(), pa.float64()),
+        })
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bal = batch.column("sum(s)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": batch.column("r_name"),
+            "n_suppliers": pa.array(n, pa.int64()),
+            "total_acctbal": pa.array(round_half_away(bal, 2), pa.float64()),
+            "mean_acctbal": pa.array(
+                round_half_away(round_half_away(bal, 2) / n, 6),
+                pa.float64()),
+        })
+
+    with_nation = broadcast_join(
+        supplier_ds, nation_lookup, key="s_nationkey",
+        value_name="n_regionkey", value_type=pa.int64())
+    with_region = broadcast_join(
+        with_nation, region_lookup, key="n_regionkey",
+        value_name="r_name", value_type=pa.string())
+    return (
+        with_region.map_batches(_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .groupby("r_name")
+        .sum(["n", "s"])
+        .map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _q_supplier_region(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    nation_lookup = dict(zip(nation.column("n_nationkey").to_pylist(),
+                             nation.column("n_regionkey").to_pylist()))
+    region_lookup = dict(zip(region.column("r_regionkey").to_pylist(),
+                             region.column("r_name").to_pylist()))
+    suppliers = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    return supplier_region_stats(suppliers, nation_lookup, region_lookup)
+
+
+register(
+    "supplier_region_stats",
+    _q_supplier_region,
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           round(round(sum(s.s_acctbal), 2) / count(*), 6) AS mean_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)

@@ -108,6 +108,8 @@ SUBSET = [
     "doc_dup_rate_by_source",
     # cohort retention triangle
     "events_retention_cohorts",
+    # dimension-tree rollup (supplier -> nation -> region)
+    "supplier_region_stats",
 ]
 
 
