@@ -317,3 +317,50 @@ class FrameSampleStage:
                 "frame": pa.array(frames, pa.large_binary()),
             }
         )
+
+
+_RESIZE_W, _RESIZE_H = 32, 16
+
+
+def _media_resize_meta(sf_dir: str):
+    """Resize plumbing through the driver gate: synthesized payloads run
+    the real ``ResizeStage`` actor pool (fake resampler), and the derived
+    metadata — fixed target dims, exact output byte count (W*H, empty
+    payloads stay empty) — is SQL-expressible for the oracle."""
+    import pyarrow.compute as pc
+
+    resized = _media_dataset(sf_dir).map_batches(
+        ResizeStage,
+        fn_constructor_kwargs=dict(width=_RESIZE_W, height=_RESIZE_H,
+                                   fake=True),
+        batch_size=media_batch_size(4096),
+        concurrency=(1, 2),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "out_bytes": pc.binary_length(batch.column("payload"))
+                .cast(pa.int64()),
+        })
+
+    return resized.map_batches(_meta, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+register(
+    "media_resize_meta",
+    _media_resize_meta,
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST({_RESIZE_W} AS INTEGER) AS width,
+           CAST({_RESIZE_H} AS INTEGER) AS height,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+                     ELSE {_RESIZE_W * _RESIZE_H} END AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+)

@@ -110,6 +110,8 @@ SUBSET = [
     "events_retention_cohorts",
     # dimension-tree rollup (supplier -> nation -> region)
     "supplier_region_stats",
+    # multimodal resize plumbing
+    "media_resize_meta",
 ]
 
 
