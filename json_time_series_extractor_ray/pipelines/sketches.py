@@ -762,3 +762,91 @@ register(
     FROM d JOIN s USING (event_type)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-(series, window) percentiles
+# ---------------------------------------------------------------------------
+
+HOUR_NS_PCT = 3_600_000_000_000
+WINDOW_PCT_SHARDS = 256
+
+
+def window_percentiles(samples_ds, *, window_ns: int = HOUR_NS_PCT,
+                       pcts=PCTS, shards: int = WINDOW_PCT_SHARDS):
+    """Exact discrete percentiles of the numeric values per
+    (series, tumbling window) — the windowed twin of
+    ``group_percentiles``.
+
+    Scale shape: exact percentiles need the raw values, so the ONE
+    shuffle carries the projected (series, window, value) stream keyed by
+    ``window % shards`` — never one Ray group per (series, window), which
+    is near-singleton at scale (the pivot lesson); inside a shard task a
+    single pandas groupby computes every window's sorted picks.  The
+    mergeable ``events_value_quantile_sketch`` is the bounded-shuffle
+    approximation when raw-value movement is too expensive.
+    """
+    from .analytics import _numeric
+
+    def _project(batch: pa.Table) -> pa.Table:
+        t = _numeric(batch)
+        ts = t.column("ts_ns").to_numpy(zero_copy_only=False)
+        w = ts - (ts % window_ns)
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "window_ns": pa.array(w, pa.int64()),
+            "value_num": t.column("value_num"),
+            "shard": pa.array(((w // window_ns) % shards).astype(np.int32),
+                              pa.int32()),
+        })
+
+    pct_cols = [f"p{int(p * 100)}" for p in pcts]
+
+    def _shard_pcts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"series_key": [], "window_ns": [], "n": []}
+        for c in pct_cols:
+            rows[c] = []
+        for (key, w), g in df.groupby(["series_key", "window_ns"],
+                                      sort=False):
+            v = np.sort(g["value_num"].to_numpy())
+            n = len(v)
+            rows["series_key"].append(key)
+            rows["window_ns"].append(w)
+            rows["n"].append(n)
+            for p, c in zip(pcts, pct_cols):
+                rows[c].append(v[max(int(np.ceil(n * p)) - 1, 0)])
+        out = pd.DataFrame(rows)
+        out["window_ns"] = out["window_ns"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        samples_ds.map_batches(_project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_shard_pcts, batch_format="pandas")
+    )
+
+
+def _q_window_percentiles(sf_dir: str):
+    from .analytics import _events_samples
+
+    return window_percentiles(_events_samples(sf_dir))
+
+
+def _window_pcts_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    qs = ", ".join(f"quantile_disc(value_num, {p}) AS p{int(p * 100)}"
+                   for p in PCTS)
+    return f"""
+    WITH num AS ({EVENTS_NUMERIC_SQL})
+    SELECT series_key,
+           ts_ns - (ts_ns % {HOUR_NS_PCT}) AS window_ns,
+           CAST(count(*) AS BIGINT) AS n, {qs}
+    FROM num GROUP BY 1, 2
+    """
+
+
+register("events_window_percentiles_1h", _q_window_percentiles,
+         _window_pcts_sql())

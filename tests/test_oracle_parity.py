@@ -112,6 +112,8 @@ SUBSET = [
     "supplier_region_stats",
     # multimodal resize plumbing
     "media_resize_meta",
+    # exact windowed percentiles (window-sharded)
+    "events_window_percentiles_1h",
 ]
 
 
