@@ -397,8 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
         "events_gorilla_chunk_counts": _events_gorilla_counts,
         "events_gorilla_readback": _events_gorilla_readback,
-        # hot-key-safe chunking (one chunk per series x day) vs same oracle
+        # compaction maintenance cycle vs the same readback oracle
         "events_gorilla_compacted_readback": _events_gorilla_compacted,
+        # hot-key-safe chunking (one chunk per series x day) vs same oracle
         "events_gorilla_readback_bucketed":
             lambda sf: _events_gorilla_readback(
                 sf, bucket_ns=86_400_000_000_000

@@ -49,6 +49,35 @@ import json
 import sys
 
 
+def _replace_store(store: str, tmp_new: str, trash: str, write_fn) -> None:
+    """Crash-safe directory replacement for the chunk stores.
+
+    Protocol (every step idempotent, so ANY crash point recovers on the
+    next run): (1) if a previous run died mid-swap — store missing but
+    its old contents parked at ``trash`` — restore it first; (2) clear a
+    stale partial ``tmp_new`` (Ray's write_parquet appends into an
+    existing dir, which would double the data); (3) write the new store
+    into ``tmp_new``; (4) clear a stale completed-swap ``trash``; (5)
+    park the old store at ``trash``, promote ``tmp_new``, drop ``trash``.
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(store) and os.path.isdir(trash):
+        os.rename(trash, store)  # undo a half-completed swap
+    if os.path.isdir(tmp_new):
+        shutil.rmtree(tmp_new)  # stale partial write from a dead run
+    write_fn(tmp_new)
+    if os.path.isdir(trash):
+        shutil.rmtree(trash)  # leftover of a swap that DID complete
+    if os.path.isdir(store):
+        os.rename(store, trash)
+        os.rename(tmp_new, store)
+        shutil.rmtree(trash)
+    else:
+        os.rename(tmp_new, store)
+
+
 def run_job(config: dict) -> dict:
     import ray
 
@@ -173,31 +202,18 @@ def run_job(config: dict) -> dict:
 
         chunks = compress_series_dataset(
             samples2, bucket_ns=config.get("chunk_bucket_ns"))
-        # write-new-then-swap: a re-run REPLACES the chunk store instead
+        # crash-safe replace: a re-run REPLACES the chunk store instead
         # of appending a duplicate chunk set next to the old files
-        import os
-        import shutil
-
-        store = f"{out_dir}/chunks"
-        tmp_new = f"{out_dir}/chunks_writing"
-        if os.path.isdir(tmp_new):
-            shutil.rmtree(tmp_new)
-        chunks.write_parquet(tmp_new)
-        if os.path.isdir(store):
-            old_dir = f"{out_dir}/chunks_replaced"
-            os.rename(store, old_dir)
-            os.rename(tmp_new, store)
-            shutil.rmtree(old_dir)
-        else:
-            os.rename(tmp_new, store)
+        _replace_store(
+            f"{out_dir}/chunks", f"{out_dir}/chunks_writing",
+            f"{out_dir}/chunks_replaced", chunks.write_parquet)
         result["chunks_written"] = True
 
     if config.get("compact_chunks", False):
         # Maintenance pass: merge the chunk store's accumulated small
         # chunks (one per series x bucket x run) back into few large
-        # ones — bit-exact (state/gorilla.compact_chunks), atomically
-        # swapped via write-new-then-rename so a crash mid-compaction
-        # leaves the old store readable.
+        # ones — bit-exact (state/gorilla.compact_chunks), published via
+        # the same crash-safe replace protocol as the write pass.
         import os
 
         import ray
@@ -205,19 +221,19 @@ def run_job(config: dict) -> dict:
         from .state.gorilla import compact_chunks
 
         store = f"{out_dir}/chunks"
-        tmp_new = f"{out_dir}/chunks_compacting"
-        old_dir = f"{out_dir}/chunks_precompact"
+        trash = f"{out_dir}/chunks_precompact"
+        # recovery must run BEFORE the read so a half-swapped store is
+        # restored and then compacted, not skipped
+        if not os.path.isdir(store) and os.path.isdir(trash):
+            os.rename(trash, store)
         if os.path.isdir(store):
-            compact_chunks(
+            compacted = compact_chunks(
                 ray.data.read_parquet(store),
                 target_points=int(config.get("compact_target_points",
                                              1_000_000)),
-            ).write_parquet(tmp_new)
-            os.rename(store, old_dir)
-            os.rename(tmp_new, store)
-            import shutil
-
-            shutil.rmtree(old_dir)
+            )
+            _replace_store(store, f"{out_dir}/chunks_compacting", trash,
+                           compacted.write_parquet)
             result["chunks_compacted"] = True
 
     return result

@@ -816,12 +816,18 @@ def seasonal_residuals(samples_fn, *, period_ns: int = 3_600_000_000_000,
     into the flag scan — the ``zscore_anomalies`` two-pass discipline
     (stats pass + streaming map pass), never a shuffle join.
     """
+    import pandas as pd
+
     prof = seasonal_profile(samples_fn(), period_ns=period_ns,
                             cycle=cycle).to_pandas()
-    lut = {
-        (r.series_key, int(r.hour)): float(r.mean)
-        for r in prof.itertuples()
-    }
+    # dense (series -> cycle-length mean vector) map: the per-batch lookup
+    # is then one factorize + one fancy-index, no per-row Python
+    lut = {}
+    for key, g in prof.groupby("series_key", sort=False):
+        row = np.full(cycle, np.nan)
+        row[g["hour"].to_numpy()] = g["mean"].to_numpy()
+        lut[key] = row
+    nan_row = np.full(cycle, np.nan)
 
     def _resid(batch: pa.Table) -> pa.Table:
         t = _numeric(batch)
@@ -829,10 +835,11 @@ def seasonal_residuals(samples_fn, *, period_ns: int = 3_600_000_000_000,
         v = t.column("value_num").to_numpy(zero_copy_only=False)
         hour = ((ts // period_ns) % cycle).astype(np.int64)
         keys = t.column("series_key").to_pandas()
-        means = np.fromiter(
-            (lut.get((k, int(h)), np.nan) for k, h in zip(keys, hour)),
-            dtype=np.float64, count=len(hour),
-        )
+        codes, uniques = pd.factorize(keys, sort=False)
+        # +1 sentinel row: factorize maps null keys to -1 -> NaN mean
+        matrix = np.vstack(
+            [lut.get(u, nan_row) for u in uniques] + [nan_row])
+        means = matrix[codes, hour]
         return pa.table({
             "series_key": t.column("series_key"),
             "ts_ns": t.column("ts_ns"),

@@ -293,13 +293,20 @@ def compact_chunks(chunks_ds, *, target_points: int = 1_000_000):
                 ts_parts.append(np.asarray(ts, dtype=np.int64))
                 val_parts.append(np.asarray(vals, dtype=np.float64))
         if not ts_parts:
+            # keep one 0-point row for the series (the writer's own
+            # behavior for string-only series) so compaction never makes
+            # a series vanish from the store — and never emits an empty
+            # object-dtype frame whose columns would infer as Arrow null
+            # type and clash with the other chunk files' schema
+            empty = np.array([], dtype=np.int64)
             return pd.DataFrame({
-                "series_key": pd.Series([], dtype=object),
-                "n_points": pd.Series([], dtype=np.int64),
-                "t_min": pd.Series([], dtype=np.int64),
-                "t_max": pd.Series([], dtype=np.int64),
-                "raw_bytes": pd.Series([], dtype=np.int64),
-                "chunk": pd.Series([], dtype=object),
+                "series_key": [df["series_key"].iloc[0]],
+                "n_points": np.array([0], np.int64),
+                "t_min": np.array([0], np.int64),
+                "t_max": np.array([0], np.int64),
+                "raw_bytes": np.array([0], np.int64),
+                "chunk": [compress_chunk(empty,
+                                         np.array([], dtype=np.float64))],
             })
         ts = np.concatenate(ts_parts)
         vals = np.concatenate(val_parts)

@@ -204,7 +204,7 @@ def test_job_compaction_pass(ray_session, corpus_dir, tmp_path):
 
     out = str(tmp_path / "out")
     cfg = _config(corpus_dir, out)
-    cfg["chunk_bucket_ns"] = 3_600_000_000_000  # hourly buckets
+    cfg["chunk_bucket_ns"] = 300_000_000_000  # 5-min buckets (corpus spans ~16 min)
     r1 = run_job(cfg)
     assert r1["chunks_written"]
     before = pq.read_table(f"{out}/chunks")
