@@ -530,30 +530,3 @@ register(
       ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
     """,
 )
-
-#: 8500 days: the fixture's as-of gaps (1990s TPC-H order dates vs 2024
-#: events) span 8209-9311 days, so this keeps roughly half the matches
-#: and drops the rest — both tolerance branches exercised.
-_ASOF_TOL_NS = 8500 * 24 * 3600 * 1_000_000_000
-
-register(
-    "events_asof_orders_tol",
-    lambda sf: _q_events_asof_orders(sf, tolerance_ns=_ASOF_TOL_NS),
-    f"""
-    WITH ranked AS (
-        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
-               row_number() OVER (
-                   PARTITION BY o_custkey, o_orderdate
-                   ORDER BY o_orderkey DESC, o_totalprice DESC
-               ) AS rn
-        FROM orders
-    ),
-    deduped AS (SELECT * FROM ranked WHERE rn = 1)
-    SELECT e.event_id, epoch_ns(e.ts) AS ts_ns, e.user_id,
-           d.o_orderkey, d.o_totalprice
-    FROM events e
-    ASOF JOIN deduped d
-      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
-    WHERE epoch_ns(e.ts) - epoch_ns(d.o_orderdate) <= {_ASOF_TOL_NS}
-    """,
-)
