@@ -946,3 +946,247 @@ register(
     GROUP BY r.r_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-priority top-n (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def shipping_priority(li_ds, orders_ds, *, top_n: int = 10,
+                      num_shards: int = 64):
+    """Top-n undelivered orders by revenue — the TPC-H Q3 plan expressed
+    Ray-native.
+
+    Scale shape: lineitem collapses to one revenue partial per
+    ``l_orderkey`` per block BEFORE any exchange, so the one shuffle
+    join moves partials + the pre-filtered orders, never raw lineitem
+    rows; the joined partials merge in orderkey-sharded pandas tasks
+    (the ``customer_ltv`` high-cardinality shape), each shard emits only
+    its LOCAL top-n, and the final sort+limit runs over the tiny
+    ``num_shards x top_n`` candidate set.  Revenue is round-2 at the
+    very end (after the exact global per-order sum) and ordering is
+    (rounded revenue desc, orderkey asc) on both engines, so the top-n
+    boundary is deterministic cross-engine.
+    """
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+    from .joins import shuffle_join
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        ).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"l_orderkey": key, "rev_part": rev}) \
+            .groupby("l_orderkey", sort=False)["rev_part"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_parts = li_ds.map_batches(_rev_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    j = shuffle_join(li_parts, orders_ds, on="l_orderkey",
+                     right_on="o_orderkey", num_shards=num_shards)
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(hash_shards(keys, num_shards), pa.int32()))
+
+    def _merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "o_orderdate_ns", "o_orderpriority"], sort=False
+        )["rev_part"].sum().reset_index()
+        g["revenue"] = round_half_away(g["rev_part"].to_numpy(), 2)
+        g = g.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(top_n)
+        return pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].astype(np.int64),
+            "revenue": g["revenue"].astype(np.float64),
+            "o_orderdate_ns": g["o_orderdate_ns"].astype(np.int64),
+            "o_orderpriority": g["o_orderpriority"].astype(str),
+        })
+
+    cand = (
+        j.map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_merge_shard, batch_format="pandas")
+    )
+    # num_shards x top_n candidates: the sort is tiny by construction
+    return cand.sort(["revenue", "l_orderkey"],
+                     descending=[True, False]).limit(top_n)
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-15"
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 parameters over the fixture: BUILDING-segment customers,
+    orders placed before / lineitems shipped after 1998-06-15 (the
+    fixture's date midpoint, so both filters bite).  The segment's
+    custkey set is a broadcast semi-join (one ``ray.put``, no shuffle);
+    both fact scans push their date filter into the parquet read."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from .enrich import broadcast_semi_join
+
+    cutoff = dt.datetime.fromisoformat(_Q3_CUTOFF)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "=", _Q3_SEGMENT)],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+    orders = broadcast_semi_join(
+        orders, cust.column("c_custkey").to_pylist(), key="o_custkey")
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderdate_ns": batch.column("o_orderdate")
+                .cast(pa.timestamp("ns")).cast(pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    orders = orders.map_batches(_ord, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+    return shipping_priority(li, orders)
+
+
+register(
+    "orders_shipping_priority",
+    _q_shipping_priority,
+    f"""
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_ns(o.o_orderdate) AS o_orderdate_ns,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Calendar-month order volumes per nation
+# ---------------------------------------------------------------------------
+
+def nation_monthly_orders(orders_ds, nation_lut: dict, *,
+                          num_shards: int = 32):
+    """Orders per (nation, calendar month): count + round-2 total price.
+
+    Calendar months are NOT fixed-width windows, so the epoch-floor
+    rollup machinery doesn't apply: month truncation is a vectorized
+    numpy ``datetime64[M]`` cast inside the per-block combiner (exact
+    calendar arithmetic, no Python date loop).  The combiner collapses
+    each block to one partial row per (nationkey, month); partials merge
+    in hash-sharded pandas tasks (nation x month cardinality is small
+    but the shape stays the repo-standard shard merge so a 1000x month
+    range cannot regress it); the 25-row nation lookup broadcasts in the
+    task closure."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("o_custkey_nation").to_numpy(zero_copy_only=False)
+        t = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
+            .to_numpy(zero_copy_only=False)
+        month_ns = t.astype("datetime64[M]").astype("datetime64[ns]") \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "nk": nk, "month_ns": month_ns,
+            "price": batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False),
+        }).groupby(["nk", "month_ns"], sort=False).agg(
+            n=("price", "size"), s=("price", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["shard"] = hash_shards(g["nk"].to_numpy(), num_shards,
+                                 mix=g["month_ns"].to_numpy())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["nk", "month_ns"], sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        return pd.DataFrame({
+            "n_name": g["nk"].map(nation_lut).astype(str),
+            "month_ns": g["month_ns"].astype(np.int64),
+            "n_orders": g["n"].astype(np.int64),
+            "total_price": round_half_away(g["s"].to_numpy(), 2),
+        })
+
+    return (
+        orders_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_merge_shard, batch_format="pandas")
+    )
+
+
+def _q_nation_monthly_orders(sf_dir: str):
+    """customer's nationkey reaches orders through the one bounded
+    shuffle join; nation names broadcast as a 25-entry lookup."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import shuffle_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+    )
+
+    def _nk(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "o_custkey_nation": batch.column("c_nationkey"),
+        })
+
+    cust = cust.map_batches(_nk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lut = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_name").to_pylist()))
+    return nation_monthly_orders(j, lut)
+
+
+register(
+    "nation_monthly_orders",
+    _q_nation_monthly_orders,
+    """
+    SELECT n.n_name AS n_name,
+           epoch_ns(date_trunc('month', o.o_orderdate)) AS month_ns,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)

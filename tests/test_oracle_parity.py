@@ -114,6 +114,11 @@ SUBSET = [
     "media_resize_meta",
     # exact windowed percentiles (window-sharded)
     "events_window_percentiles_1h",
+    # Q3-shape top-n join + calendar-month rollup
+    "orders_shipping_priority",
+    "nation_monthly_orders",
+    # calendar-aligned (Monday) weekly tier via window offsets
+    "events_rollup_1w",
 ]
 
 
