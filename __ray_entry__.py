@@ -60,6 +60,16 @@ def _events_rollup(sf_dir: str, tier: str):
     return rollup_tier_for_compare(rollups, tier)
 
 
+def _events_rollup_1w(sf_dir: str):
+    """Calendar-ALIGNED tier: Monday-aligned (ISO) weeks via the ladder's
+    window-offset support (epoch day 0 is a Thursday, so week boundaries
+    are NOT epoch multiples of 7 days) — the oracle floors with the same
+    shifted expression, equal to DuckDB ``date_trunc('week', ...)``."""
+    corpus = events_corpus_dataset(sf_dir)
+    rollups = extract_and_rollup(corpus, tiers=("1m", "1w"))
+    return rollup_tier_for_compare(rollups, "1w")
+
+
 def _events_rollup_salted(sf_dir: str):
     """Hot-key salting proof through the driver gate: the 1m rollup with
     two-phase salted aggregation (salt_shards=8 splits each series across
@@ -386,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m": lambda sf: _events_rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: _events_rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: _events_rollup(sf, "1d"),
+        "events_rollup_1w": _events_rollup_1w,
         "events_rollup_1m_salted": _events_rollup_salted,
         "events_rollup_1m_incremental":
             lambda sf: _events_rollup_incremental(sf, "1m"),
@@ -428,6 +439,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_1m": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1h": _rollup_tier_sql(_WINDOW_NS["1h"]),
         "events_rollup_1d": _rollup_tier_sql(_WINDOW_NS["1d"]),
+        # Monday-aligned weeks: offset 4 days (epoch day 0 is a Thursday)
+        "events_rollup_1w": _rollup_tier_sql(
+            604_800_000_000_000, offset_ns=345_600_000_000_000
+        ),
         "events_rollup_1m_salted": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1m_incremental": _rollup_tier_sql(_WINDOW_NS["1m"]),
         "events_rollup_1h_incremental": _rollup_tier_sql(_WINDOW_NS["1h"]),

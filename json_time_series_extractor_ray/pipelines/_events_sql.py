@@ -48,10 +48,18 @@ EVENTS_NUMERIC_SQL = f"""
     WHERE value_num IS NOT NULL
 """
 
-def rollup_ctes(where: str = "") -> str:
-    return _ROLLUP_CTES_TEMPLATE.replace(
-        "__SAMPLES__", events_samples_sql(where)
-    )
+def rollup_ctes(where: str = "", offset_ns: int = 0) -> str:
+    """``offset_ns`` shifts window ALIGNMENT (calendar tiers, e.g. the
+    Monday-aligned week): the floor becomes
+    ``ts_ns - ((ts_ns - offset) % w)``.  Zero keeps the plain epoch floor
+    so every existing ``.format(window_ns=...)`` caller is unchanged."""
+    tpl = _ROLLUP_CTES_TEMPLATE
+    if offset_ns:
+        tpl = tpl.replace(
+            "ts_ns - (ts_ns % {window_ns})",
+            f"ts_ns - ((ts_ns - {offset_ns}) % {{window_ns}})",
+        )
+    return tpl.replace("__SAMPLES__", events_samples_sql(where))
 
 
 _ROLLUP_CTES_TEMPLATE = """
@@ -85,7 +93,8 @@ _ROLLUP_CTES_TEMPLATE = """
 ROLLUP_CTES = rollup_ctes()
 
 
-def rollup_tier_sql(window_ns: int, where: str = "") -> str:
+def rollup_tier_sql(window_ns: int, where: str = "",
+                    offset_ns: int = 0) -> str:
     """Tumbling-window rollup over the numeric series of the events payloads.
 
     Mirrors stages/rollup.py: only numeric samples participate; ``last`` is
@@ -95,7 +104,7 @@ def rollup_tier_sql(window_ns: int, where: str = "") -> str:
     ROUNDED sum (exact decimal midpoints would otherwise flip on
     cross-engine summation ULP noise).
     """
-    ctes = rollup_ctes(where).format(window_ns=window_ns)
+    ctes = rollup_ctes(where, offset_ns).format(window_ns=window_ns)
     return f"""
     WITH {ctes}
     SELECT series_key, window_ns, min, max,

@@ -41,6 +41,18 @@ WINDOW_NS = {
     "1m": 60_000_000_000,
     "1h": 3_600_000_000_000,
     "1d": 86_400_000_000_000,
+    "1w": 604_800_000_000_000,
+}
+
+#: Window ALIGNMENT offsets (ns) for tiers whose boundaries are not epoch
+#: multiples.  Weeks are Monday-aligned (ISO): epoch day 0 is a Thursday,
+#: so boundaries sit at 4 days + k*7 days (1970-01-05 was a Monday) —
+#: matching DuckDB/PostgreSQL ``date_trunc('week', ...)``.  Tiers absent
+#: here floor at 0 as before.  A coarser tier's boundaries must still be
+#: multiples of every finer tier's width for the cascade to re-bucket
+#: exactly (4 days is a whole number of 1m/1h/1d windows).
+WINDOW_OFFSET_NS = {
+    "1w": 345_600_000_000_000,
 }
 
 TIER_ORDER = ("1m", "1h", "1d")
@@ -51,7 +63,8 @@ PARTIAL_COLUMNS = [
 ]
 
 
-def partial_rollup_batch(batch: pa.Table, window_ns: int = WINDOW_NS["1m"]) -> pa.Table:
+def partial_rollup_batch(batch: pa.Table, window_ns: int = WINDOW_NS["1m"],
+                         offset_ns: int = 0) -> pa.Table:
     """Collapse one sample block to per-(series, window) partials.
 
     Pure numpy kernel: strings are factorized to codes once, rows are
@@ -73,7 +86,9 @@ def partial_rollup_batch(batch: pa.Table, window_ns: int = WINDOW_NS["1m"]) -> p
     ordinal = t.column("sample_ordinal").cast(pa.int64()).to_numpy()
     series = t.column("series_key").to_pandas()
     docs = t.column("doc_id").to_pandas()
-    window = ts - (ts % window_ns)
+    # numpy % with a positive modulus is non-negative, so the aligned
+    # floor holds for timestamps before the offset too
+    window = ts - ((ts - offset_ns) % window_ns)
 
     # Lexicographic doc ranks (sort=True => codes order == string order).
     doc_codes, doc_uniques = pd.factorize(docs, sort=True)
@@ -116,7 +131,8 @@ def _partial_dtypes():
     }
 
 
-def _merge_windows(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
+def _merge_windows(df: pd.DataFrame, window_ns: int,
+                   offset_ns: int = 0) -> pd.DataFrame:
     """Merge partial rows into final windows of size ``window_ns``.
 
     Input may be partials of a finer tier; re-bucketing is integer floor
@@ -124,7 +140,9 @@ def _merge_windows(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
     the 'last' pick deterministic.
     """
     df = df.copy()
-    df["window_start"] = df["window_start"] - (df["window_start"] % window_ns)
+    df["window_start"] = (
+        df["window_start"] - ((df["window_start"] - offset_ns) % window_ns)
+    )
     df.sort_values(
         ["window_start", "last_ts", "last_doc", "last_ord"], inplace=True,
         kind="stable", ignore_index=True,
@@ -165,7 +183,8 @@ def cascade_series_group(df: pd.DataFrame, tiers=TIER_ORDER) -> pd.DataFrame:
     current = df[PARTIAL_COLUMNS[1:]].copy()  # drop series_key
     frames = []
     for tier in tiers:
-        current = _merge_windows(current, WINDOW_NS[tier])
+        current = _merge_windows(current, WINDOW_NS[tier],
+                                 WINDOW_OFFSET_NS.get(tier, 0))
         out = current.copy()
         out.insert(0, "tier", tier)
         out.insert(1, "series_key", series_key)
@@ -187,19 +206,22 @@ def cascade_series_group(df: pd.DataFrame, tiers=TIER_ORDER) -> pd.DataFrame:
 class PartialRollupStage:
     """``map_batches`` combiner stage (stateless; callable for clarity)."""
 
-    def __init__(self, window_ns: int = WINDOW_NS["1m"]):
+    def __init__(self, window_ns: int = WINDOW_NS["1m"], offset_ns: int = 0):
         self.window_ns = window_ns
+        self.offset_ns = offset_ns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return partial_rollup_batch(batch, self.window_ns)
+        return partial_rollup_batch(batch, self.window_ns, self.offset_ns)
 
 
-def _merge_partials_group(df: pd.DataFrame, window_ns: int) -> pd.DataFrame:
+def _merge_partials_group(df: pd.DataFrame, window_ns: int,
+                          offset_ns: int = 0) -> pd.DataFrame:
     """Salted pre-reduce: merge one (series, salt) group's partial rows into
     at most one row per window — output is STILL partial-shaped (sum/count
     carried), so the final per-series cascade stays exact."""
     series_key = df["series_key"].iloc[0]
-    merged = _merge_windows(df[PARTIAL_COLUMNS[1:]].copy(), window_ns)
+    merged = _merge_windows(df[PARTIAL_COLUMNS[1:]].copy(), window_ns,
+                            offset_ns)
     merged.insert(0, "series_key", series_key)
     return merged[PARTIAL_COLUMNS]
 
@@ -224,8 +246,9 @@ def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
     unsalted, a hot series costs one row per (block, window) in its final
     group, which the per-block combiner already bounds.
     """
+    finest_offset = WINDOW_OFFSET_NS.get(tiers[0], 0)
     partials = samples_ds.map_batches(
-        PartialRollupStage(WINDOW_NS[tiers[0]]),
+        PartialRollupStage(WINDOW_NS[tiers[0]], finest_offset),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -240,7 +263,7 @@ def rollup_ladder(samples_ds, tiers=TIER_ORDER, *, batch_size: int = 65536,
             return batch.append_column("salt", pa.array(salt))
 
         def _pre_reduce(df: pd.DataFrame) -> pd.DataFrame:
-            return _merge_partials_group(df, window_ns)
+            return _merge_partials_group(df, window_ns, finest_offset)
 
         salted = partials.map_batches(
             _add_salt, batch_format="pyarrow", zero_copy_batch=True

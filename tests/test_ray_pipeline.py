@@ -392,3 +392,42 @@ def test_incremental_merge_non_default_tiers(ray_session):
     assert a["count"].tolist() == b["count"].tolist()
     assert a["min"].tolist() == b["min"].tolist()
     assert a["last"].tolist() == b["last"].tolist()
+
+
+def test_weekly_tier_monday_alignment(ray_session, corpus):
+    """The '1w' tier uses WINDOW_OFFSET_NS to align on calendar (ISO)
+    Mondays — epoch day 0 is a Thursday, so plain epoch flooring would
+    start weeks on Thursdays.  Pins: every window_start is a Monday
+    midnight covering its samples, and the distributed ladder equals the
+    serial oracle at tiers=('1m', '1w')."""
+    import datetime as dt
+
+    import ray
+
+    from json_time_series_extractor_ray.stages.rollup import (
+        WINDOW_NS,
+        WINDOW_OFFSET_NS,
+    )
+
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    samples_ds = extract_dataset(
+        ds, IOT_OPTIONS, concurrency=2, fallback_now_ns=BASE_TS_NS
+    )
+    ladder = rollup_ladder(samples_ds, tiers=("1m", "1w")).to_pandas()
+    week = ladder[ladder["tier"] == "1w"]
+    assert len(week) > 0
+    for w in week["window_start"]:
+        pyw = w.to_pydatetime()
+        assert pyw.weekday() == 0, f"{w} is not a Monday"
+        assert pyw.time() == dt.time(0, 0)
+    # every sample's ts lands inside its week window
+    gap = week["last_ts"].astype("int64") - week["window_start"].astype("int64")
+    assert ((gap >= 0) & (gap < WINDOW_NS["1w"])).all()
+    # the offset itself is a whole number of 1d windows (cascade nesting)
+    assert WINDOW_OFFSET_NS["1w"] % WINDOW_NS["1d"] == 0
+
+    stage = ExtractSamplesStage(IOT_OPTIONS, fallback_now_ns=BASE_TS_NS)
+    expected = rollup_oracle(stage(corpus), tiers=("1m", "1w"))
+    got = ladder.sort_values(["tier", "series_key", "window_start"],
+                             ignore_index=True)
+    pd.testing.assert_frame_equal(got, expected, check_exact=True)
