@@ -1301,3 +1301,138 @@ register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-language length/word-count correlation (corpus health metric)
+# ---------------------------------------------------------------------------
+
+def lang_len_corr(docs_ds):
+    """Pearson correlation of ``n_chars`` vs whitespace word count per
+    language — the data-card "does length track tokens" check.
+
+    Scale shape: the per-block combiner reduces every block to one
+    moment-sums row per language (n, Σx, Σy, Σxy, Σx², Σy² — all
+    mergeable), so the only exchange is a ~|langs|-row native groupby;
+    the correlation closes from the merged sums
+    (r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)), identical
+    to SQL's sample ``corr`` — the n−1 factors cancel), rounded to 6.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _, offsets, _ = _words_and_offsets(batch.column("text"))
+        y = np.diff(offsets).astype(np.float64)
+        x = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        g = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "n": 1.0, "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x, "syy": y * y,
+        }).groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = docs_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lang").aggregate(
+        Sum("n"), Sum("sx"), Sum("sy"), Sum("sxy"), Sum("sxx"), Sum("syy")
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        sx = batch.column("sum(sx)").to_numpy(zero_copy_only=False)
+        sy = batch.column("sum(sy)").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sum(sxy)").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sum(sxx)").to_numpy(zero_copy_only=False)
+        syy = batch.column("sum(syy)").to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = np.divide(num, den, out=np.full_like(num, np.nan),
+                      where=den > 0)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            "corr_len_words": pa.array(round_half_away(r, 6), pa.float64()),
+        })
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_lang_len_corr(sf_dir: str):
+    return lang_len_corr(_read_documents(sf_dir,
+                                         ["lang", "text", "n_chars"]))
+
+
+register(
+    "doc_lang_len_corr",
+    _q_lang_len_corr,
+    f"""
+    WITH w AS (
+        SELECT lang, n_chars,
+               len(regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '{_WS}'))
+                   AS n_words
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(corr(n_chars, n_words), 6) AS corr_len_words
+    FROM w GROUP BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Corpus word-length histogram
+# ---------------------------------------------------------------------------
+
+def word_len_hist(docs_ds):
+    """Histogram of whitespace-word lengths across the whole corpus.
+
+    Scale shape: each block bincounts its own flat word-length array
+    (one Arrow split + utf8_length, no Python per word), so the exchange
+    carries at most |distinct lengths| rows per block into a tiny native
+    ``groupby(word_len).sum``."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _words_and_offsets(batch.column("text"))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        counts = np.bincount(lens)
+        wl = np.flatnonzero(counts)
+        return pa.table({
+            "word_len": pa.array(wl.astype(np.int64), pa.int64()),
+            "n_words": pa.array(counts[wl].astype(np.int64), pa.int64()),
+        })
+
+    agg = docs_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("word_len").sum("n_words")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "word_len": batch.column("word_len"),
+            "n_words": batch.column("sum(n_words)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q_word_len_hist(sf_dir: str):
+    return word_len_hist(_read_documents(sf_dir, ["text"]))
+
+
+register(
+    "doc_word_len_hist",
+    _q_word_len_hist,
+    f"""
+    SELECT len(w) AS word_len, CAST(count(*) AS BIGINT) AS n_words
+    FROM (
+        SELECT unnest(regexp_split_to_array(
+            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '{_WS}')) AS w
+        FROM documents
+    )
+    GROUP BY len(w)
+    """,
+)
