@@ -220,6 +220,73 @@ def dup_rate_by_source(docs_ds):
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact per-language document-length deciles (histogram closure)
+# ---------------------------------------------------------------------------
+
+DECILES = tuple(p / 10 for p in range(1, 10))
+
+
+def lang_len_deciles(docs_ds):
+    """Exact ``quantile_disc`` deciles of ``n_chars`` per language.
+
+    Scale shape: unlike ``sketches.group_percentiles`` (which ships every
+    row of a group to one task), this exploits the bounded integer domain
+    of ``n_chars``: each block collapses to (lang, n_chars) -> count
+    partials, so the ONLY exchange carries at most
+    |langs| x |distinct lengths| histogram rows; the per-lang closure
+    reads cumulative counts off the merged histogram.  Discrete-quantile
+    rank ``ceil(n*p)-1`` matches DuckDB ``quantile_disc`` (same pick as
+    ``sketches.group_percentiles``).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({
+                "lang": batch.column("lang").to_pandas(),
+                "n_chars": batch.column("n_chars").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+            })
+            .groupby(["lang", "n_chars"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _close(df: pd.DataFrame) -> pd.DataFrame:
+        hist = df.groupby("n_chars", sort=True)["n"].sum()
+        values = hist.index.to_numpy()
+        cum = hist.to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"lang": [df["lang"].iloc[0]], "n_docs": np.int64(n)}
+        for p in DECILES:
+            rank = max(int(np.ceil(n * p)) - 1, 0)
+            row[f"p{int(p * 100)}"] = np.int64(
+                values[np.searchsorted(cum, rank + 1, side="left")])
+        return pd.DataFrame(row)
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(_close, batch_format="pandas")
+    )
+
+
+register(
+    "doc_lang_len_deciles",
+    lambda sf: lang_len_deciles(_read(sf, "documents", ["lang", "n_chars"])),
+    f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           {', '.join(f"CAST(quantile_disc(n_chars, {p:.1f}) AS BIGINT)"
+                      f" AS p{int(p * 100)}" for p in DECILES)}
+    FROM documents GROUP BY lang
+    """,
+)
+
+
 register(
     "doc_dup_rate_by_source",
     lambda sf: dup_rate_by_source(
