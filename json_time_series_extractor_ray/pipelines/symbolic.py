@@ -287,3 +287,129 @@ def _q_crossings(sf_dir: str):
 
 
 register("events_threshold_crossings", _q_crossings, _crossings_sql(50.0))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint alarms (Page 1954) over the rollup ladder
+# ---------------------------------------------------------------------------
+
+#: Standard one-sided CUSUM tuning: drift allowance k = 0.5 sigma,
+#: decision interval h = 4 sigma (both in z-units after normalization).
+CUSUM_K = 0.5
+CUSUM_H = 4.0
+
+
+def cusum_alarms(rollup_ds, *, tier: str = "1h", k: float = CUSUM_K,
+                 h: float = CUSUM_H):
+    """Per (series, window): the upper one-sided CUSUM statistic over the
+    series' z-normalized window means, and an alarm flag where it exceeds
+    the decision interval ``h`` — the classic sequential changepoint
+    detector (Page 1954), complementing the pointwise z-score and Poisson
+    burst detectors.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + (z_t - k))`` is not
+    directly SQL-expressible, but the reflection identity
+    ``S_t = C_t - min(0, min_{j<=t} C_j)`` with ``C = cumsum(z - k)`` is —
+    two running windows — so the operator gets a full value-hash oracle.
+    Both engines evaluate the identity (never the recursion) over
+    identical round-6 z-scores with sequential left-to-right accumulation
+    (``np.cumsum`` / DuckDB running ``sum() OVER``), so every
+    intermediate double matches bit-for-bit (the ``events_cumsum_1m``
+    parity contract).
+
+    Scale shape: identical to SAX — consumes tier windows (thousands of
+    rows per series, never raw samples), ONE ``series_key`` groupby, a
+    vectorized numpy kernel per group.  Series with < 2 windows or zero
+    variance are skipped (no defined z), mirroring ``sax_symbols``.
+    """
+
+    def _cusum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = round_half_away(
+            df["sum_r"].to_numpy() / df["count"].to_numpy(), 6
+        )
+        n = len(m)
+        s = round_half_away(m.sum(), 6)
+        ss = round_half_away((m * m).sum(), 6)
+        if n < 2 or (ss - s * s / n) / (n - 1) <= 0:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "window_ns": pd.Series([], dtype=np.int64),
+                "z": pd.Series([], dtype=np.float64),
+                "cusum": pd.Series([], dtype=np.float64),
+                "is_alarm": pd.Series([], dtype=bool),
+            })
+        var = (ss - s * s / n) / (n - 1)
+        z = round_half_away((m - s / n) / np.sqrt(var), 6)
+        c = np.cumsum(z - k)
+        cmin = np.minimum.accumulate(c)
+        stat = round_half_away(c - np.minimum(cmin, 0.0), 6)
+        return pd.DataFrame({
+            "series_key": df["series_key"],
+            "window_ns": df["window_ns"].astype(np.int64),
+            "z": z,
+            "cusum": stat,
+            "is_alarm": stat > h,
+        })
+
+    return (
+        rollup_ds.map_batches(_tier_partial(tier), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_cusum, batch_format="pandas")
+    )
+
+
+def _cusum_sql(k: float, h: float) -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=HOUR_NS)
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS paa_mean
+        FROM rollup_
+    ),
+    st AS (
+        SELECT series_key,
+               round(sum(paa_mean), 6) AS s,
+               round(sum(paa_mean * paa_mean), 6) AS ss,
+               count(*) AS n
+        FROM m GROUP BY series_key
+    ),
+    z AS (
+        SELECT m.series_key, window_ns,
+               round((paa_mean - s / n) / sqrt((ss - s * s / n) / (n - 1)),
+                     6) AS z
+        FROM m JOIN st USING (series_key)
+        WHERE n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+    ),
+    c AS (
+        SELECT series_key, window_ns, z,
+               sum(z - {k}) OVER (
+                   PARTITION BY series_key ORDER BY window_ns
+                   ROWS UNBOUNDED PRECEDING
+               ) AS c
+        FROM z
+    ),
+    s2 AS (
+        SELECT series_key, window_ns, z, c,
+               min(c) OVER (
+                   PARTITION BY series_key ORDER BY window_ns
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cmin
+        FROM c
+    )
+    SELECT series_key, window_ns, z,
+           round(c - least(cmin, 0), 6) AS cusum,
+           round(c - least(cmin, 0), 6) > {h} AS is_alarm
+    FROM s2
+    """
+
+
+register(
+    "events_cusum_1h",
+    lambda sf: cusum_alarms(_q_rollup_1h(sf)),
+    _cusum_sql(CUSUM_K, CUSUM_H),
+)

@@ -819,3 +819,117 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+COVERAGE_DUR_NS = 5 * 60 * 10**9  # each event opens a 5-minute interval
+
+
+def interval_coverage(events_ds, *, dur_ns: int = COVERAGE_DUR_NS):
+    """Per user: the total time covered by the UNION of the half-open
+    activity intervals ``[ts, ts + dur_ns)`` opened by their events, and
+    the number of disjoint islands that union collapses into — the
+    classic gaps-and-islands interval-union measure (total active time
+    under an activity-timeout model; sessionize's duration-weighted
+    twin).
+
+    Entirely int64 arithmetic — no float-parity surface.  An island
+    starts where an event's start exceeds the running max of all earlier
+    interval ends; a new interval's end always exceeds a starting gap's
+    running max, so one ``np.maximum.accumulate`` pass yields island
+    boundaries and per-island ends in O(n log n) per user (the sort).
+
+    Scale shape: projects to two int64 columns at the read, ONE
+    ``user_id`` groupby; per-group work is a vectorized numpy pass over
+    that user's events (the sessionize partitioning contract — per-user
+    history is bounded; a hot user composes with the time-bucketed
+    co-partition + 1-row carry of the as-of family if ever needed).
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_ns": batch.column("ts").cast(pa.timestamp("ns")).cast(
+                pa.int64()),
+        })
+
+    def _cover(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(df["ts_ns"].to_numpy())
+        e = s + dur_ns
+        cmax = np.maximum.accumulate(e)
+        is_start = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            is_start[1:] = s[1:] > cmax[:-1]
+        starts = s[is_start]
+        last_idx = np.flatnonzero(np.r_[is_start[1:], True])
+        ends = cmax[last_idx]
+        return pd.DataFrame({
+            "user_id": np.array([df["user_id"].iloc[0]], np.int64),
+            "n_events": np.array([len(s)], np.int64),
+            "n_islands": np.array([len(starts)], np.int64),
+            "covered_ns": np.array([(ends - starts).sum()], np.int64),
+        })
+
+    return (
+        events_ds.map_batches(_project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_cover, batch_format="pandas")
+    )
+
+
+def _q_interval_coverage(sf_dir: str):
+    import ray
+
+    return interval_coverage(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
+register(
+    "events_interval_coverage",
+    _q_interval_coverage,
+    # Ties in s share an identical end (s + const), so the 1-PRECEDING
+    # running max and the island count are order-invariant among ties.
+    f"""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + {COVERAGE_DUR_NS} AS e
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, s, e,
+               max(e) OVER (
+                   PARTITION BY user_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM e
+    ),
+    fl AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                   AS is_start
+        FROM o
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY s
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM fl
+    ),
+    agg AS (
+        SELECT user_id, island, min(s) AS st, max(e) AS en,
+               count(*) AS ne
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(ne) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(en - st) AS BIGINT) AS covered_ns
+    FROM agg GROUP BY user_id
+    """,
+)
