@@ -1190,3 +1190,126 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local supplier volume (same-nation customer+supplier)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5: revenue from lineitems where the ordering customer and
+    the supplying supplier share a nation inside one region, over a
+    one-year order window.
+
+    Scale shape — filters travel to the cheapest place first:
+
+    * region/nation predicates prune ``customer`` and ``supplier`` AT THE
+      READ (isin row filter, row-group pruning); the date range prunes
+      ``orders`` the same way;
+    * the join tree then runs narrowest-first: lineitem ⋈ filtered
+      orders (orderkey shuffle — drops out-of-window lineitems before
+      anything else moves), ⋈ filtered customer (custkey), ⋈ filtered
+      supplier (suppkey);
+    * the same-nation constraint is a vectorized post-join filter, and
+      nation names attach via a 5-row broadcast lookup — never a
+      shuffle.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .enrich import broadcast_join
+    from .joins import shuffle_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in region.to_pylist()}[
+        Q5_REGION]
+    names = {r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
+             if r["n_regionkey"] == rkey}
+    nkeys = sorted(names)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nkeys),
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(nkeys),
+    )
+    import datetime as _dt
+    lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "rev": rev})
+
+    li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey")
+    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("c_nationkey"),
+                                     batch.column("s_nationkey")))
+
+    j3 = j3.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+    j4 = broadcast_join(j3, names, key="s_nationkey", value_name="n_name")
+    agg = j4.groupby("n_name").aggregate(Count(), Sum("rev"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "n_items": batch.column("count()").cast(pa.int64()),
+            "revenue": pa.array(
+                round_half_away(
+                    batch.column("sum(rev)").to_numpy(zero_copy_only=False),
+                    2),
+                pa.float64()),
+        })
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+register(
+    "local_supplier_volume",
+    _q_local_supplier_volume,
+    f"""
+    SELECT n.n_name AS n_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= DATE '{Q5_DATE_LO}'
+      AND o.o_orderdate < DATE '{Q5_DATE_HI}'
+    GROUP BY n.n_name
+    """,
+)

@@ -597,3 +597,126 @@ register(
     ) <= {TOP_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote classification (embedding-quality probe)
+# ---------------------------------------------------------------------------
+
+#: vec_id < KNN_TEST_N are held-out test queries; the rest are the train set.
+KNN_TEST_N = 64
+KNN_K = 5
+
+
+class PartialKnnStage(PartialTopKStage):
+    """One corpus batch -> per-query partial top-k rows over TRAIN vectors
+    only (``vec_id >= min_train_id``), carrying each neighbor's label so
+    the merge step can vote.  Same shuffle bound as ``PartialTopKStage``:
+    O(batches x queries x k) rows, never the corpus."""
+
+    def __init__(self, query_ids, query_matrix, k: int, min_train_id: int):
+        super().__init__(query_ids, query_matrix, k)
+        self.min_train_id = min_train_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        En = _normalize(batch.column("embedding").to_pylist())
+        train = ids >= self.min_train_id
+        ids, labels, En = ids[train], labels[train], En[train]
+        if len(ids) == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "nlabel": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
+        S = self.Q @ En.T
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            k = min(self.k, len(ids))
+            top = np.lexsort((ids, -S[qi]))[:k]
+            out_q.extend([qid] * k)
+            out_n.extend(ids[top])
+            out_l.extend(labels[top])
+            out_s.extend(S[qi][top])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "nlabel": pa.array(out_l, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_label_vote(emb_ds, query_ids, query_labels, query_matrix,
+                   *, k: int = KNN_K, min_train_id: int = KNN_TEST_N):
+    """Classify each held-out query by majority label among its k nearest
+    train vectors (cosine) — the standard embedding-quality probe.  Ties:
+    top-k boundary by (sim desc, vec_id asc); vote by (count desc, label
+    asc).  Returns one row per query: predicted vs true label."""
+    true_label = {int(q): int(l) for q, l in zip(query_ids, query_labels)}
+
+    def _vote(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        counts = df["nlabel"].value_counts()
+        n_votes = int(counts.max())
+        pred = int(counts[counts == n_votes].index.min())
+        qid = int(df["query_id"].iloc[0])
+        tl = true_label[qid]
+        return pd.DataFrame({
+            "query_id": np.array([qid], np.int64),
+            "true_label": np.array([tl], np.int64),
+            "pred_label": np.array([pred], np.int64),
+            "n_votes": np.array([n_votes], np.int64),
+            "correct": np.array([pred == tl], bool),
+        })
+
+    partials = emb_ds.map_batches(
+        PartialKnnStage(query_ids, query_matrix, k, min_train_id),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby("query_id").map_groups(
+        _vote, batch_format="pandas")
+
+
+def _q_knn_vote(sf_dir: str):
+    qids, qlabels, Q = _load_query_matrix(sf_dir, KNN_TEST_N,
+                                          with_labels=True)
+    return knn_label_vote(_read_embeddings(sf_dir), qids, qlabels, Q)
+
+
+register(
+    "knn_label_vote",
+    _q_knn_vote,
+    f"""
+    WITH knn AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               e.label AS nlabel
+        FROM embeddings q
+        JOIN embeddings e ON e.vec_id >= {KNN_TEST_N}
+        WHERE q.vec_id < {KNN_TEST_N}
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+                CAST(q.embedding AS DOUBLE[]),
+                CAST(e.embedding AS DOUBLE[])) DESC,
+                e.vec_id
+        ) <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, nlabel, count(*) AS n_votes
+        FROM knn GROUP BY 1, 2, 3
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(nlabel AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           nlabel = true_label AS correct
+    FROM votes
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, nlabel
+    ) = 1
+    """,
+)

@@ -119,6 +119,12 @@ SUBSET = [
     "nation_monthly_orders",
     # calendar-aligned (Monday) weekly tier via window offsets
     "events_rollup_1w",
+    # CUSUM changepoint alarms + interval-union coverage
+    "events_cusum_1h",
+    "events_interval_coverage",
+    # kNN label vote + TPC-H Q5 local supplier volume
+    "knn_label_vote",
+    "local_supplier_volume",
 ]
 
 
