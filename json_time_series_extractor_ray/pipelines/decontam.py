@@ -193,3 +193,92 @@ register(
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring decontamination (signature containment)
+# ---------------------------------------------------------------------------
+
+#: Leading-prefix signature width for the substring variant.
+SIG_LEN = 40
+
+
+def substring_contamination(docs_ds_fn, *, sig_len: int = SIG_LEN,
+                            modulus: int = BENCH_MODULUS,
+                            max_sigs: int = 1_000_000):
+    """Corpus documents that CONTAIN any benchmark document's leading
+    ``sig_len``-character signature — the exact-substring twin of the
+    n-gram overlap check (catches verbatim eval leakage that word
+    tokenization can miss: punctuation-fused copies, partial-line
+    quotes).
+
+    Scale shape: the benchmark side is tiny by definition — signatures
+    are collected once driver-side under a ``max_sigs`` guard and
+    broadcast into one streaming corpus scan; no join shuffle.  The scan
+    is vectorized per signature (pandas ``str.contains`` over the whole
+    block); signature count is bounded, so the per-block cost is
+    O(sigs x block bytes) — at real scale you'd compile the signature
+    set into one Aho-Corasick automaton per worker (library not in this
+    container), which changes the constant, not the shape.  Emits one
+    row per document (n_sigs = 0 for clean or benchmark rows) so the
+    result schema is stable even when nothing is contaminated.
+    """
+
+    def _sigs(batch: pa.Table) -> pa.Table:
+        keep = _bench_mask(batch.column("doc_id"))
+        t = batch.filter(pa.array(keep))
+        txt = t.column("text").to_pandas()
+        sig = txt.str[:sig_len]
+        ok = txt.str.len() >= sig_len
+        return pa.table({"sig": pa.array(sig[ok], pa.string())})
+
+    sig_rows = docs_ds_fn().map_batches(
+        _sigs, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all(limit=max_sigs)
+    sigs = sorted({r["sig"] for r in sig_rows})
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        corpus = ~_bench_mask(batch.column("doc_id"))
+        txt = batch.column("text").to_pandas()
+        n_hits = np.zeros(len(txt), dtype=np.int64)
+        for s in sigs:
+            n_hits += txt.str.contains(s, regex=False).to_numpy()
+        n_hits[~corpus] = 0
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_sigs": pa.array(n_hits, pa.int64()),
+            "is_contaminated": pa.array(n_hits > 0, pa.bool_()),
+            "is_benchmark": pa.array(~corpus, pa.bool_()),
+        })
+
+    return docs_ds_fn().map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+register(
+    "doc_substring_decontam",
+    lambda sf: substring_contamination(
+        lambda: _read_documents(sf, ["doc_id", "text"])
+    ),
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT substr(text, 1, {SIG_LEN}) AS sig
+        FROM documents
+        WHERE doc_id % {BENCH_MODULUS} = 0 AND len(text) >= {SIG_LEN}
+    ),
+    hits AS (
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_sigs
+        FROM documents d
+        JOIN bench b ON contains(d.text, b.sig)
+        WHERE d.doc_id % {BENCH_MODULUS} <> 0
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_sigs, 0) AS n_sigs,
+           COALESCE(h.n_sigs, 0) > 0 AS is_contaminated,
+           d.doc_id % {BENCH_MODULUS} = 0 AS is_benchmark
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)

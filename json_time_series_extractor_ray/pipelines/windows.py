@@ -933,3 +933,182 @@ register(
     FROM agg GROUP BY user_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (robust smoother) over the 1m tier
+# ---------------------------------------------------------------------------
+
+def moving_median_tier(rollup_ds, *, tier: str = "1m", width: int = 9):
+    """Row-based rolling MEDIAN of the window means per series — the
+    robust (outlier-immune) twin of ``moving_average_tier``, the standard
+    despiking filter before trend fitting.
+
+    Parity: both engines take the median over IDENTICAL round-6 window
+    means; even-sized warm-up frames interpolate as the mean of the two
+    middle values in both (pandas ``rolling().median()`` / DuckDB
+    continuous ``median() OVER``), which is identical IEEE arithmetic on
+    identical doubles.  Scale shape: tier rows only (never raw samples),
+    ONE ``series_key`` groupby, vectorized pandas rolling kernel.
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        sums = round_half_away(
+            t.column("sum").to_numpy(zero_copy_only=False), 6)
+        counts = t.column("count").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "window_ns": t.column("window_start").cast(pa.int64()),
+            "m": pa.array(round_half_away(sums / counts, 6), pa.float64()),
+        })
+
+    def _mmed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        med = df["m"].rolling(width, min_periods=1).median().to_numpy()
+        return pd.DataFrame({
+            "series_key": df["series_key"],
+            "window_ns": df["window_ns"].astype(np.int64),
+            "window_mean": df["m"],
+            "mov_median": round_half_away(med, 6),
+        })
+
+    partial = rollup_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return partial.groupby("series_key").map_groups(_mmed,
+                                                    batch_format="pandas")
+
+
+def _q_mmed(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return moving_median_tier(extract_and_rollup(corpus, tiers=("1m",)))
+
+
+def _mmed_sql(width: int = 9) -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    return f"""
+    WITH {ctes},
+    r AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS m
+        FROM rollup_
+    )
+    SELECT series_key, window_ns, m AS window_mean,
+           round(median(m) OVER w, 6) AS mov_median
+    FROM r
+    WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                 ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)
+    """
+
+
+register("events_moving_median_1m", _q_mmed, _mmed_sql())
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern mining: top-k event-type trigrams per member stream
+# ---------------------------------------------------------------------------
+
+TRIGRAM_TOP_K = 30
+
+
+def sequence_trigrams(ds, *, member: str, ts: str, state_col: str,
+                      order_col: str, num_shards: int = 64,
+                      top_k: int = TRIGRAM_TOP_K):
+    """Top-k consecutive state TRIGRAMS across all member streams — the
+    order-3 sequence-mining extension of :func:`transition_counts`
+    (funnel discovery: which 3-step behaviour chains dominate).
+
+    Scale shape: the same ONE hash-shard groupby as the transition
+    matrix (a member's rows land in one shard by construction, so no
+    trigram crosses tasks); shard-local trigram counts are bounded by
+    ``num_shards x states^3`` rows, the final groupby and the top-k sort
+    run over that tiny relation only.  Null states are dropped before
+    pairing on both engines.
+    """
+    _project = _member_shard_project(member, ts, state_col, order_col,
+                                     num_shards)
+    import pyarrow.compute as pc
+
+    def _drop_null_state(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("s")))
+
+    def _tris(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["m", "t", "o"], kind="stable",
+                            ignore_index=True)
+        m = df["m"].to_numpy()
+        s = df["s"].to_numpy()
+        if len(m) < 3:
+            return pd.DataFrame({
+                "t1": pd.Series([], dtype=object),
+                "t2": pd.Series([], dtype=object),
+                "t3": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        same = (m[2:] == m[1:-1]) & (m[1:-1] == m[:-2])
+        tri = pd.DataFrame({"t1": s[:-2][same], "t2": s[1:-1][same],
+                            "t3": s[2:][same]})
+        g = tri.groupby(["t1", "t2", "t3"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t1": [df["t1"].iloc[0]],
+            "t2": [df["t2"].iloc[0]],
+            "t3": [df["t3"].iloc[0]],
+            "n": pd.Series([int(df["n"].sum())], dtype="int64"),
+        })
+
+    counts = ds.map_batches(_project, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(_drop_null_state, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("__shard").map_groups(_tris, batch_format="pandas") \
+        .groupby(["t1", "t2", "t3"]).map_groups(_sum, batch_format="pandas")
+    # final relation is at most states^3 rows — the sort is trivial, and
+    # the (n desc, lexicographic) tie-break keeps the k boundary stable
+    return counts.sort(["n", "t1", "t2", "t3"],
+                       descending=[True, False, False, False]).limit(top_k)
+
+
+def _q_trigrams(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return sequence_trigrams(ds, member="user_id", ts="ts",
+                             state_col="event_type", order_col="event_id")
+
+
+register(
+    "events_type_trigrams",
+    _q_trigrams,
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    o AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, count(*) AS n
+    FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {TRIGRAM_TOP_K}
+    """,
+)

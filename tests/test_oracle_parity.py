@@ -125,6 +125,10 @@ SUBSET = [
     # kNN label vote + TPC-H Q5 local supplier volume
     "knn_label_vote",
     "local_supplier_volume",
+    # rolling median, trigram sequence mining, substring decontam
+    "events_moving_median_1m",
+    "events_type_trigrams",
+    "doc_substring_decontam",
 ]
 
 
