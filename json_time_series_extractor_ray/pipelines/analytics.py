@@ -1070,3 +1070,80 @@ def _register_analytics4() -> None:
 
 
 _register_analytics4()
+
+
+# ---------------------------------------------------------------------------
+# Per-(series, day) percent rank — row-level window-function coverage
+# ---------------------------------------------------------------------------
+
+_PR_DAY_NS = 86_400_000_000_000
+
+
+def percent_rank_daily(samples_fn, *, day_ns: int = _PR_DAY_NS):
+    """Every numeric sample annotated with its percent rank among the
+    SAME series' samples of the SAME calendar day — SQL
+    ``percent_rank() OVER (PARTITION BY series_key, day ORDER BY
+    value_num)``: ``(rank_min - 1) / (n - 1)``, 0 for singleton days,
+    ties sharing the min rank.
+
+    The day scoping is the scale contract: a whole-series rank would put
+    one series' entire history in one group task (unbounded), while
+    (series, day) groups are bounded by a day's sample volume — the same
+    co-partition the rollup ladder uses.  ONE groupby; the per-group
+    kernel is a vectorized pandas rank.  Rank ratios are exact small-int
+    divisions, round-6 on both engines.
+    """
+
+    def _add_day(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts_ns").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "day", pa.array(ts // day_ns, pa.int64()))
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        r = df["value_num"].rank(method="min").to_numpy()
+        pct = (r - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+        return pd.DataFrame({
+            "series_key": df["series_key"],
+            "ts_ns": df["ts_ns"].astype(np.int64),
+            "doc_id": df["doc_id"],
+            "ordinal": df["ordinal"].astype(np.int64),
+            "value_num": df["value_num"],
+            "pct_rank": round_half_away(pct, 6),
+        })
+
+    return (
+        samples_fn().map_batches(_numeric, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        .map_batches(_add_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["series_key", "day"])
+        .map_groups(_rank, batch_format="pandas")
+    )
+
+
+def _q_percent_rank(sf_dir: str):
+    return percent_rank_daily(lambda: _events_samples(sf_dir))
+
+
+def _percent_rank_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH num AS ({EVENTS_NUMERIC_SQL})
+    SELECT series_key, ts_ns, doc_id, ordinal, value_num,
+           round(percent_rank() OVER (
+               PARTITION BY series_key, ts_ns // {_PR_DAY_NS}
+               ORDER BY value_num
+           ), 6) AS pct_rank
+    FROM num
+    """
+
+
+def _register_percent_rank() -> None:
+    from .registry import register
+
+    register("events_percent_rank_1d", _q_percent_rank,
+             _percent_rank_sql())
+
+
+_register_percent_rank()

@@ -107,3 +107,38 @@ class TestIntervalCoverage:
         for t in ts:
             covered.update(range(t, t + 5))
         assert out["covered_ns"].iloc[0] == len(covered) * MIN_NS
+
+
+from json_time_series_extractor_ray.pipelines.windows import (  # noqa: E402
+    sequence_trigrams,
+)
+
+
+class TestSequenceTrigrams:
+    def _events(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * MIN_NS for r in rows],
+                           pa.timestamp("ns")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        }))
+
+    def test_no_trigram_crosses_members(self):
+        # user 1: a,b | user 2: c,d -> zero trigrams even though the
+        # interleaved stream has 4 consecutive rows
+        ds = self._events([(1, 0, "a"), (1, 1, "b"),
+                           (2, 2, "c"), (2, 3, "d")])
+        assert len(sequence_trigrams(
+            ds, member="user_id", ts="ts", state_col="event_type",
+            order_col="event_id").to_pandas()) == 0
+
+    def test_counts_and_ordering(self):
+        # user 1: a,b,a,b,a -> trigrams (a,b,a) x2, (b,a,b) x1
+        rows = [(1, i, t) for i, t in enumerate("ababa")]
+        out = sequence_trigrams(
+            self._events(rows), member="user_id", ts="ts",
+            state_col="event_type", order_col="event_id").to_pandas()
+        out = out.set_index(["t1", "t2", "t3"])
+        assert out.loc[("a", "b", "a"), "n"] == 2
+        assert out.loc[("b", "a", "b"), "n"] == 1

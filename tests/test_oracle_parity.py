@@ -129,6 +129,8 @@ SUBSET = [
     "events_moving_median_1m",
     "events_type_trigrams",
     "doc_substring_decontam",
+    # per-(series, day) percent rank
+    "events_percent_rank_1d",
 ]
 
 
