@@ -236,6 +236,14 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
             ("events_sax_1h", lambda: bench_query("events_sax_1h", sf_dir)),
             ("embedding_hard_negatives",
              lambda: bench_query("embedding_hard_negatives", sf_dir)),
+            ("events_cusum_1h",
+             lambda: bench_query("events_cusum_1h", sf_dir)),
+            ("events_interval_coverage",
+             lambda: bench_query("events_interval_coverage", sf_dir)),
+            ("knn_label_vote",
+             lambda: bench_query("knn_label_vote", sf_dir)),
+            ("local_supplier_volume",
+             lambda: bench_query("local_supplier_volume", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

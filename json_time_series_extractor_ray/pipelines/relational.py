@@ -526,6 +526,42 @@ register(
 )
 
 
+def _nation_rev_merge(joined_ds):
+    """Final (n_name, count, sum(rev)) aggregate in the shard-merge
+    shape: a per-block pandas combiner collapses each block to at most
+    |nations| partial rows, then one tiny ``groupby(n_name)`` merges the
+    partials.  Ray's native multi-aggregate groupby sorts every
+    post-join block into ~256 partitions — at small scale that barrier
+    alone cost 18 s on 80 surviving rows (measured); the combiner moves
+    O(blocks x nations) rows instead.  Revenue is round-2 (cents, ~200x
+    wider than cross-engine summation-order noise at sf0.1)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "n_name": batch.column("n_name").to_pandas(),
+            "rev": batch.column("rev").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("n_name", sort=False).agg(
+            n=("rev", "size"), s=("rev", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [df["n_name"].iloc[0]],
+            "n_items": pd.Series([int(df["n"].sum())], dtype="int64"),
+            "revenue": round_half_away(
+                np.array([df["s"].sum()]), 2),
+        })
+
+    return (
+        joined_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("n_name")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def _q_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-style join tree: lineitem ⋈ orders ⋈ customer (two bounded
     shuffle joins) ⋈ nation (broadcast) → 25-row aggregate.  Revenue is
@@ -533,7 +569,6 @@ def _q_revenue_by_nation(sf_dir: str):
     ~200x wider than cross-engine summation-order noise at sf0.1."""
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count, Sum
 
     from .enrich import broadcast_join
     from .joins import shuffle_join
@@ -567,21 +602,7 @@ def _q_revenue_by_nation(sf_dir: str):
                    nation.column("n_name").to_pylist()))
     j3 = broadcast_join(j2, lut, key="c_nationkey", value_name="n_name")
 
-    agg = j3.groupby("n_name").aggregate(Count(), Sum("rev"))
-
-    def _shape(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "n_name": batch.column("n_name"),
-            "n_items": batch.column("count()").cast(pa.int64()),
-            "revenue": pa.array(
-                round_half_away(
-                    batch.column("sum(rev)").to_numpy(zero_copy_only=False),
-                    2),
-                pa.float64()),
-        })
-
-    return agg.map_batches(_shape, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _nation_rev_merge(j3)
 
 
 register(
@@ -1223,7 +1244,6 @@ def _q_local_supplier_volume(sf_dir: str):
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Count, Sum
 
     from .enrich import broadcast_join
     from .joins import shuffle_join
@@ -1276,21 +1296,7 @@ def _q_local_supplier_volume(sf_dir: str):
 
     j3 = j3.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
     j4 = broadcast_join(j3, names, key="s_nationkey", value_name="n_name")
-    agg = j4.groupby("n_name").aggregate(Count(), Sum("rev"))
-
-    def _shape(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "n_name": batch.column("n_name"),
-            "n_items": batch.column("count()").cast(pa.int64()),
-            "revenue": pa.array(
-                round_half_away(
-                    batch.column("sum(rev)").to_numpy(zero_copy_only=False),
-                    2),
-                pa.float64()),
-        })
-
-    return agg.map_batches(_shape, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _nation_rev_merge(j4)
 
 
 register(
