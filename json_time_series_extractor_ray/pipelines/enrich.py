@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._util import round_half_away
 from .registry import register
 
 
@@ -245,5 +246,102 @@ register(
     UNION ALL
     (SELECT event_id, value, 'bottom' AS side
      FROM events ORDER BY value ASC, event_id LIMIT 50)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type entropy (behavioural diversity index)
+# ---------------------------------------------------------------------------
+
+def user_type_entropy(events_ds):
+    """Per user: Shannon entropy (bits) of their event-type mix, plus
+    event and distinct-type counts — the behavioural-diversity twin of
+    ``doc_char_entropy`` (0 = single-type bots, log2(|types|) = uniform
+    explorers).
+
+    Scale shape: a per-block ``(user, type, n)`` combiner bounds the
+    shuffle at block x users x types rows; ONE ``user_id`` groupby merges
+    the partials and computes the entropy over the summed counts (group
+    size = blocks x types, never raw events).  Probabilities are exact
+    int-over-int divisions in float64 and entropies round-6 — the
+    ``doc_char_entropy`` parity rule (cross-engine log2 noise is ~1 ulp,
+    far inside the rounding margin).
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("user_id")),
+            pc.is_valid(batch.column("event_type"))))
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "event_type": batch.column("event_type").to_pandas(),
+        })
+        g = df.groupby(["user_id", "event_type"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64), pa.int64()),
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def _entropy(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_types": pd.Series([], dtype=np.int64),
+                "type_entropy": pd.Series([], dtype=np.float64),
+            })
+        per_type = df.groupby("event_type", sort=False)["n"].sum()
+        tot = float(per_type.sum())
+        p = per_type.to_numpy(np.float64) / tot
+        ent = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame({
+            "user_id": np.array([df["user_id"].iloc[0]], np.int64),
+            "n_events": np.array([int(per_type.sum())], np.int64),
+            "n_types": np.array([len(per_type)], np.int64),
+            "type_entropy": round_half_away(np.array([ent]), 6),
+        })
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_entropy, batch_format="pandas")
+    )
+
+
+def _q_user_type_entropy(sf_dir: str):
+    import ray
+
+    return user_type_entropy(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]))
+
+
+register(
+    "events_user_type_entropy",
+    _q_user_type_entropy,
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT user_id, sum(n) AS tot, count(*) AS n_types
+        FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(t.tot AS BIGINT) AS n_events,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                      * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+               AS type_entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.tot, t.n_types
     """,
 )

@@ -142,3 +142,34 @@ class TestSequenceTrigrams:
         out = out.set_index(["t1", "t2", "t3"])
         assert out.loc[("a", "b", "a"), "n"] == 2
         assert out.loc[("b", "a", "b"), "n"] == 1
+
+
+from json_time_series_extractor_ray.pipelines.enrich import (  # noqa: E402
+    user_type_entropy,
+)
+
+
+class TestUserTypeEntropy:
+    def _events(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+        }))
+
+    def test_hand_computed(self):
+        # user 1: uniform over 2 types -> 1 bit; user 2: single type -> 0
+        ds = self._events([(1, "a"), (1, "b"), (2, "a"), (2, "a")])
+        out = user_type_entropy(ds).to_pandas().set_index("user_id")
+        assert out.loc[1, "type_entropy"] == 1.0
+        assert out.loc[1, "n_types"] == 2
+        assert out.loc[2, "type_entropy"] == 0.0
+        assert out.loc[2, "n_events"] == 2
+
+    def test_null_rows_dropped(self):
+        ds = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1, 1, None], pa.int64()),
+            "event_type": pa.array(["a", None, "b"], pa.string()),
+        }))
+        out = user_type_entropy(ds).to_pandas()
+        assert len(out) == 1
+        assert out["n_events"].iloc[0] == 1

@@ -131,6 +131,8 @@ SUBSET = [
     "doc_substring_decontam",
     # per-(series, day) percent rank
     "events_percent_rank_1d",
+    # behavioural diversity (per-user event-type entropy)
+    "events_user_type_entropy",
 ]
 
 
