@@ -720,3 +720,99 @@ register(
     ) = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (greedy rerank of the brute-force candidates)
+# ---------------------------------------------------------------------------
+
+MMR_CANDIDATES = 25
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(emb_ds, query_ids, query_matrix, *, k_candidates: int =
+               MMR_CANDIDATES, k: int = MMR_K, lam: float = MMR_LAMBDA):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): per
+    query, greedily pick ``k`` of the top-``k_candidates`` cosine
+    neighbours maximizing ``lam * sim(q, d) - (1 - lam) * max sim(d,
+    picked)`` — relevance minus redundancy, the standard diversification
+    rerank for retrieval-augmented pipelines.
+
+    Scale shape: stage 1 is the existing distributed partial-top-k merge
+    (shuffle carries O(batches x queries x k_candidates) rows); stage 2
+    fetches just the candidate VECTORS with one vectorized ``is_in``
+    filtered scan (candidates ≪ corpus, collected driver-side under
+    that bound) and runs the greedy loop over a (queries x candidates)
+    matrix — the loop is k x k_candidates tiny numpy steps, never
+    distributed work.  The greedy selection is iterative and therefore
+    has no SQL twin (rows-only driver check); determinism — ties by
+    smallest vec_id — and the diversification property are pytest-pinned.
+    """
+    import pyarrow.compute as pc
+
+    cands = brute_force_topk(emb_ds, query_ids, query_matrix,
+                             k=k_candidates).to_pandas()
+    cand_ids = np.unique(cands["neighbor_id"].to_numpy(np.int64))
+    id_set = pa.array(cand_ids.tolist(), pa.int64())
+
+    def _fetch(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("vec_id").cast(pa.int64()),
+                     value_set=id_set)
+        t = batch.filter(m)
+        return pa.table({"vec_id": t.column("vec_id").cast(pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    fetched = emb_ds.map_batches(_fetch, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    vec_of = {int(i): np.asarray(v, np.float64)
+              for i, v in zip(fetched["vec_id"], fetched["embedding"])}
+
+    out_q, out_n, out_rank, out_score = [], [], [], []
+    for qi, qid in enumerate(query_ids):
+        rows = cands[cands["query_id"] == int(qid)]
+        ids = rows["neighbor_id"].to_numpy(np.int64)
+        rel = rows["cosine"].to_numpy(np.float64)
+        if len(ids) == 0:
+            continue
+        V = np.stack([vec_of[int(i)] for i in ids])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms == 0, 1.0, norms)
+        S = Vn @ Vn.T  # candidate-candidate cosine
+        picked: list[int] = []
+        avail = np.ones(len(ids), dtype=bool)
+        for rank in range(min(k, len(ids))):
+            if picked:
+                red = S[:, picked].max(axis=1)
+            else:
+                red = np.zeros(len(ids))
+            score = lam * rel - (1.0 - lam) * red
+            score[~avail] = -np.inf
+            # deterministic: best score, ties by smallest neighbor id
+            best = np.lexsort((ids, -score))[0]
+            picked.append(best)
+            avail[best] = False
+            out_q.append(int(qid))
+            out_n.append(int(ids[best]))
+            out_rank.append(rank)
+            out_score.append(float(score[best]))
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "neighbor_id": pa.array(out_n, pa.int64()),
+        "mmr_rank": pa.array(out_rank, pa.int64()),
+        "mmr_score": pa.array(
+            [round(s, 6) for s in out_score], pa.float64()),
+    }))
+
+
+def _q_mmr(sf_dir: str):
+    qids, Q = _load_query_matrix(sf_dir, N_QUERIES)
+    return mmr_rerank(_read_embeddings(sf_dir), qids, Q)
+
+
+# rows-only: the greedy argmax loop is iterative (each pick depends on
+# all earlier picks) — not expressible as SQL over the same tables.
+# Determinism + the diversification property are pinned in pytest.
+register("ann_mmr_rerank", _q_mmr)
