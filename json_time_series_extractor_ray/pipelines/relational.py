@@ -1319,3 +1319,108 @@ register(
     GROUP BY n.n_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Spend inequality: per-nation Gini coefficient over customer spend
+# ---------------------------------------------------------------------------
+
+def customer_spend_gini(orders_ds, cust_ds):
+    """Per nation: the Gini coefficient of its customers' total order
+    spend — the standard inequality index (0 = equal spend, -> 1 = one
+    whale), computed with the exact sorted-rank formula
+    ``G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n`` over spends
+    sorted ascending (tied spends make the formula order-invariant).
+
+    Scale shape: a per-block (custkey, spend) combiner and one custkey
+    shard-merge build the per-customer relation (the ``customer_ltv``
+    shape); ONE shuffle join attaches the nation key; the final
+    ``nationkey`` groupby holds one nation's customers per task —
+    bounded at 1/|nations| of the customer table.  Spends are round-2
+    (cents); the rank sum's cross-engine float noise is ~1e-14 relative,
+    absorbed by the round-6 output.
+    """
+    from ._util import hash_shards
+    from .joins import shuffle_join
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "custkey": batch.column("o_custkey").to_numpy(
+                zero_copy_only=False),
+            "s": batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False),
+        })
+        g = df.groupby("custkey", sort=False)["s"].sum().reset_index()
+        g["shard"] = hash_shards(g["custkey"].to_numpy(), 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("custkey", sort=False)["s"].sum().reset_index()
+        return pd.DataFrame({
+            "custkey": g["custkey"].astype(np.int64),
+            "spend": round_half_away(g["s"].to_numpy(), 2),
+        })
+
+    spend = (
+        orders_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+    )
+    joined = shuffle_join(spend, cust_ds, on="custkey",
+                          right_on="c_custkey")
+
+    def _gini(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(df["spend"].to_numpy(np.float64))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        tot = x.sum()
+        g = 2.0 * (i * x).sum() / (n * tot) - (n + 1.0) / n
+        return pd.DataFrame({
+            "nationkey": np.array([df["c_nationkey"].iloc[0]], np.int64),
+            "n_customers": np.array([n], np.int64),
+            "total_spend": round_half_away(np.array([tot]), 2),
+            "gini": round_half_away(np.array([g]), 6),
+        })
+
+    return joined.groupby("c_nationkey").map_groups(
+        _gini, batch_format="pandas")
+
+
+def _q_spend_gini(sf_dir: str):
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    return customer_spend_gini(orders, cust)
+
+
+register(
+    "customer_spend_gini",
+    _q_spend_gini,
+    """
+    WITH spend AS (
+        SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS s
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT c.c_nationkey AS nationkey, s
+        FROM spend JOIN customer c ON custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT nationkey, s,
+               row_number() OVER (
+                   PARTITION BY nationkey ORDER BY s
+               ) AS i,
+               count(*) OVER (PARTITION BY nationkey) AS n
+        FROM j
+    )
+    SELECT nationkey,
+           CAST(n AS BIGINT) AS n_customers,
+           round(sum(s), 2) AS total_spend,
+           round(2 * sum(i * s) / (n * sum(s)) - (n + 1.0) / n, 6) AS gini
+    FROM r
+    GROUP BY nationkey, n
+    """,
+)

@@ -133,6 +133,8 @@ SUBSET = [
     "events_percent_rank_1d",
     # behavioural diversity (per-user event-type entropy)
     "events_user_type_entropy",
+    # spend inequality (per-nation Gini over customer spend)
+    "customer_spend_gini",
 ]
 
 
