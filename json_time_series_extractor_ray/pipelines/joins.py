@@ -35,21 +35,60 @@ DEFAULT_SHARDS = 64
 from ._util import hash_shards as _hash_shards  # shared shard-hash rule
 
 
+def parquet_schema(path: str, columns: list[str]) -> pa.Schema:
+    """Projected Arrow schema of a parquet file from footer metadata
+    only — the static-schema feed for ``shuffle_join(left_schema=...)``
+    (no read, no Dataset execution)."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(path)
+    return pa.schema([(c, full.field(c).type) for c in columns])
+
+
+def join_output_schema(left_schema: pa.Schema, right_schema: pa.Schema, *,
+                       on: str, right_on: str | None = None,
+                       how: str = "inner") -> pa.Schema:
+    """The Arrow schema ``shuffle_join`` emits for these inputs: left
+    columns, then the right's non-key columns (semi/anti: left only).
+    Lets callers chain joins by passing ``left_schema=`` statically —
+    see ``shuffle_join``'s schema note."""
+    right_key = right_on or on
+    fields = [(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    if how not in ("semi", "anti"):
+        fields += [(n, t) for n, t in
+                   zip(right_schema.names, right_schema.types)
+                   if n != right_key]
+    return pa.schema(fields)
+
+
 def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
-                 how: str = "inner", num_shards: int = DEFAULT_SHARDS):
+                 how: str = "inner", num_shards: int = DEFAULT_SHARDS,
+                 left_schema: pa.Schema | None = None,
+                 right_schema: pa.Schema | None = None):
     """Equi-join two Datasets on a key column; returns the left columns
     followed by the right's non-key columns (right key is dropped —
     it equals ``on``).  ``how`` is ``inner``, ``left``, ``semi``, or
     ``anti`` — the latter two return left columns only (existence
     filters, SQL ``WHERE [NOT] EXISTS``), shuffling just the right's
     KEY column (its payload never moves).
+
+    Schema note: when ``left_schema``/``right_schema`` are omitted they
+    come from ``ds.schema()``, which on a lazy input containing a
+    shuffle (e.g. a previous ``shuffle_join``) EXECUTES that upstream
+    shuffle before this join's plan even exists — chained joins then run
+    serially with no inter-stage pipelining.  Multi-join pipelines
+    should pass both schemas explicitly (parquet reads:
+    ``pq.read_schema`` metadata; prior joins: ``join_output_schema``)
+    so plan construction stays pure metadata.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
             f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
     right_key = right_on or on
-    left_schema = left_ds.schema()
-    right_schema = right_ds.schema()
+    if left_schema is None:
+        left_schema = left_ds.schema()
+    if right_schema is None:
+        right_schema = right_ds.schema()
     lcols = list(left_schema.names)
     rcols = ([] if how in ("semi", "anti")
              else [c for c in right_schema.names if c != right_key])
@@ -413,8 +452,15 @@ def _q_customer_order_counts(sf_dir: str):
 
     agg = agg.map_batches(_shape_agg, batch_format="pyarrow",
                           zero_copy_batch=True)
-    joined = shuffle_join(cust, agg, on="c_custkey",
-                          right_on="o_custkey", how="left")
+    # agg holds a groupby shuffle: declare its (static) schema so the
+    # join plan builds without executing the aggregate first.
+    joined = shuffle_join(
+        cust, agg, on="c_custkey", right_on="o_custkey", how="left",
+        left_schema=parquet_schema(f"{sf_dir}/customer.parquet",
+                                   ["c_custkey", "c_mktsegment"]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_open", pa.int64()),
+                                ("open_spend", pa.float64())]))
 
     def _fill(batch: pa.Table) -> pa.Table:
         # cross-engine sum order differs -> round the FINAL sum on both

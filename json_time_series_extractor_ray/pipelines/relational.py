@@ -571,7 +571,7 @@ def _q_revenue_by_nation(sf_dir: str):
     import ray
 
     from .enrich import broadcast_join
-    from .joins import shuffle_join
+    from .joins import join_output_schema, parquet_schema, shuffle_join
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -586,14 +586,33 @@ def _q_revenue_by_nation(sf_dir: str):
                          "rev": rev})
 
     li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    # Static schemas end-to-end: j1 feeds j2 as a lazy shuffle, so
+    # letting shuffle_join call j1.schema() would execute j1 before
+    # j2's plan exists (no inter-join pipelining).
+    li_schema = pa.schema([
+        ("l_orderkey",
+         parquet_schema(f"{sf_dir}/lineitem.parquet",
+                        ["l_orderkey"]).field("l_orderkey").type),
+        ("rev", pa.float64()),
+    ])
+    orders_schema = parquet_schema(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
+    cust_schema = parquet_schema(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"])
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      left_schema=li_schema, right_schema=orders_schema)
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey")
+    j2 = shuffle_join(
+        j1, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=join_output_schema(li_schema, orders_schema,
+                                       on="l_orderkey",
+                                       right_on="o_orderkey"),
+        right_schema=cust_schema)
 
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -1286,9 +1305,34 @@ def _q_local_supplier_volume(sf_dir: str):
                          "rev": rev})
 
     li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
-    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
-    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey")
-    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey")
+    # Static schemas: three chained shuffle joins would otherwise each
+    # execute their upstream shuffle at PLAN time via ds.schema().
+    from .joins import join_output_schema, parquet_schema
+
+    lp = f"{sf_dir}/lineitem.parquet"
+    li_schema = pa.schema([
+        ("l_orderkey", parquet_schema(lp, ["l_orderkey"])
+         .field("l_orderkey").type),
+        ("l_suppkey", parquet_schema(lp, ["l_suppkey"])
+         .field("l_suppkey").type),
+        ("rev", pa.float64()),
+    ])
+    orders_schema = parquet_schema(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
+    cust_schema = parquet_schema(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"])
+    supp_schema = parquet_schema(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"])
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      left_schema=li_schema, right_schema=orders_schema)
+    j1_schema = join_output_schema(li_schema, orders_schema,
+                                   on="l_orderkey", right_on="o_orderkey")
+    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                      left_schema=j1_schema, right_schema=cust_schema)
+    j2_schema = join_output_schema(j1_schema, cust_schema,
+                                   on="o_custkey", right_on="c_custkey")
+    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey",
+                      left_schema=j2_schema, right_schema=supp_schema)
 
     def _local(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("c_nationkey"),
@@ -1366,8 +1410,12 @@ def customer_spend_gini(orders_ds, cust_ds):
                               zero_copy_batch=True)
         .groupby("shard").map_groups(_merge, batch_format="pandas")
     )
-    joined = shuffle_join(spend, cust_ds, on="custkey",
-                          right_on="c_custkey")
+    # spend holds a shuffle: declare its schema so plan construction
+    # doesn't execute the shard-merge just to learn the column types.
+    joined = shuffle_join(
+        spend, cust_ds, on="custkey", right_on="c_custkey",
+        left_schema=pa.schema([("custkey", pa.int64()),
+                               ("spend", pa.float64())]))
 
     def _gini(df: pd.DataFrame) -> pd.DataFrame:
         x = np.sort(df["spend"].to_numpy(np.float64))
