@@ -1147,3 +1147,130 @@ def _register_percent_rank() -> None:
 
 
 _register_percent_rank()
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence PMI (market-basket association over time windows)
+# ---------------------------------------------------------------------------
+
+def type_cooccurrence_pmi(events_ds, *, window_ns: int = 3_600_000_000_000,
+                          num_shards: int = 64):
+    """Pointwise mutual information between event-type pairs that
+    co-occur inside the same (user, tumbling window) basket — the
+    standard association score `ln(P(a,b) / (P(a)P(b)))` over basket
+    incidence, positive when two behaviours cluster together.
+
+    Scale shape: each block collapses to its distinct
+    ``(user, window, type)`` triples (the only rows that shuffle — the
+    basket relation, bounded by users x windows x |types|, never raw
+    events); ONE hash-shard groupby on (user, window) makes triples
+    globally distinct and emits per-shard pair/single/basket COUNT
+    partials (each shard's output is <= |types|^2 + |types| + 1 tiny
+    rows); a single-group merge computes the PMI table (<= |types|^2
+    rows).  The per-basket pair expansion is a self-merge bounded by
+    |types| per basket (5 here -> <= 10 pairs).  PMI is a log of an
+    integer-count ratio evaluated by the identical expression on both
+    engines; round-6 absorbs libm ULP differences.
+    """
+    from ._util import hash_shards, round_half_away
+
+    def _triples(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id")
+            .to_numpy(zero_copy_only=False),
+            "w": t - (t % window_ns),
+            "event_type": batch.column("event_type").to_pandas(),
+        }).drop_duplicates()
+        mix = df["user_id"].to_numpy(np.int64) * np.int64(1_000_003) \
+            + df["w"].to_numpy(np.int64)
+        df["shard"] = hash_shards(mix, num_shards)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _shard_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "w", "event_type"])
+        nb = len(df[["user_id", "w"]].drop_duplicates())
+        singles = df.groupby("event_type", sort=False).size().reset_index(
+            name="c")
+        m = df.merge(df, on=["user_id", "w"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"], sort=False) \
+            .size().reset_index(name="c")
+        return pd.DataFrame({
+            "a": ([""] + singles["event_type"].tolist()
+                  + pairs["event_type_x"].tolist()),
+            "b": ([""] + [""] * len(singles)
+                  + pairs["event_type_y"].tolist()),
+            "c": np.concatenate([
+                np.array([nb], np.int64),
+                singles["c"].to_numpy(np.int64),
+                pairs["c"].to_numpy(np.int64),
+            ]),
+            "one": np.zeros(1 + len(singles) + len(pairs), np.int32),
+        })
+
+    def _pmi(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False)["c"].sum()
+        nb = float(g.loc[("", "")])
+        singles = {a: float(c) for (a, b), c in g.items()
+                   if b == "" and a != ""}
+        rows = [(a, b, int(c),
+                 np.log(float(c) * nb / (singles[a] * singles[b])))
+                for (a, b), c in g.items() if b != ""]
+        rows.sort()
+        return pd.DataFrame({
+            "type_a": [r[0] for r in rows],
+            "type_b": [r[1] for r in rows],
+            "n_pair": pd.Series([r[2] for r in rows], dtype="int64"),
+            "pmi": round_half_away(np.array([r[3] for r in rows]), 6),
+        })
+
+    return (
+        events_ds.map_batches(_triples, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_shard_counts, batch_format="pandas")
+        .groupby("one").map_groups(_pmi, batch_format="pandas")
+    )
+
+
+def _q_type_pmi(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"])
+    return type_cooccurrence_pmi(ds)
+
+
+from .registry import register as _register_pmi  # noqa: E402
+
+_register_pmi(
+    "events_type_pmi",
+    _q_type_pmi,
+    """
+    WITH b AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS w,
+               event_type
+        FROM events
+    ),
+    tot AS (SELECT count(*) AS nb
+            FROM (SELECT DISTINCT user_id, w FROM b)),
+    s AS (SELECT event_type, count(*) AS c FROM b GROUP BY 1),
+    p AS (
+        SELECT b1.event_type AS type_a, b2.event_type AS type_b,
+               count(*) AS n_pair
+        FROM b b1
+        JOIN b b2 ON b1.user_id = b2.user_id AND b1.w = b2.w
+                 AND b1.event_type < b2.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+           round(ln(CAST(p.n_pair AS DOUBLE) * tot.nb
+                    / (sa.c * sb.c)), 6) AS pmi
+    FROM p
+    CROSS JOIN tot
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+    """,
+)

@@ -1472,3 +1472,146 @@ register(
     GROUP BY nationkey, n
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume orders (HAVING-filtered semi join, top-n)
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 250.0
+Q18_TOP_N = 100
+Q18_MAX_QUALIFYING = 2_000_000  # broadcast guard (rows)
+
+
+def large_volume_orders(sf_dir: str, *, threshold: float = Q18_QTY_THRESHOLD,
+                        top_n: int = Q18_TOP_N):
+    """TPC-H Q18: the ``top_n`` orders whose total lineitem quantity
+    exceeds ``threshold``, with customer name attached — ordered by
+    (o_totalprice desc, o_orderkey asc).
+
+    Scale shape: lineitem collapses to per-block (orderkey, qty)
+    partials BEFORE any exchange, one orderkey shard-merge makes the
+    sums exact, and the HAVING filter runs inside that merge — so the
+    qualifying set (a tail of the order population; ~0.15% of orders at
+    this threshold) is what leaves the aggregate.  It is collected
+    driver-side under ``Q18_MAX_QUALIFYING`` (loud failure beyond) and
+    broadcast into the orders scan as a semi-join filter — lineitem and
+    orders never co-shuffle.  Customer names attach through ONE bounded
+    shuffle join (customer is large; the qualifying orders are the tiny
+    side of that exchange).  The final top-n is a per-block partial
+    top-k + single tiny merge — no global sort.  Quantity sums are
+    integer-valued doubles (exact), o_totalprice is data (no
+    arithmetic), so every output column hashes exactly.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ._util import hash_shards
+    from .joins import join_output_schema, parquet_schema, shuffle_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey")
+            .to_numpy(zero_copy_only=False),
+            "q": batch.column("l_quantity").to_numpy(zero_copy_only=False),
+        }).groupby("l_orderkey", sort=False)["q"].sum().reset_index()
+        g["shard"] = hash_shards(g["l_orderkey"].to_numpy(), 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _qty_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)["q"].sum().reset_index()
+        g = g[g["q"] > threshold]
+        return pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].astype(np.int64),
+            "total_qty": g["q"].astype(np.float64),
+        })
+
+    qualifying = (
+        li.map_batches(_qty_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard").map_groups(_qty_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(qualifying) > Q18_MAX_QUALIFYING:
+        raise ValueError(
+            f"Q18 qualifying set {len(qualifying)} rows exceeds the "
+            f"broadcast guard {Q18_MAX_QUALIFYING}; raise the quantity "
+            "threshold or switch the orders attach to a shuffle join")
+    qkeys = np.sort(qualifying["l_orderkey"].to_numpy(np.int64))
+    qqty = qualifying.set_index("l_orderkey")["total_qty"] \
+        .loc[qkeys].to_numpy(np.float64)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _attach_qty(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(qkeys, keys)
+        pos_c = np.minimum(pos, len(qkeys) - 1)
+        hit = (len(qkeys) > 0) & (qkeys[pos_c] == keys)
+        batch = batch.filter(pa.array(hit))
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "total_qty", pa.array([], pa.float64()))
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "total_qty",
+            pa.array(qqty[np.searchsorted(qkeys, k)], pa.float64()))
+
+    qualified = orders.map_batches(_attach_qty, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    ord_schema = parquet_schema(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .append(pa.field("total_qty", pa.float64()))
+    cust_schema = parquet_schema(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    j = shuffle_join(qualified, cust, on="o_custkey", right_on="c_custkey",
+                     left_schema=ord_schema, right_schema=cust_schema)
+
+    out_cols = ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty"]
+
+    def _partial_topn(batch: pa.Table) -> pa.Table:
+        df = batch.select(out_cols).to_pandas()
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(top_n)
+        df["one"] = np.zeros(len(df), np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _merge_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(top_n)
+        return df[out_cols].reset_index(drop=True)
+
+    return (
+        j.map_batches(_partial_topn, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .groupby("one").map_groups(_merge_topn, batch_format="pandas")
+    )
+
+
+register(
+    "large_volume_orders",
+    large_volume_orders,
+    f"""
+    WITH q AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(l_quantity) > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, q.total_qty
+    FROM orders o
+    JOIN q ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {Q18_TOP_N}
+    """,
+)

@@ -135,6 +135,10 @@ SUBSET = [
     "events_user_type_entropy",
     # spend inequality (per-nation Gini over customer spend)
     "customer_spend_gini",
+    # TPC-H Q18 large-volume orders (HAVING semi join + top-n)
+    "large_volume_orders",
+    # event-type co-occurrence PMI (market-basket association)
+    "events_type_pmi",
 ]
 
 
