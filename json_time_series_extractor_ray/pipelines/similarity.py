@@ -892,3 +892,87 @@ def _q_pca(sf_dir: str):
 # rows-only: an eigenvector has no SQL twin; numpy-eigh alignment,
 # determinism and the no-reread shape are pinned in pytest.
 register("embedding_pca_top", _q_pca)
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization + reconstruction-error report
+# ---------------------------------------------------------------------------
+
+def quantization_error_report(emb_ds_fn):
+    """Per-vector reconstruction error of global-per-dim uint8 (256
+    level) embedding quantization — the standard 4x vector-store
+    compression; the report tells you whether the ANN recall budget
+    survives it.
+
+    Scale shape: pass 1 reduces every batch to ONE (d mins, d maxs)
+    partial row merged driver-side (d floats, never vectors); pass 2
+    re-scans with the 2d-float scale table in the task closure and
+    emits one row per vector — two streaming scans, zero shuffles
+    (``emb_ds_fn`` is a zero-arg factory, the winsorize two-pass
+    convention).  Quantize/dequantize arithmetic is the identical
+    IEEE expression tree as the oracle (float64 throughout,
+    ``floor(x + 0.5)`` grid); round-6 on the two error aggregates.
+    """
+    from ._util import round_half_away
+
+    def _minmax(batch: pa.Table) -> pa.Table:
+        E = np.stack(batch.column("embedding").to_pylist()) \
+            .astype(np.float64)
+        return pa.table({
+            "lo": pa.array([E.min(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+            "hi": pa.array([E.max(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    mm = emb_ds_fn().map_batches(_minmax, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    lo = np.min(np.stack(mm["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(mm["hi"].to_numpy()), axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+
+    def _errors(batch: pa.Table) -> pa.Table:
+        E = np.stack(batch.column("embedding").to_pylist()) \
+            .astype(np.float64)
+        q = np.floor((E - lo) / scale + 0.5)
+        err = (q * scale + lo) - E
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "mse": pa.array(round_half_away(
+                (err * err).sum(axis=1) / E.shape[1], 6), pa.float64()),
+            "max_abs_err": pa.array(round_half_away(
+                np.abs(err).max(axis=1), 6), pa.float64()),
+        })
+
+    return emb_ds_fn().map_batches(_errors, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
+register(
+    "embedding_quant_error",
+    lambda sf: quantization_error_report(lambda: _read_embeddings(sf)),
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings
+    ),
+    mm AS (
+        SELECT d, min(x) AS lo, max(x) AS hi,
+               CASE WHEN max(x) > min(x)
+                    THEN (max(x) - min(x)) / 255.0 ELSE 1.0 END AS s
+        FROM e GROUP BY d
+    ),
+    r AS (
+        SELECT e.vec_id,
+               (floor((e.x - mm.lo) / mm.s + 0.5) * mm.s + mm.lo) - e.x
+                   AS err
+        FROM e JOIN mm USING (d)
+    )
+    SELECT vec_id,
+           round(sum(err * err) / count(*), 6) AS mse,
+           round(max(abs(err)), 6) AS max_abs_err
+    FROM r
+    GROUP BY vec_id
+    """,
+)

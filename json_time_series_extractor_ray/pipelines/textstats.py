@@ -1436,3 +1436,171 @@ register(
     GROUP BY len(w)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM log-prob — the aggregate-join scale shape (no vocab broadcast)
+# ---------------------------------------------------------------------------
+
+_BG_SEP = "\x1f"
+
+
+def bigram_logprob(docs_ds_fn, *, num_shards: int = 64):
+    """Per-doc corpus-bigram-LM log-probability:
+    ``sum over consecutive word pairs of ln(c(w1,w2) / cprefix(w1))``
+    where counts come from the WHOLE corpus and
+    ``cprefix(w1) = sum_w2 c(w1,w2)`` (exact MLE, no smoothing — every
+    doc's bigrams exist in the corpus by construction).
+
+    This is the aggregate-join shape the unigram scorer's guard points
+    at: the bigram vocabulary is corpus-sized, so nothing is broadcast.
+    Per-block bigram-TF partials shuffle once on the bigram key to meet
+    the corpus count table (built by ONE groupby over the same
+    partials; prefix counts derive from IT, not from a second corpus
+    scan), a second bounded shuffle join attaches prefix counts on w1,
+    and a doc-shard merge finishes the per-doc sum (the repo's
+    high-cardinality-aggregate rule: hash-shard + pandas merge, not a
+    native per-doc groupby).  Docs with <2 words emit nothing, as in
+    the oracle.  Contribution sums are round-6 AFTER the exact total
+    (reassociation-noise rule).
+    """
+    import pandas as pd
+
+    from ._util import hash_shards, round_half_away
+    from .joins import join_output_schema, shuffle_join
+
+    def _bigram_tf(batch: pa.Table) -> pa.Table:
+        flat, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = flat.to_numpy(zero_copy_only=False)
+        n_words = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(n_words)), n_words)
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        w1 = words[:-1][same_doc]
+        w2 = words[1:][same_doc]
+        d = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[doc_idx[:-1][same_doc]]
+        g = pd.DataFrame({"doc_id": d, "w1": w1, "w2": w2}) \
+            .groupby(["doc_id", "w1", "w2"], sort=False) \
+            .size().reset_index(name="tf")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "key": pa.array((g["w1"] + _BG_SEP + g["w2"]).to_numpy(),
+                            pa.string()),
+            "w1": pa.array(g["w1"].to_numpy(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+        })
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("key", pa.string()),
+                           ("w1", pa.string()), ("tf", pa.int64())])
+    tf_ds = docs_ds_fn().map_batches(_bigram_tf, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    # Corpus bigram counts (one groupby over the same TF partials).
+    def _c12_shape(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key")
+        w1 = pc.split_pattern(keys, _BG_SEP)
+        return pa.table({
+            "key": keys,
+            "c_w1": pc.list_element(w1, 0),
+            "c12": batch.column("sum(tf)").cast(pa.float64()),
+        })
+
+    c12 = (
+        docs_ds_fn().map_batches(_bigram_tf, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        .groupby("key").sum("tf")
+        .map_batches(_c12_shape, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    c12_schema = pa.schema([("key", pa.string()), ("c_w1", pa.string()),
+                            ("c12", pa.float64())])
+
+    # Prefix counts derive FROM the bigram table (no extra corpus scan).
+    def _prefix_shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_w1": batch.column("c_w1"),
+            "c1": batch.column("sum(c12)").cast(pa.float64()),
+        })
+
+    c1 = c12.groupby("c_w1").sum("c12").map_batches(
+        _prefix_shape, batch_format="pyarrow", zero_copy_batch=True)
+    c1_schema = pa.schema([("p_w1", pa.string()), ("c1", pa.float64())])
+
+    j1 = shuffle_join(tf_ds, c12.select_columns(["key", "c12"]),
+                      on="key", left_schema=tf_schema,
+                      right_schema=pa.schema([("key", pa.string()),
+                                              ("c12", pa.float64())]),
+                      num_shards=num_shards)
+    j1_schema = join_output_schema(
+        tf_schema, pa.schema([("key", pa.string()), ("c12", pa.float64())]),
+        on="key")
+    j2 = shuffle_join(j1, c1, on="w1", right_on="p_w1",
+                      left_schema=j1_schema, right_schema=c1_schema,
+                      num_shards=num_shards)
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c12v = batch.column("c12").to_numpy(zero_copy_only=False)
+        c1v = batch.column("c1").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "doc_id": d,
+            "s": tf * np.log(c12v / c1v),
+            "n": tf,
+        }).groupby("doc_id", sort=False).sum().reset_index()
+        g["shard"] = hash_shards(g["doc_id"].to_numpy(np.int64), num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _doc_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(
+            s=("s", "sum"), n=("n", "sum")).reset_index()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_bigrams": g["n"].astype(np.int64),
+            "logprob": round_half_away(g["s"].to_numpy(), 6),
+        })
+
+    return (
+        j2.map_batches(_contrib, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard").map_groups(_doc_merge, batch_format="pandas")
+    )
+
+
+register(
+    "doc_bigram_logprob",
+    lambda sf: bigram_logprob(
+        lambda: _read_documents(sf, ["doc_id", "text"])
+    ),
+    r"""
+    WITH arr AS (
+        SELECT doc_id,
+               string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(ws) AS w,
+               unnest(generate_series(1, len(ws))) AS p
+        FROM arr
+    ),
+    bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        FROM pos
+    ),
+    bg2 AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+            FROM bg2 GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS t FROM c12 GROUP BY 1),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg2 GROUP BY 1, 2, 3)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf.tf * ln(c12.c / c1.t)), 6) AS logprob
+    FROM tf
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    GROUP BY tf.doc_id
+    """,
+)

@@ -139,6 +139,9 @@ SUBSET = [
     "large_volume_orders",
     # event-type co-occurrence PMI (market-basket association)
     "events_type_pmi",
+    # bigram LM scoring (aggregate-join shape) + int8 quantization error
+    "doc_bigram_logprob",
+    "embedding_quant_error",
 ]
 
 

@@ -119,3 +119,49 @@ class TestLargeVolumeOrders:
         want = set(q[q > 250].index)
         assert set(out["o_orderkey"]) <= want
         assert len(out) == min(100, len(want))
+
+
+class TestBigramLogprob:
+    def test_small_fixture_exact(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.textstats import (
+            bigram_logprob,
+        )
+
+        # corpus: "a b a b" (doc 0), "a b c" (doc 1), "x" (doc 2: no
+        # bigrams -> absent).  c12: ab=3, ba=1, bc=1; prefix: a=3, b=2.
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b", "a b c", "x"], pa.string()),
+        })
+        out = bigram_logprob(
+            lambda: ray.data.from_arrow(docs)
+        ).to_pandas().set_index("doc_id")
+        assert 2 not in out.index
+        # doc 0: ab,ba,ab -> 2*ln(3/3) + ln(1/2)
+        assert out.loc[0, "n_bigrams"] == 3
+        assert out.loc[0, "logprob"] == pytest.approx(
+            np.log(1 / 2), abs=1e-6)
+        # doc 1: ab, bc -> ln(3/3) + ln(1/2)
+        assert out.loc[1, "n_bigrams"] == 2
+        assert out.loc[1, "logprob"] == pytest.approx(
+            np.log(1 / 2), abs=1e-6)
+
+
+class TestQuantizationError:
+    def test_error_bounded_by_half_step(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.similarity import (
+            quantization_error_report,
+        )
+
+        rng = np.random.default_rng(5)
+        E = rng.normal(size=(200, 8)).astype(np.float64)
+        ds_fn = lambda: ray.data.from_arrow(pa.table({  # noqa: E731
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array([list(r) for r in E],
+                                  pa.list_(pa.float64())),
+        }))
+        out = quantization_error_report(ds_fn).to_pandas()
+        assert len(out) == 200
+        half_step = ((E.max(0) - E.min(0)) / 255.0).max() / 2
+        assert (out["max_abs_err"] <= half_step + 1e-9).all()
+        assert (out["mse"] >= 0).all()
