@@ -244,6 +244,14 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("knn_label_vote", sf_dir)),
             ("local_supplier_volume",
              lambda: bench_query("local_supplier_volume", sf_dir)),
+            ("large_volume_orders",
+             lambda: bench_query("large_volume_orders", sf_dir)),
+            ("doc_bigram_logprob",
+             lambda: bench_query("doc_bigram_logprob", sf_dir)),
+            ("events_type_pmi",
+             lambda: bench_query("events_type_pmi", sf_dir)),
+            ("customer_spend_gini",
+             lambda: bench_query("customer_spend_gini", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

@@ -1274,3 +1274,79 @@ _register_pmi(
     JOIN s sb ON sb.event_type = p.type_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode (most frequent value, lexicographic ties)
+# ---------------------------------------------------------------------------
+
+def group_mode(events_ds, *, key: str = "user_id",
+               value: str = "event_type", num_shards: int = 64):
+    """Modal ``value`` per ``key`` with a deterministic tie-break
+    (highest count wins, lexicographically smallest value on ties —
+    SQL's ``mode()`` is tie-nondeterministic, so the oracle pins the
+    same rule with ``row_number``).
+
+    Scale shape: per-block (key, value, cnt) partials — bounded by
+    keys x |values| per block, never raw rows — merge in key-sharded
+    pandas tasks where the argmax is a sort over each key's <= |values|
+    candidate rows.
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "k": batch.column(key).to_numpy(zero_copy_only=False),
+            "v": batch.column(value).to_pandas(),
+        }).groupby(["k", "v"], sort=False).size().reset_index(name="cnt")
+        g["shard"] = hash_shards(g["k"].to_numpy(), num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["k", "v"], sort=False)["cnt"].sum().reset_index()
+        g = g.sort_values(["k", "cnt", "v"],
+                          ascending=[True, False, True])
+        top = g.drop_duplicates("k", keep="first")
+        return pd.DataFrame({
+            key: top["k"].astype(np.int64),
+            "mode_value": top["v"].astype(str),
+            "mode_count": top["cnt"].astype(np.int64),
+        })
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+    )
+
+
+def _q_user_mode(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return group_mode(ds)
+
+
+from .registry import register as _register_mode  # noqa: E402
+
+_register_mode(
+    "events_user_mode_type",
+    _q_user_mode,
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type
+               ) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_value, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)

@@ -1169,3 +1169,135 @@ register(
     FROM k GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components (spanning-forest contraction)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters_distributed(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
+                                  num_shards: int = 64,
+                                  max_forest_edges: int = 5_000_000):
+    """The contracted-graph twin of ``near_dup_clusters``: identical
+    output (cluster_id = min reachable vec_id), but the raw O(E) pair
+    list is NEVER collected driver-side — the answer to the union-find
+    variant's edges << rows assumption when a loose tau or coarse
+    blocking makes the edge list itself corpus-scale.
+
+    Spanning-forest contraction (the classic streaming-CC reduction):
+    partition the pair list into ``num_shards`` edge shards (ONE
+    groupby shuffle over the sparse pair relation, never raw vectors);
+    each shard task union-finds ITS edges locally and emits only star
+    edges (node -> shard-local min root) — a spanning forest of the
+    shard's subgraph, at most one edge per distinct endpoint node in
+    the shard.  The union of per-shard spanning forests provably has
+    the same connected components as the full graph, so the driver
+    union-finds only the contracted forest — O(V_dup) rows (vectors
+    that HAVE a near-dup), the same order as the label map any scheme
+    must hold — instead of O(E) pairs, which is the quantity that
+    explodes quadratically inside dense dup blobs.  Labels broadcast
+    once via ``ray.put`` and assignment streams, exactly as in
+    ``near_dup_clusters``.  Deterministic (min-root convention at both
+    levels) and exact for any edge partition — no convergence loop, no
+    diameter sensitivity (a planted chain component is pinned in
+    pytest).  If V_dup itself ever outgrew the driver, the same
+    contraction composes: re-shard the forest into fewer shards and
+    repeat before the final collect.
+    """
+    import ray
+
+    from ._util import hash_shards
+
+    def _shardit(batch: pa.Table) -> pa.Table:
+        return batch.append_column("shard", pa.array(hash_shards(
+            batch.column("vec_a").to_numpy(zero_copy_only=False),
+            num_shards), pa.int32()))
+
+    def _local_forest(df: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(df["vec_a"].to_numpy(), df["vec_b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = np.fromiter(parent.keys(), np.int64, len(parent))
+        roots = np.array([find(int(n)) for n in nodes], np.int64)
+        keep = nodes != roots
+        return pd.DataFrame({"vec_a": nodes[keep], "vec_b": roots[keep]})
+
+    forest = (
+        embedding_near_dups(emb_ds, tau=tau)
+        .select_columns(["vec_a", "vec_b"])
+        .map_batches(_shardit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard").map_groups(_local_forest, batch_format="pandas")
+    )
+
+    edges = forest.take_all(limit=max_forest_edges)
+    parent: dict = {}
+
+    def _find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edges:
+        ra, rb = _find(int(e["vec_a"])), _find(int(e["vec_b"]))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels_ref = ray.put({x: _find(x) for x in list(parent)})
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(labels_ref)
+        idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster_id": pa.array(_lookup_labels(idn, table), pa.int64()),
+        })
+
+    return emb_ds.select_columns(["vec_id"]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+register(
+    "near_dup_clusters_distributed",
+    lambda sf: near_dup_clusters_distributed(
+        _read(sf, "embeddings", ["vec_id", "embedding", "label"])
+    ),
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= {EMB_NEAR_DUP_TAU}
+    ),
+    edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    walk(u, l) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.u, w.l FROM walk w JOIN edges e ON e.v = w.u
+    )
+    SELECT u AS vec_id, min(l) AS cluster_id FROM walk GROUP BY u
+    """,
+)

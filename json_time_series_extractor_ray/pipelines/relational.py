@@ -1615,3 +1615,113 @@ register(
     LIMIT {Q18_TOP_N}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of monthly revenue
+# ---------------------------------------------------------------------------
+
+def nation_monthly_share(orders_ds, *, num_shards: int = 32):
+    """Per (nation, calendar month): order revenue and its share of the
+    month's total — the ratio-to-report window class (the one window
+    family the engine didn't cover: lag, rank, ntile, cumsum, moving
+    aggregates all exist).
+
+    Scale shape: the per-block combiner collapses orders to
+    (nationkey, month) partials; the ONE shuffle shards by MONTH so
+    each group task holds one month's <= |nations| rows and computes
+    the share locally — no second pass, no broadcast.  Share divides
+    the round-2 per-nation sum by the month total formed from those
+    same round-2 sums (exact cents additions), so both engines evaluate
+    the identical expression tree.
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
+            .to_numpy(zero_copy_only=False)
+        month_ns = t.astype("datetime64[M]").astype("datetime64[ns]") \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "nk": batch.column("o_custkey_nation")
+            .to_numpy(zero_copy_only=False),
+            "month_ns": month_ns,
+            "s": batch.column("o_totalprice")
+            .to_numpy(zero_copy_only=False),
+        }).groupby(["nk", "month_ns"], sort=False)["s"].sum().reset_index()
+        g["shard"] = hash_shards(g["month_ns"].to_numpy(), num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _share(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["nk", "month_ns"], sort=False)["s"].sum() \
+            .reset_index()
+        g["revenue"] = round_half_away(g["s"].to_numpy(), 2)
+        totals = g.groupby("month_ns")["revenue"].transform("sum")
+        return pd.DataFrame({
+            "nationkey": g["nk"].astype(np.int64),
+            "month_ns": g["month_ns"].astype(np.int64),
+            "revenue": g["revenue"],
+            "share": round_half_away(
+                (g["revenue"] / totals).to_numpy(), 6),
+        })
+
+    return (
+        orders_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_share, batch_format="pandas")
+    )
+
+
+def _q_nation_monthly_share(sf_dir: str):
+    import ray
+
+    from .joins import parquet_schema, shuffle_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def _nk(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "o_custkey_nation": batch.column("c_nationkey"),
+        })
+
+    cust = cust.map_batches(_nk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cust_schema = pa.schema([
+        ("c_custkey", parquet_schema(f"{sf_dir}/customer.parquet",
+                                     ["c_custkey"]).field("c_custkey").type),
+        ("o_custkey_nation",
+         parquet_schema(f"{sf_dir}/customer.parquet",
+                        ["c_nationkey"]).field("c_nationkey").type),
+    ])
+    j = shuffle_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=parquet_schema(
+            f"{sf_dir}/orders.parquet",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ).remove(0),
+        right_schema=cust_schema)
+    return nation_monthly_share(j)
+
+
+register(
+    "nation_monthly_share",
+    _q_nation_monthly_share,
+    """
+    WITH m AS (
+        SELECT c.c_nationkey AS nationkey,
+               epoch_ns(date_trunc('month', o.o_orderdate)) AS month_ns,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT nationkey, month_ns, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY month_ns), 6)
+               AS share
+    FROM m
+    """,
+)

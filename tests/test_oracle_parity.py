@@ -142,6 +142,11 @@ SUBSET = [
     # bigram LM scoring (aggregate-join shape) + int8 quantization error
     "doc_bigram_logprob",
     "embedding_quant_error",
+    # distributed connected components (no driver-side edge collect)
+    "near_dup_clusters_distributed",
+    # ratio-to-report window + deterministic per-group mode
+    "nation_monthly_share",
+    "events_user_mode_type",
 ]
 
 

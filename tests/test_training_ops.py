@@ -278,6 +278,40 @@ class TestNearDupClusters:
         for i in singles:
             assert got[i] == i, f"vec {i} unexpectedly clustered to {got[i]}"
 
+    def test_distributed_matches_union_find(self, ray_session):
+        """The spanning-forest-contraction variant must produce the exact
+        label table of the driver-side union-find — including a planted
+        CHAIN component (0~1, 1~2, 2~3 without 0~3 being a direct pair),
+        where transitivity across edge shards is doing the work."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            near_dup_clusters_distributed,
+        )
+
+        rng = np.random.default_rng(9)
+        E = rng.standard_normal((16, 8)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True) * 0.5
+        # chain: each consecutive pair is close; ends are NOT (the chain
+        # drifts), so transitivity is doing the work
+        for i in (1, 2, 3):
+            E[i] = E[i - 1] + rng.standard_normal(8).astype(np.float32) * 0.012
+        t = pa.table({
+            "vec_id": pa.array(range(16), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in E],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(16, np.int32)),
+        })
+        a = near_dup_clusters(
+            ray.data.from_arrow(t), tau=0.999
+        ).to_pandas().sort_values("vec_id", ignore_index=True)
+        b = near_dup_clusters_distributed(
+            ray.data.from_arrow(t), tau=0.999
+        ).to_pandas().sort_values("vec_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        got = dict(zip(b["vec_id"], b["cluster_id"]))
+        assert got[0] == got[1] == got[2] == got[3] == 0
+
 
 class TestSimilarity:
     def test_brute_force_matches_numpy_oracle(self, ray_session):
