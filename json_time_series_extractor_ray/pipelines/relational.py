@@ -1725,3 +1725,152 @@ register(
     FROM m
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item revenue, top customers
+# ---------------------------------------------------------------------------
+
+Q10_DATE_LO = "1995-10-01"
+Q10_DATE_HI = "1996-01-01"
+Q10_TOP_N = 20
+
+
+def returned_item_revenue(sf_dir: str, *, top_n: int = Q10_TOP_N):
+    """TPC-H Q10: the ``top_n`` customers by revenue lost to returned
+    lineitems (``l_returnflag = 'R'``) over a one-quarter order window,
+    with account balance and nation name attached — ordered by
+    (revenue desc, c_custkey asc; the rounded revenue is the sort key in
+    BOTH engines so boundary membership can't diverge).
+
+    Scale shape: both selective predicates run AT THE READ (the date
+    range prunes orders row-groups, the returnflag equality prunes
+    lineitem), so the orderkey shuffle join moves only the returned
+    lineitems of one quarter's orders; a per-block (custkey, rev)
+    combiner + one custkey shard-merge collapse that to one row per
+    customer BEFORE the customer-attribute join; nation names attach
+    via a 25-row broadcast; the final top-n is a per-block partial
+    top-k + single tiny merge — no global sort anywhere.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+
+    from ._util import hash_shards
+    from .enrich import broadcast_join
+    from .joins import join_output_schema, parquet_schema, shuffle_join
+
+    import datetime as _dt
+    lo = _dt.datetime.fromisoformat(Q10_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q10_DATE_HI)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev": rev})
+
+    li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    li_schema = pa.schema([
+        ("l_orderkey", parquet_schema(f"{sf_dir}/lineitem.parquet",
+                                      ["l_orderkey"]).field("l_orderkey")
+         .type),
+        ("rev", pa.float64()),
+    ])
+    orders_schema = parquet_schema(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      left_schema=li_schema, right_schema=orders_schema)
+
+    def _cust_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "rev": batch.column("rev").to_numpy(zero_copy_only=False),
+        }).groupby("custkey", sort=False)["rev"].sum().reset_index()
+        g["shard"] = hash_shards(g["custkey"].to_numpy(), 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _cust_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("custkey", sort=False)["rev"].sum().reset_index()
+        return pd.DataFrame({
+            "c_custkey": g["custkey"].astype(np.int64),
+            "revenue": round_half_away(g["rev"].to_numpy(), 2),
+        })
+
+    per_cust = (
+        j1.map_batches(_cust_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard").map_groups(_cust_merge, batch_format="pandas")
+    )
+    per_cust_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("revenue", pa.float64())])
+    cust_cols = ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=cust_cols)
+    cust_schema = parquet_schema(f"{sf_dir}/customer.parquet", cust_cols)
+    j2 = shuffle_join(per_cust, cust, on="c_custkey",
+                      left_schema=per_cust_schema, right_schema=cust_schema)
+
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    j3 = broadcast_join(j2, names, key="c_nationkey", value_name="n_name")
+
+    out_cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+
+    def _partial_topn(batch: pa.Table) -> pa.Table:
+        df = batch.select(out_cols).to_pandas()
+        df = df.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True]).head(top_n)
+        df["one"] = np.zeros(len(df), np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _merge_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True]).head(top_n)
+        return df[out_cols].reset_index(drop=True)
+
+    return (
+        j3.map_batches(_partial_topn, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("one").map_groups(_merge_topn, batch_format="pandas")
+    )
+
+
+register(
+    "returned_item_revenue",
+    returned_item_revenue,
+    f"""
+    WITH r AS (
+        SELECT o.o_custkey AS c_custkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= DATE '{Q10_DATE_LO}'
+          AND o.o_orderdate < DATE '{Q10_DATE_HI}'
+        GROUP BY 1
+    )
+    SELECT r.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name
+    FROM r
+    JOIN customer c ON c.c_custkey = r.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.revenue DESC, r.c_custkey
+    LIMIT {Q10_TOP_N}
+    """,
+)

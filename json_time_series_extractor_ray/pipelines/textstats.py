@@ -1604,3 +1604,176 @@ register(
     GROUP BY tf.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval over the corpus for a fixed query set
+# ---------------------------------------------------------------------------
+
+#: (query_id -> terms).  Fixed, deterministic query set over the corpus
+#: vocabulary; every term is a plain whitespace token so the engine and
+#: the SQL oracle tokenize identically.
+BM25_QUERIES: dict = {
+    0: ("hash", "join", "order"),
+    1: ("stream", "window", "merge"),
+    2: ("customer", "table", "scan"),
+    3: ("fast", "query", "filter"),
+}
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_topk(docs_ds, *, queries: dict = BM25_QUERIES, k1: float = BM25_K1,
+              b: float = BM25_B, top_k: int = BM25_TOP_K):
+    """Okapi BM25 retrieval: for each query in ``queries``, the ``top_k``
+    documents by ``sum_t idf(t) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``
+    with ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`` (the
+    Lucene-style non-negative idf).
+
+    Two passes over the corpus, both streaming:
+
+    * pass 1 collapses each block to ONE tiny stats row group —
+      (n_docs, sum_len) plus a df partial per query term (terms are a
+      fixed handful, so the collected partials are blocks x (T+1) rows,
+      never corpus-scale) — and the driver folds them into N, avgdl and
+      the idf table, which ride into pass 2 as closure scalars;
+    * pass 2 scores each block fully vectorized (one ``pc.equal`` +
+      ``np.add.reduceat`` per term — no per-document Python), keeps
+      each block's top-k per query, and a per-query merge (|queries|
+      groups) finishes — no global sort.
+
+    Ranking sorts by the ROUND-6 score (desc, doc_id asc) in both
+    engines, so boundary membership cannot diverge on float noise.
+    """
+    terms = sorted({t for ts in queries.values() for t in ts})
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_words = np.diff(offsets).astype(np.int64)
+        n_docs = len(n_words)
+        keys = ["__stats__"] + terms
+        a = [n_docs]
+        for t in terms:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            per_doc = np.add.reduceat(hit, offsets[:-1]) if len(hit) \
+                else np.zeros(n_docs)
+            if n_docs:
+                per_doc[n_words == 0] = 0.0
+            a.append(int((per_doc > 0).sum()))
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array([int(n_words.sum())] + [0] * len(terms),
+                          pa.int64()),
+        })
+
+    stats = docs_ds.select_columns(["text"]).map_batches(
+        _stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_total = sum(r["a"] for r in stats if r["key"] == "__stats__")
+    sum_len = sum(r["b"] for r in stats if r["key"] == "__stats__")
+    df = {t: 0 for t in terms}
+    for r in stats:
+        if r["key"] != "__stats__":
+            df[r["key"]] += r["a"]
+    avgdl = sum_len / n_total if n_total else 1.0
+    idf = {t: float(np.log((n_total - df[t] + 0.5) / (df[t] + 0.5) + 1.0))
+           for t in terms}
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_words = np.diff(offsets).astype(np.int64)
+        n_docs = len(n_words)
+        dl = n_words.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        tf = {}
+        for t in terms:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            per_doc = np.add.reduceat(hit, offsets[:-1]) if len(hit) \
+                else np.zeros(n_docs)
+            if n_docs:
+                per_doc[n_words == 0] = 0.0
+            tf[t] = per_doc
+        ids = batch.column("doc_id").to_pandas()
+        parts = []
+        for qid, qterms in queries.items():
+            score = np.zeros(n_docs)
+            for t in qterms:
+                score += idf[t] * tf[t] * (k1 + 1.0) / (tf[t] + norm)
+            keep = score > 0
+            d = pd.DataFrame({
+                "query_id": np.full(int(keep.sum()), qid, np.int64),
+                "doc_id": ids[keep].to_numpy(),
+                "score": round_half_away(score[keep], 6),
+            }).sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(top_k)
+            parts.append(d)
+        out = pd.concat(parts) if parts else pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge(df_: "pd.DataFrame") -> "pd.DataFrame":
+        df_ = df_.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(top_k)
+        return df_[["query_id", "doc_id", "score"]].reset_index(drop=True)
+
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id").map_groups(_merge, batch_format="pandas")
+    )
+
+
+def _bm25_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(BM25_QUERIES.items())
+        for t in ts)
+    return f"""
+    WITH q(query_id, w) AS (VALUES {values}),
+    tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                   '{_WS}')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT t.doc_id, t.w, count(*) AS tf
+        FROM tok t WHERE t.w IN (SELECT w FROM q) GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN q ON q.w = tf.w
+        JOIN df ON df.w = tf.w
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score FROM sc
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) <= {BM25_TOP_K}
+    """
+
+
+register(
+    "doc_bm25_topk",
+    lambda sf: bm25_topk(_read_documents(sf, ["doc_id", "text"])),
+    _bm25_sql(),
+)

@@ -147,6 +147,9 @@ SUBSET = [
     # ratio-to-report window + deterministic per-group mode
     "nation_monthly_share",
     "events_user_mode_type",
+    # TPC-H Q10 returned-item revenue + BM25 retrieval
+    "returned_item_revenue",
+    "doc_bm25_topk",
 ]
 
 
