@@ -1301,3 +1301,290 @@ register(
     SELECT u AS vec_id, min(l) AS cluster_id FROM walk GROUP BY u
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Global exact Jaccard join via prefix filtering (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+PPJ_TAU = 0.6
+PPJ_MAX_PREFIX_GROUP = 10_000  # docs sharing one prefix shingle (loud guard)
+
+
+def jaccard_prefix_join(docs_ds, *, tau: float = PPJ_TAU, k: int = 3,
+                        num_shards: int = LSH_SHARDS,
+                        max_prefix_group: int = PPJ_MAX_PREFIX_GROUP):
+    """EXACT word-``k``-gram Jaccard similarity join over the WHOLE
+    corpus — same result set as a naive all-pairs comparison at
+    ``jaccard >= tau``, with no quadratic block anywhere: the answer to
+    ``jaccard_block_pairs``' dominant-language scale ceiling (its whole
+    block is one quadratic task; this operator has no blocks at all).
+
+    Prefix filtering (AllPairs/PPJoin): order every doc's shingle set
+    by ascending global document frequency (rarest first) and keep only
+    the first ``n - floor(tau*n) + 1`` shingles — two sets with
+    ``J >= tau`` MUST share a prefix shingle, so grouping by prefix
+    shingle generates a candidate superset, and rare-first ordering
+    keeps those groups tiny.  ``floor`` (not ``ceil``) makes the prefix
+    one longer under float noise — safe direction: a longer prefix can
+    only ADD candidates, never lose a true pair.
+
+    Every stage is a sparse-relation exchange: shingle df is one
+    groupby over distinct (doc, shingle) rows; df attaches back by ONE
+    shingle join; prefixes emit from a doc-sharded merge (vectorized
+    rank-within-doc, no Python per doc); candidates group by prefix
+    shingle (guarded by ``max_prefix_group``); verification joins the
+    deduped pair list against a per-doc signature relation (sorted
+    64-bit shingle hashes as one binary blob per doc) on each endpoint
+    — candidate pairs are the small side of both joins.  Nothing is
+    ever quadratic in a partition of the corpus, and nothing collects
+    driver-side.
+
+    Cost note: the dataflow needs ~7 sparse-relation exchanges (df,
+    df-attach, per-doc prefix, per-shingle candidates, pair dedup, two
+    verify joins), so at toy scale the quadratic ``jaccard_block_pairs``
+    is faster on fixed overhead alone (8 s vs 48 s at 5k docs / 32
+    CPUs).  The crossover is what matters: every exchange here scales
+    with the sparse posting/pair lists, while the blocked variant's
+    dominant-language block grows O(n²) in ONE task — this operator is
+    the one that still runs when a real corpus's biggest language is
+    the corpus.
+    """
+    import ray  # noqa: F401
+
+    from ._util import hash_shards, regex_trim
+    from .joins import join_output_schema, shuffle_join
+
+    def _doc_shingles(batch: pa.Table):
+        """(doc_ids repeated, distinct shingle strings) flat arrays."""
+        words = pc.split_pattern_regex(
+            regex_trim(batch.column("text")), _WS)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_ids, out_sh = [], []
+        wl = words.to_pylist()
+        for d, ws in zip(ids, wl):
+            if len(ws) < k:
+                continue
+            sh = {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+            out_ids.append(np.full(len(sh), d, np.int64))
+            out_sh.append(sorted(sh))
+        if not out_ids:
+            return np.array([], np.int64), np.array([], object)
+        return (np.concatenate(out_ids),
+                np.array([s for part in out_sh for s in part], object))
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        ids, sh = _doc_shingles(batch)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingle": pa.array(sh, pa.string())})
+
+    # The exploded posting list feeds TWO consumers (the df aggregate and
+    # the df-attach join); materialize it once so lazy re-execution does
+    # not re-shingle the corpus per consumer.  At full scale this holds
+    # the posting list in the (spillable) object store — the standard
+    # cache-the-exploded-relation tradeoff, cheaper than a second full
+    # tokenization pass.
+    flat = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _flat, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    flat_schema = pa.schema([("doc_id", pa.int64()),
+                             ("shingle", pa.string())])
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "shingle": batch.column("shingle").to_pandas(),
+        }).groupby("shingle", sort=False).size().reset_index(name="df")
+        g["shard"] = (pd.util.hash_array(g["shingle"].to_numpy(object))
+                      % num_shards).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shingle", sort=False)["df"].sum().reset_index()
+        return pd.DataFrame({"shingle": g["shingle"].astype(str),
+                             "df": g["df"].astype(np.int64)})
+
+    df_rel = (
+        flat.map_batches(_df_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("shard").map_groups(_df_merge, batch_format="pandas")
+    )
+    df_schema = pa.schema([("shingle", pa.string()), ("df", pa.int64())])
+
+    withdf = shuffle_join(flat, df_rel, on="shingle",
+                          left_schema=flat_schema, right_schema=df_schema,
+                          num_shards=num_shards)
+
+    def _doc_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column("dshard", pa.array(hash_shards(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            num_shards), pa.int32()))
+
+    def _prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+        n = df.groupby("doc_id", sort=False)["shingle"].transform("size") \
+            .to_numpy(np.int64)
+        rank = df.groupby("doc_id", sort=False).cumcount().to_numpy(np.int64)
+        p = n - np.floor(tau * n + 1e-9).astype(np.int64) + 1
+        keep = rank < np.minimum(p, n)
+        out = df.loc[keep, ["shingle", "doc_id"]].copy()
+        out["n"] = n[keep]
+        return out.reset_index(drop=True)
+
+    prefixes = (
+        withdf.map_batches(_doc_shard, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("dshard").map_groups(_prefix, batch_format="pandas")
+    )
+
+    def _cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")})
+        df = df[df.duplicated("shingle", keep=False)]
+        if df.empty:
+            return empty
+        frames = []
+        for _, g in df.groupby("shingle", sort=False):
+            if len(g) > max_prefix_group:
+                raise ValueError(
+                    f"prefix shingle {g['shingle'].iloc[0]!r} appears in "
+                    f"{len(g)} doc prefixes (> {max_prefix_group}); the "
+                    "corpus has a hyper-frequent rare-ranked shingle — "
+                    "raise tau or max_prefix_group knowingly")
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy(np.int64)
+            ns = g["n"].to_numpy(np.int64)
+            a, b = np.triu_indices(len(ids), k=1)
+            # size filter: J >= tau needs tau*max(n_a,n_b) <= min(n_a,n_b)
+            lo = np.minimum(ns[a], ns[b]).astype(np.float64)
+            hi = np.maximum(ns[a], ns[b]).astype(np.float64)
+            keep = lo >= tau * hi - 1e-9
+            frames.append(pd.DataFrame({"doc_a": ids[a][keep],
+                                        "doc_b": ids[b][keep]}))
+        out = pd.concat(frames, ignore_index=True) if frames else empty
+        return out
+
+    cand = (
+        prefixes.map_batches(_add_hash_shard("shingle", num_shards),
+                             batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard").map_groups(_cand_pairs, batch_format="pandas")
+    )
+    pairs = (
+        cand.map_batches(_add_hash_shard(("doc_a", "doc_b"), num_shards),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard").map_groups(
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"])
+            [["doc_a", "doc_b"]],
+            batch_format="pandas")
+    )
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        # Tokenizes from the doc text (NOT from the exploded posting
+        # list: Ray may split a large output block mid-doc, which would
+        # silently truncate a segment-derived signature).
+        ids, sh = _doc_shingles(batch)
+        if len(ids) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.binary()),
+            })
+        h = pd.util.hash_array(sh)  # vectorized, deterministic
+        starts = np.r_[0, np.where(np.diff(ids) != 0)[0] + 1]
+        uids = ids[starts]
+        ends = np.r_[starts[1:], len(ids)]
+        blobs = [np.sort(h[s:e]).tobytes() for s, e in zip(starts, ends)]
+        return pa.table({
+            "doc_id": pa.array(uids, pa.int64()),
+            "n": pa.array(ends - starts, pa.int64()),
+            "sig": pa.array(blobs, pa.binary()),
+        })
+
+    # One tiny row per doc; two join consumers -> materialize once.
+    sets = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _sig, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _rename(suffix: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                f"n{suffix}": batch.column("n"),
+                f"sig{suffix}": batch.column("sig"),
+            })
+        return _fn
+
+    sets_a = sets.map_batches(_rename("_a"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sets_b = sets.map_batches(_rename("_b"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sa_schema = pa.schema([("doc_id", pa.int64()), ("n_a", pa.int64()),
+                           ("sig_a", pa.binary())])
+    sb_schema = pa.schema([("doc_id", pa.int64()), ("n_b", pa.int64()),
+                           ("sig_b", pa.binary())])
+    j1 = shuffle_join(pairs, sets_a, on="doc_a", right_on="doc_id",
+                      left_schema=pairs_schema, right_schema=sa_schema,
+                      num_shards=num_shards)
+    j1_schema = join_output_schema(pairs_schema, sa_schema,
+                                   on="doc_a", right_on="doc_id")
+    j2 = shuffle_join(j1, sets_b, on="doc_b", right_on="doc_id",
+                      left_schema=j1_schema, right_schema=sb_schema,
+                      num_shards=num_shards)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        sig_a = batch.column("sig_a").to_pylist()
+        sig_b = batch.column("sig_b").to_pylist()
+        jac = np.zeros(len(na))
+        for i, (ba, bb) in enumerate(zip(sig_a, sig_b)):
+            xa = np.frombuffer(ba, np.uint64)
+            xb = np.frombuffer(bb, np.uint64)
+            inter = len(np.intersect1d(xa, xb, assume_unique=True))
+            jac[i] = inter / (na[i] + nb[i] - inter)
+        jac = round_half_away(jac, 6)
+        keep = jac >= tau
+        return pa.table({
+            "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+            "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return j2.map_batches(_verify, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+register(
+    "jaccard_prefix_join",
+    lambda sf: jaccard_prefix_join(_read(sf, "documents", ["doc_id", "text"])),
+    f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS i
+        FROM w
+    ),
+    sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM pos
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {PPJ_TAU}
+    """,
+)

@@ -150,6 +150,8 @@ SUBSET = [
     # TPC-H Q10 returned-item revenue + BM25 retrieval
     "returned_item_revenue",
     "doc_bm25_topk",
+    # global exact Jaccard join via prefix filtering (no quadratic block)
+    "jaccard_prefix_join",
 ]
 
 

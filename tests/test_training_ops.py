@@ -112,6 +112,40 @@ class TestDedup:
                     expected.add((a, b))
         assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == expected
 
+    def test_jaccard_prefix_join_exact_and_global(self, ray_session):
+        """Prefix filtering must return EXACTLY the all-pairs result at
+        tau — including a pair the lang-blocked variant cannot see
+        (planted exact dup with a DIFFERENT lang tag)."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            jaccard_prefix_join,
+        )
+
+        t = _doc_table()
+        # retag the two exact dups of doc 0 into another language: the
+        # blocked variant would never pair (0, 60) / (0, 61)
+        langs = ["en"] * t.num_rows
+        langs[60] = langs[61] = "de"
+        t = t.set_column(2, "lang", pa.array(langs))
+        out = jaccard_prefix_join(
+            ray.data.from_arrow(t), tau=0.5
+        ).to_pandas()
+        sets = shingle_sets(t.column("text"))
+        expected = {}
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                if not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                jac = round(inter / len(sets[a] | sets[b]), 6)
+                if jac >= 0.5:
+                    expected[(a, b)] = jac
+        got = {(a, b): j for a, b, j in
+               out[["doc_a", "doc_b", "jaccard"]].itertuples(index=False)}
+        assert got == expected
+        assert (0, 60) in got and (0, 61) in got
+
 
 def _emb_table(n=200, d=16, seed=9):
     rng = np.random.default_rng(seed)
