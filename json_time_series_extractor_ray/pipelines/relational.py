@@ -1874,3 +1874,129 @@ register(
     LIMIT {Q10_TOP_N}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline): customers maximizing (spend, order count)
+# ---------------------------------------------------------------------------
+
+PARETO_MAX_CANDIDATES = 5_000_000
+
+
+def customer_pareto_frontier(orders_ds, *,
+                             max_candidates: int = PARETO_MAX_CANDIDATES):
+    """The skyline of customers over (max single-order price, order
+    count): keep a customer iff NO other customer is >= on both metrics
+    and > on at least one (exact ties on both metrics all stay,
+    matching the SQL ``NOT EXISTS`` dominance test row for row).
+    Max-price (a data value, no arithmetic) makes every output column
+    exact-hashable, and the two metrics are weakly correlated so the
+    frontier is a real multi-point trade-off curve.
+
+    Scale shape: per-customer totals come from the usual combiner +
+    custkey shard-merge; then the skyline uses its closure property —
+    ``skyline(union) = skyline(union of per-part skylines)`` — so each
+    block reduces to its LOCAL frontier with a vectorized
+    sort + group-prefix-max scan (no Python per row), and one final
+    task merges the survivors.  On correlated metrics (spend and order
+    count rise together) local frontiers are tiny; the anti-correlated
+    worst case where the skyline IS the population is guarded by
+    ``max_candidates`` with a loud error.  Both metrics are exact (a max
+    of stored values and an integer count), so dominance can never flip
+    on float noise.
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "s": batch.column("o_totalprice")
+            .to_numpy(zero_copy_only=False),
+        }).groupby("custkey", sort=False).agg(
+            s=("s", "max"), n=("s", "size")).reset_index()
+        g["shard"] = hash_shards(g["custkey"].to_numpy(), 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _skyline(spend: np.ndarray, n_orders: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask: 2-D skyline via sort + strictly-higher-
+        spend prefix max (rows of one spend level share that prefix)."""
+        if len(spend) == 0:
+            return np.zeros(0, bool)
+        order = np.lexsort((-n_orders, -spend))
+        sp, no = spend[order], n_orders[order]
+        # prefix max of n_orders over STRICTLY greater spend levels
+        new_level = np.r_[True, sp[1:] != sp[:-1]]
+        level_id = np.cumsum(new_level) - 1
+        # running max at the END of each level, then shift one level
+        level_max = np.maximum.reduceat(no, np.where(new_level)[0])
+        prev = np.r_[-np.inf, np.maximum.accumulate(level_max)[:-1]]
+        # survive iff better than every strictly-higher-spend point AND
+        # tied with this level's best count (same-level points with a
+        # lower count are dominated strictly on the count axis)
+        keep_sorted = (no > prev[level_id]) & (no == level_max[level_id])
+        keep = np.zeros(len(spend), bool)
+        keep[order] = keep_sorted
+        return keep
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("custkey", sort=False).agg(
+            s=("s", "max"), n=("n", "sum")).reset_index()
+        max_price = g["s"].to_numpy(np.float64)  # data value: exact
+        n_orders = g["n"].to_numpy(np.int64)
+        keep = _skyline(max_price, n_orders)
+        out = pd.DataFrame({
+            "c_custkey": g["custkey"].to_numpy(np.int64)[keep],
+            "max_price": max_price[keep],
+            "n_orders": n_orders[keep],
+        })
+        out["one"] = np.zeros(len(out), np.int32)
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_candidates:
+            raise ValueError(
+                f"{len(df)} local-frontier candidates exceed "
+                f"max_candidates={max_candidates}; the metrics are "
+                "anti-correlated enough that the skyline is a large "
+                "fraction of the population — this operator's output "
+                "contract (small frontier) does not hold for this data")
+        keep = _skyline(df["max_price"].to_numpy(),
+                        df["n_orders"].to_numpy(np.int64))
+        out = df.loc[keep, ["c_custkey", "max_price", "n_orders"]]
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
+    return (
+        orders_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+        .groupby("one").map_groups(_final, batch_format="pandas")
+    )
+
+
+def _q_pareto(sf_dir: str):
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return customer_pareto_frontier(orders)
+
+
+register(
+    "customer_pareto_frontier",
+    _q_pareto,
+    """
+    WITH s AS (
+        SELECT o_custkey AS c_custkey,
+               max(o_totalprice) AS max_price,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, max_price, n_orders FROM s a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.max_price >= a.max_price AND b.n_orders >= a.n_orders
+          AND (b.max_price > a.max_price OR b.n_orders > a.n_orders)
+    )
+    """,
+)

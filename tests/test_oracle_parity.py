@@ -152,6 +152,8 @@ SUBSET = [
     "doc_bm25_topk",
     # global exact Jaccard join via prefix filtering (no quadratic block)
     "jaccard_prefix_join",
+    # 2-D Pareto frontier (skyline) with exact tie semantics
+    "customer_pareto_frontier",
 ]
 
 

@@ -423,3 +423,45 @@ class TestMadOutliers:
             np.testing.assert_array_equal(
                 sub["is_outlier"].to_numpy().astype(bool), want)
         assert out["is_outlier"].sum() >= 6  # planted spikes caught
+
+
+class TestParetoFrontier:
+    def test_matches_brute_force_with_ties(self, ray_session):
+        """The distributed skyline must equal the O(n^2) dominance test,
+        including exact ties on both metrics (all tied points stay)."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.relational import (
+            customer_pareto_frontier,
+        )
+
+        rng = np.random.default_rng(21)
+        n = 400
+        cust = rng.integers(0, 120, n)
+        price = np.round(rng.uniform(10, 1000, n), 2)
+        # plant an exact two-way tie at a frontier-ish corner
+        price[cust == 5] = 0.0
+        price[np.where(cust == 5)[0][:1]] = 999.5
+        price[np.where(cust == 7)[0][:1]] = 999.5
+        t = pa.table({
+            "o_custkey": pa.array(cust, pa.int64()),
+            "o_totalprice": pa.array(price, pa.float64()),
+        })
+        got = customer_pareto_frontier(
+            ray.data.from_arrow(t)).to_pandas()
+
+        df = pd.DataFrame({"c": cust, "p": price})
+        agg = df.groupby("c").agg(mx=("p", "max"), n=("p", "size"))
+        pts = list(agg.itertuples())
+        exp = []
+        for a in pts:
+            dominated = any(
+                b.mx >= a.mx and b.n >= a.n and (b.mx > a.mx or b.n > a.n)
+                for b in pts if b.Index != a.Index)
+            if not dominated:
+                exp.append((a.Index, a.mx, a.n))
+        exp.sort()
+        got_t = [tuple(r) for r in got[
+            ["c_custkey", "max_price", "n_orders"]].to_numpy()]
+        assert [(int(a), float(b), int(c)) for a, b, c in got_t] == \
+            [(int(a), float(b), int(c)) for a, b, c in exp]
