@@ -252,6 +252,12 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("events_type_pmi", sf_dir)),
             ("customer_spend_gini",
              lambda: bench_query("customer_spend_gini", sf_dir)),
+            ("returned_item_revenue",
+             lambda: bench_query("returned_item_revenue", sf_dir)),
+            ("doc_bm25_topk",
+             lambda: bench_query("doc_bm25_topk", sf_dir)),
+            ("customer_pareto_frontier",
+             lambda: bench_query("customer_pareto_frontier", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]
