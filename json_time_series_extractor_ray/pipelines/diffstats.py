@@ -453,3 +453,136 @@ register(
     FROM counts WHERE count_a <> count_b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend) over window means
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5   # exact binary fractions: the recursion is then the
+HOLT_BETA = 0.25   # SAME IEEE op sequence in numpy and in the SQL CTE
+
+
+def holt_smooth(samples_ds, *, window_ns: int, alpha: float = HOLT_ALPHA,
+                beta: float = HOLT_BETA, round_digits: int = 6,
+                num_shards: int = _SHARDS):
+    """Per-series Holt linear smoothing over window means: level
+    ``l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})``, trend
+    ``b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}`` (init ``l_1 = y_1``,
+    ``b_1 = 0``), plus the one-step-ahead forecast ``l_t + b_t`` — the
+    classic short-horizon forecaster for dashboard-style series.
+
+    Scale shape: window means come from the usual per-block (n, sum)
+    combiner, but the ONE shuffle shards by SERIES (not window): the
+    recursion is sequential per series, so a group task must see all
+    of a series' windows in order — per-series state is the operator's
+    inherent frontier, bounded by retention/window (e.g. one year of
+    1h windows = 8,760 rows per series), never by sample count.  The
+    per-series time loop is O(windows) Python, amortized over the
+    vectorized window aggregation that reduced samples to windows.
+
+    Hash parity: y is the repo's canonical rounded mean
+    (``round(round(sum,6)/n,6)``); alpha/beta default to exact binary
+    fractions so both engines execute the identical IEEE float64
+    sequence — the recursion needs NO intermediate rounding to hash
+    exactly (pinned by the oracle at two scales).
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _smooth(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        out_l = np.empty(len(g))
+        out_b = np.empty(len(g))
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            l = y[lo]
+            b = 0.0
+            out_l[lo], out_b[lo] = l, b
+            for i in range(lo + 1, hi):
+                l_new = alpha * y[i] + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                l = l_new
+                out_l[i], out_b[i] = l, b
+        return pd.DataFrame({
+            "series_key": series,
+            "window_ns": g["window_ns"].to_numpy(np.int64),
+            "y": y,
+            "level": round_half_away(out_l, round_digits),
+            "trend": round_half_away(out_b, round_digits),
+            "forecast_next": round_half_away(out_l + out_b, round_digits),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_smooth, batch_format="pandas")
+    )
+
+
+def _q_holt(sf_dir: str):
+    return holt_smooth(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_holt_1h",
+    _q_holt,
+    f"""
+    WITH RECURSIVE m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY series_key ORDER BY window_ns) AS rn
+        FROM m
+    ),
+    h(series_key, rn, window_ns, y, l, b) AS (
+        SELECT series_key, rn, window_ns, y, y, CAST(0.0 AS DOUBLE)
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.series_key, r.rn, r.window_ns, r.y,
+               0.5 * r.y + 0.5 * (h.l + h.b),
+               0.25 * ((0.5 * r.y + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+        FROM h JOIN r
+          ON r.series_key = h.series_key AND r.rn = h.rn + 1
+    )
+    SELECT series_key, window_ns, y,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM h
+    """,
+)

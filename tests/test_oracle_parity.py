@@ -154,6 +154,8 @@ SUBSET = [
     "jaccard_prefix_join",
     # 2-D Pareto frontier (skyline) with exact tie semantics
     "customer_pareto_frontier",
+    # Holt double exponential smoothing (bit-exact recursion parity)
+    "events_holt_1h",
 ]
 
 
