@@ -307,6 +307,78 @@ def _q_retention(sf_dir: str):
     return ladder_for_compare(retention_expire(ladder))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Min-max decimation (plot-oriented: keep each bucket's extremes)
+# ---------------------------------------------------------------------------
+
+def minmax_decimate(samples_ds, *, bucket_ns: int):
+    """Per (series, time bucket): the min-value point and the max-value
+    point with their REAL timestamps (kind = 'min' / 'max'; a
+    single-point bucket emits both kinds for that point) — the
+    decimation that preserves envelopes/spikes for plotting where mean
+    rollups smooth them away.  Ties on value resolve to the earliest
+    ``(ts, doc_id, ordinal)`` in the engine's total order.
+
+    Scale shape (the ``hopping_rollup`` discipline): each block reduces
+    to at most one min- and one max-candidate row per (series, bucket)
+    BEFORE the exchange, so the one shard shuffle moves bounded
+    partials, never raw samples — one giant series costs the same as
+    many small ones.
+    """
+    from ._util import hash_shards
+
+    cols = ["series_key", "bucket_ns", "ts_ns", "value_num",
+            "doc_id", "ordinal"]
+
+    def _extreme(df, ascending_value):
+        return df.sort_values(
+            ["series_key", "bucket_ns", "value_num", "ts_ns", "doc_id",
+             "ordinal"],
+            ascending=[True, True, ascending_value, True, True, True],
+            kind="mergesort",
+        ).drop_duplicates(["series_key", "bucket_ns"], keep="first")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "series_key": batch.column("series_key").to_pandas(),
+            "ts_ns": batch.column("ts_ns").to_numpy(zero_copy_only=False),
+            "value_num": batch.column("value_num")
+            .to_numpy(zero_copy_only=False),
+            "doc_id": batch.column("doc_id").to_pandas(),
+            "ordinal": batch.column("ordinal")
+            .to_numpy(zero_copy_only=False),
+        })
+        df["bucket_ns"] = df["ts_ns"] // bucket_ns * bucket_ns
+        lo = _extreme(df, True).assign(kind="min")
+        hi = _extreme(df, False).assign(kind="max")
+        out = pd.concat([lo[cols + ["kind"]], hi[cols + ["kind"]]],
+                        ignore_index=True)
+        out["shard"] = hash_shards(out["series_key"], 64,
+                                   mix=out["bucket_ns"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        lo = _extreme(df[df["kind"] == "min"], True)
+        hi = _extreme(df[df["kind"] == "max"], False)
+        out = pd.concat([lo, hi], ignore_index=True)
+        return out[["series_key", "bucket_ns", "kind", "ts_ns",
+                    "value_num"]]
+
+    return (
+        samples_ds.map_batches(_numeric_samples, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+    )
+
+
+def _q_minmax(sf_dir: str):
+    return minmax_decimate(_events_samples(sf_dir),
+                           bucket_ns=WINDOW_NS["1h"])
+
+
 def _register_queries() -> None:
     from ._events_sql import EVENTS_NUMERIC_SQL
     from .registry import register
@@ -333,6 +405,41 @@ def _register_queries() -> None:
     # LTTB's iterative bucket selection is not SQL-expressible: rows-only
     # driver check; exactness pinned by tests/test_downsample.py.
     register("events_lttb_downsample", _q_lttb)
+
+    bucket = WINDOW_NS["1h"]
+    register(
+        "events_minmax_1h",
+        _q_minmax,
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        b AS (
+            SELECT series_key, ts_ns - ts_ns % {bucket} AS bucket_ns,
+                   ts_ns, value_num, doc_id, ordinal
+            FROM num
+        ),
+        lo AS (
+            SELECT series_key, bucket_ns, 'min' AS kind, ts_ns, value_num,
+                   row_number() OVER (
+                       PARTITION BY series_key, bucket_ns
+                       ORDER BY value_num, ts_ns, doc_id, ordinal
+                   ) AS rn
+            FROM b
+        ),
+        hi AS (
+            SELECT series_key, bucket_ns, 'max' AS kind, ts_ns, value_num,
+                   row_number() OVER (
+                       PARTITION BY series_key, bucket_ns
+                       ORDER BY value_num DESC, ts_ns, doc_id, ordinal
+                   ) AS rn
+            FROM b
+        )
+        SELECT series_key, bucket_ns, kind, ts_ns, value_num
+        FROM lo WHERE rn = 1
+        UNION ALL
+        SELECT series_key, bucket_ns, kind, ts_ns, value_num
+        FROM hi WHERE rn = 1
+        """,
+    )
 
     register(
         "events_rate_increase",

@@ -156,6 +156,8 @@ SUBSET = [
     "customer_pareto_frontier",
     # Holt double exponential smoothing (bit-exact recursion parity)
     "events_holt_1h",
+    # min-max decimation (bounded per-block extreme candidates)
+    "events_minmax_1h",
 ]
 
 
