@@ -67,8 +67,11 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     latest right row with right.ts <= left.ts (DuckDB ``ON l.ts >= r.ts``);
     ``'forward'`` attaches the EARLIEST right row with right.ts >= left.ts
     (DuckDB ``ON l.ts <= r.ts``) — the "next scheduled event" shape.
-    Both directions compose with ``bucket_ns`` (backward carries bucket
-    closings forward; forward carries bucket openings backward).
+    ``'nearest'`` attaches whichever candidate minimizes |delta|, with an
+    exact tie going to the backward (earlier) row.  Backward/forward
+    compose with ``bucket_ns`` (backward carries bucket closings forward;
+    forward carries bucket openings backward); nearest does not (it would
+    need both carries) and rejects the combination loudly.
 
     ``left_cols`` / ``right_cols``: {column_name: pyarrow_type} carried
     from each side.  The right side is deduped to one row per (key, ts)
@@ -84,10 +87,18 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     injects each bucket's latest earlier right row.  Output is
     value-identical to the unbucketed path (pinned by test).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}")
     if tolerance_ns is not None and tolerance_ns < 0:
         raise ValueError(f"tolerance_ns must be >= 0, got {tolerance_ns}")
+    if bucket_ns is not None and direction == "nearest":
+        # nearest needs BOTH the forward carry (bucket openings) and the
+        # backward carry (bucket closings) injected per bucket; only the
+        # single-direction carries exist today.
+        raise ValueError(
+            "direction='nearest' does not compose with bucket_ns yet — "
+            "run it unbucketed or use backward/forward")
     if bucket_ns is not None:
         return _asof_join_bucketed(
             left_ds, right_ds, by=by, left_ts=left_ts, right_ts=right_ts,
@@ -139,13 +150,28 @@ def _make_merge(left_names, right_names, direction: str = "backward",
             matched = idx >= 0
             if tolerance_ns is not None:
                 matched &= (l_ts - r_ts[np.maximum(idx, 0)]) <= tolerance_ns
-        else:  # forward: earliest right row with r_ts >= l_ts
+        elif direction == "forward":  # earliest right row with r_ts >= l_ts
             idx = np.searchsorted(r_ts, l_ts, side="left")
             matched = idx < len(r_ts)
             if tolerance_ns is not None:
                 matched &= (
                     r_ts[np.minimum(idx, len(r_ts) - 1)] - l_ts
                 ) <= tolerance_ns
+        else:  # nearest: min |delta|, exact tie -> the backward candidate
+            bidx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            fidx = np.searchsorted(r_ts, l_ts, side="left")
+            has_b = bidx >= 0
+            has_f = fidx < len(r_ts)
+            big = np.iinfo(np.int64).max
+            d_b = np.where(has_b, l_ts - r_ts[np.maximum(bidx, 0)], big)
+            d_f = np.where(has_f,
+                           r_ts[np.minimum(fidx, len(r_ts) - 1)] - l_ts, big)
+            use_b = has_b & (~has_f | (d_b <= d_f))
+            idx = np.where(use_b, np.maximum(bidx, 0),
+                           np.minimum(fidx, len(r_ts) - 1))
+            matched = has_b | has_f
+            if tolerance_ns is not None:
+                matched &= np.minimum(d_b, d_f) <= tolerance_ns
         if not matched.any():
             return empty
         left_m = left[matched]
@@ -528,5 +554,114 @@ register(
     FROM events e
     ASOF JOIN deduped d
       ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+
+
+def _q_click_nearest_purchase(sf_dir: str):
+    """Nearest as-of through the driver gate: each click matched to its
+    user's nearest-in-time purchase (either direction; exact-tie ->
+    the earlier purchase).  Clicks and purchases interleave through the
+    whole fixture window, so BOTH branches carry real traffic — unlike
+    the orders/events pairing, where one side always precedes the
+    other and nearest would degenerate to a single direction."""
+    import pyarrow.compute as pc
+    import ray
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def _clicks(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "__key": t.column("user_id"),
+        })
+
+    def _purchases(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        # carried in MICROSECONDS: the co-partition union nulls this col
+        # on left rows, so pandas upcasts it to float64 — epoch-us
+        # (~1.7e15) survives float64 exactly, epoch-ns (~1.7e18) loses
+        # its low bits (~256 ns quantization).  The fixture stores us
+        # timestamps, so the cast is lossless.
+        return pa.table({
+            "__key": t.column("user_id"),
+            "ts": t.column("ts"),
+            "purchase_id": t.column("event_id"),
+            "p_ts_us": t.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+        })
+
+    joined = asof_join(
+        events.map_batches(_clicks, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        events.map_batches(_purchases, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        by="__key", left_ts="ts", right_ts="ts",
+        left_cols={"event_id": pa.int64()},
+        right_cols={"purchase_id": pa.int64(), "p_ts_us": pa.int64()},
+        direction="nearest",
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        ts = batch.column("__ts").to_numpy(zero_copy_only=False)
+        pts = batch.column("p_ts_us").to_numpy(zero_copy_only=False) * 1000
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "ts_ns": batch.column("__ts"),
+            "user_id": batch.column("__by").cast(pa.int64()),
+            "purchase_id": batch.column("purchase_id"),
+            "dist_ns": pa.array(np.abs(ts - pts), pa.int64()),
+        })
+
+    return joined.map_batches(_shape, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "events_click_nearest_purchase",
+    _q_click_nearest_purchase,
+    # nearest = the better of DuckDB's backward and forward ASOF LEFT
+    # picks, exact tie -> backward; purchases deduped per (user, ts) by
+    # max event_id exactly like the engine's keep-last rule.
+    """
+    WITH cl AS (
+        SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ),
+    pr AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    d AS (SELECT user_id, ts, event_id FROM pr WHERE rn = 1),
+    b AS (
+        SELECT c.event_id, c.ts_ns, c.user_id,
+               p.event_id AS b_id, epoch_ns(p.ts) AS b_ts
+        FROM cl c ASOF LEFT JOIN d p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    f AS (
+        SELECT c.event_id, p.event_id AS f_id, epoch_ns(p.ts) AS f_ts
+        FROM cl c ASOF LEFT JOIN d p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT b.event_id, b.ts_ns, b.user_id,
+           CASE WHEN f.f_id IS NULL
+                     OR (b.b_id IS NOT NULL
+                         AND (b.ts_ns - b.b_ts) <= (f.f_ts - b.ts_ns))
+                THEN b.b_id ELSE f.f_id END AS purchase_id,
+           CASE WHEN f.f_id IS NULL
+                     OR (b.b_id IS NOT NULL
+                         AND (b.ts_ns - b.b_ts) <= (f.f_ts - b.ts_ns))
+                THEN b.ts_ns - b.b_ts ELSE f.f_ts - b.ts_ns END AS dist_ns
+    FROM b JOIN f USING (event_id)
+    WHERE b.b_id IS NOT NULL OR f.f_id IS NOT NULL
     """,
 )

@@ -427,3 +427,73 @@ class TestTolerance:
             flat.sort_values(key, ignore_index=True)[key],
             buck.sort_values(key, ignore_index=True)[key],
         )
+
+
+class TestNearestAsof:
+    def test_matches_bruteforce_with_ties(self, ray_session):
+        """direction='nearest' must pick min |delta| with exact ties
+        going to the backward (earlier) candidate — verified against a
+        brute-force scan on random data with planted exact ties."""
+        import ray
+
+        rng = np.random.default_rng(11)
+        n_l, n_r = 300, 120
+        keys = np.array(["a", "b", "c"])
+        lk = keys[rng.integers(0, 3, n_l)]
+        lts = rng.integers(0, 10_000, n_l)
+        rk = keys[rng.integers(0, 3, n_r)]
+        rts = rng.integers(0, 10_000, n_r)
+        # planted exact tie: left at 5000 with right rows at 4990/5010
+        lk[0], lts[0] = "a", 5000
+        rk[0], rts[0] = "a", 4990
+        rk[1], rts[1] = "a", 5010
+        left = pa.table({
+            "__key": pa.array(lk), "ts": pa.array(lts, pa.int64()),
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+        })
+        right = pa.table({
+            "__key": pa.array(rk), "rts": pa.array(rts, pa.int64()),
+            "rval": pa.array(np.arange(n_r) + 1000, pa.int64()),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="__key", left_ts="ts", right_ts="rts",
+            left_cols={"lid": pa.int64()},
+            right_cols={"rval": pa.int64()},
+            direction="nearest",
+        ).to_pandas().sort_values("lid", ignore_index=True)
+
+        # brute force with the engine's dedup rule (per (key, ts) keep
+        # max rval) and tie -> backward
+        rdf = pd.DataFrame({"k": rk, "ts": rts, "rval": right["rval"]})
+        rdf = rdf.sort_values(["k", "ts", "rval"]).drop_duplicates(
+            ["k", "ts"], keep="last")
+        exp = {}
+        for i in range(n_l):
+            cand = rdf[rdf["k"] == lk[i]]
+            if cand.empty:
+                continue
+            d = np.abs(cand["ts"].to_numpy() - int(lts[i]))
+            best = d.min()
+            tied = cand[d == best]
+            # tie -> smaller ts (backward)
+            exp[i] = int(tied.sort_values("ts").iloc[0]["rval"])
+        got = dict(zip(out["lid"], out["rval"]))
+        assert got == exp
+        # the planted tie resolved backward
+        tie_val = got[0]
+        assert tie_val == int(rdf[(rdf["k"] == "a")
+                                  & (rdf["ts"] == 4990)]["rval"].iloc[0])
+
+    def test_nearest_rejects_bucketing(self, ray_session):
+        import pytest
+        import ray
+
+        t = pa.table({"__key": ["a"], "ts": pa.array([1], pa.int64()),
+                      "v": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError, match="nearest"):
+            asof_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                      by="__key", left_ts="ts", right_ts="ts",
+                      left_cols={"v": pa.int64()},
+                      right_cols={"v": pa.int64()},
+                      direction="nearest", bucket_ns=100)

@@ -158,6 +158,8 @@ SUBSET = [
     "events_holt_1h",
     # min-max decimation (bounded per-block extreme candidates)
     "events_minmax_1h",
+    # nearest-direction as-of join (both time branches carry traffic)
+    "events_click_nearest_purchase",
 ]
 
 
