@@ -2000,3 +2000,162 @@ register(
     )
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_9"
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def volume_shipping(sf_dir: str):
+    """TPC-H Q7: lineitem revenue flowing between two specific nations
+    (supplier nation != customer nation, both directions), grouped by
+    (supp_nation, cust_nation, ship year) over a two-year ship window.
+
+    Scale shape: the two-nation predicates prune customer AND supplier
+    at the read (isin row filter), and the ship-date range prunes
+    lineitem the same way; the join tree runs narrowest-first —
+    lineitem ⋈ orders (orderkey), ⋈ two-nation customers (custkey),
+    ⋈ two-nation suppliers (suppkey) — so out-of-window and
+    out-of-nation rows never reach the later exchanges.  The
+    cross-pair constraint (supp != cust nation) is a vectorized
+    post-join filter, names attach via a 2-row broadcast, and the
+    final aggregate is a per-block (pair, year) combiner + one tiny
+    shard merge — at most 2 pairs x |years| rows move.
+    """
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from ._util import hash_shards
+    from .joins import join_output_schema, parquet_schema, shuffle_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    nk = {v: k for k, v in names.items()}
+    keys = sorted((nk[Q7_NATION_A], nk[Q7_NATION_B]))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(keys),
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(keys),
+    )
+    lo = _dt.datetime.fromisoformat(Q7_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q7_DATE_HI)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def _vol(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        year = batch.column("l_shipdate").cast(pa.timestamp("ns")) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "l_year": pa.array(year, pa.int64()),
+            "vol": rev,
+        })
+
+    li = li.map_batches(_vol, batch_format="pyarrow", zero_copy_batch=True)
+    lp = f"{sf_dir}/lineitem.parquet"
+    li_schema = pa.schema([
+        ("l_orderkey", parquet_schema(lp, ["l_orderkey"])
+         .field("l_orderkey").type),
+        ("l_suppkey", parquet_schema(lp, ["l_suppkey"])
+         .field("l_suppkey").type),
+        ("l_year", pa.int64()),
+        ("vol", pa.float64()),
+    ])
+    orders_schema = parquet_schema(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
+    cust_schema = parquet_schema(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"])
+    supp_schema = parquet_schema(
+        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"])
+
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      left_schema=li_schema, right_schema=orders_schema)
+    j1_schema = join_output_schema(li_schema, orders_schema,
+                                   on="l_orderkey", right_on="o_orderkey")
+    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                      left_schema=j1_schema, right_schema=cust_schema)
+    j2_schema = join_output_schema(j1_schema, cust_schema,
+                                   on="o_custkey", right_on="c_custkey")
+    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey",
+                      left_schema=j2_schema, right_schema=supp_schema)
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("c_nationkey"),
+                            batch.column("s_nationkey"))
+        t = batch.filter(keep)
+        sup = t.column("s_nationkey").to_pandas().map(names)
+        cus = t.column("c_nationkey").to_pandas().map(names)
+        g = pd.DataFrame({
+            "supp_nation": sup,
+            "cust_nation": cus,
+            "l_year": t.column("l_year").to_numpy(zero_copy_only=False),
+            "vol": t.column("vol").to_numpy(zero_copy_only=False),
+        }).groupby(["supp_nation", "cust_nation", "l_year"],
+                   sort=False)["vol"].sum().reset_index()
+        g["shard"] = hash_shards(g["l_year"].to_numpy(), 8)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                       sort=True)["vol"].sum().reset_index()
+        return pd.DataFrame({
+            "supp_nation": g["supp_nation"].astype(str),
+            "cust_nation": g["cust_nation"].astype(str),
+            "l_year": g["l_year"].astype(np.int64),
+            "revenue": round_half_away(g["vol"].to_numpy(), 2),
+        })
+
+    return (
+        j3.map_batches(_cross, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+    )
+
+
+register(
+    "volume_shipping",
+    volume_shipping,
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+        OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+      AND l.l_shipdate >= DATE '{Q7_DATE_LO}'
+      AND l.l_shipdate < DATE '{Q7_DATE_HI}'
+    GROUP BY 1, 2, 3
+    """,
+)

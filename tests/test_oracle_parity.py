@@ -160,6 +160,8 @@ SUBSET = [
     "events_minmax_1h",
     # nearest-direction as-of join (both time branches carry traffic)
     "events_click_nearest_purchase",
+    # TPC-H Q7 volume shipping (dual-nation join tree)
+    "volume_shipping",
 ]
 
 
