@@ -850,3 +850,137 @@ def _window_pcts_sql() -> str:
 
 register("events_window_percentiles_1h", _q_window_percentiles,
          _window_pcts_sql())
+
+
+# ---------------------------------------------------------------------------
+# HLL tier cascade: distinct users per day, direct vs merged-from-1h
+# ---------------------------------------------------------------------------
+
+HLL_TIER_P = 8  # 256 registers/window (~6.5% se) — windows are many, keep
+                # the per-window state small; the CASCADE property being
+                # demonstrated is register-exact at any p
+
+HOUR_NS_HLL = 3_600_000_000_000
+DAY_NS_HLL = 24 * HOUR_NS_HLL
+
+
+def hll_window_cascade(events_ds, *, p: int = HLL_TIER_P,
+                       num_shards: int = 32):
+    """Distinct-user estimates per DAY computed two ways — directly from
+    raw events, and by max-merging the 1h tier's HLL registers up to 1d
+    — demonstrating the property exact distinct counts lack: HLL
+    registers CASCADE through the retention ladder (1m->1h->1d) exactly
+    like sum/count/min/max do, so coarser tiers derive from finer tiers
+    without re-reading raw data.  Register max-merge is associative, so
+    ``est_cascaded == est_direct`` REGISTER-EXACTLY (asserted per row in
+    the output and pinned with an error-vs-exact bound in pytest).
+
+    Scale shape: the per-block combiner emits one (window, registers)
+    row per block x 1h window (2^p bytes each, never raw events); each
+    tier merge is one window-sharded groupby over those partials; the
+    final day-level join of the two paths moves |days| rows.
+    """
+    import functools  # noqa: F401
+
+    def _partials(day_key: bool):
+        window_ns = DAY_NS_HLL if day_key else HOUR_NS_HLL
+
+        def _fn(batch: pa.Table) -> pa.Table:
+            from ._util import hash_shards
+
+            m = 1 << p
+            ts = batch.column("ts").cast(pa.timestamp("ns")) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            win = ts // window_ns * window_ns
+            vals = batch.column("user_id").to_pandas().astype(str)
+            h = _hash64(vals)
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = h << np.uint64(p)
+            lz = np.full(len(h), 64 - p, dtype=np.int64)
+            nz = rest != 0
+            top = np.zeros(len(h), dtype=np.int64)
+            top[nz] = 63 - np.floor(
+                np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+            lz[nz] = top[nz]
+            rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+            order = np.argsort(win, kind="stable")
+            starts = np.r_[0, np.where(np.diff(win[order]) != 0)[0] + 1]
+            uwins = win[order][starts]
+            blobs = []
+            ends = np.r_[starts[1:], len(order)]
+            for s, e in zip(starts, ends):
+                regs = np.zeros(m, dtype=np.uint8)
+                sel = order[s:e]
+                np.maximum.at(regs, idx[sel], rank[sel])
+                blobs.append(regs.tobytes())
+            return pa.table({
+                "window_ns": pa.array(uwins, pa.int64()),
+                "registers": pa.array(blobs, pa.binary()),
+                "shard": pa.array(hash_shards(uwins, num_shards),
+                                  pa.int32()),
+            })
+        return _fn
+
+    def _merge_regs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for w, g in df.groupby("window_ns", sort=True):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for blob in g["registers"]:
+                merged = np.maximum(merged,
+                                    np.frombuffer(blob, dtype=np.uint8))
+            rows.append((int(w), merged.tobytes()))
+        return pd.DataFrame(rows, columns=["window_ns", "registers"])
+
+    def _tier(ds, keyer):
+        return (
+            ds.map_batches(keyer, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("shard").map_groups(_merge_regs,
+                                         batch_format="pandas")
+        )
+
+    hourly = _tier(events_ds, _partials(day_key=False))
+
+    def _to_day(batch: pa.Table) -> pa.Table:
+        from ._util import hash_shards
+
+        day = batch.column("window_ns").to_numpy(zero_copy_only=False) \
+            // DAY_NS_HLL * DAY_NS_HLL
+        return pa.table({
+            "window_ns": pa.array(day, pa.int64()),
+            "registers": batch.column("registers"),
+            "shard": pa.array(hash_shards(day, num_shards), pa.int32()),
+        })
+
+    cascaded = _tier(hourly, _to_day)
+    direct = _tier(events_ds, _partials(day_key=True))
+
+    # day-level: tiny relations (|days| rows) -> driver-side align
+    c = cascaded.to_pandas().set_index("window_ns")
+    d = direct.to_pandas().set_index("window_ns")
+    days = sorted(set(c.index) | set(d.index))
+    out = []
+    for day in days:
+        rc = np.frombuffer(c.loc[day, "registers"], dtype=np.uint8)
+        rd = np.frombuffer(d.loc[day, "registers"], dtype=np.uint8)
+        out.append((
+            int(day),
+            round(hll_estimate([rc.tobytes()], p), 6),
+            round(hll_estimate([rd.tobytes()], p), 6),
+            bool(np.array_equal(rc, rd)),
+        ))
+    import ray
+    return ray.data.from_pandas(pd.DataFrame(
+        out, columns=["day_ns", "est_cascaded", "est_direct",
+                      "registers_equal"]))
+
+
+def _q_hll_cascade(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return hll_window_cascade(ds)
+
+
+register("events_hll_1d_cascade", _q_hll_cascade)  # approximate -> rows-only

@@ -955,3 +955,39 @@ class TestLshAnn:
             got = out[out["label"] == lab].sort_values("dim")["centroid"]
             np.testing.assert_allclose(got.to_numpy(), want, atol=1e-5)
         assert out["n"].unique().tolist() == [40]
+
+
+class TestHllCascade:
+    def test_cascade_register_exact_and_error_bounded(self, ray_session):
+        """1h->1d register max-merge must equal the direct-from-raw 1d
+        registers exactly (associativity), and the estimate must sit
+        within a loose multiple of the p=8 standard error vs exact."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            hll_window_cascade,
+        )
+
+        rng = np.random.default_rng(17)
+        n = 20_000
+        day = 86_400_000_000_000
+        start = 1_700_000_000_000_000_000 // day * day
+        ts = pa.array(
+            (start + rng.integers(0, 5 * day, n)).astype("datetime64[ns]"),
+            pa.timestamp("ns"))
+        users = pa.array(rng.integers(0, 800, n), pa.int64())
+        ds = ray.data.from_arrow(pa.table({"ts": ts, "user_id": users}))
+        out = hll_window_cascade(ds).to_pandas()
+        assert len(out) == 5
+        assert out["registers_equal"].all()
+        pd.testing.assert_series_equal(out["est_cascaded"],
+                                       out["est_direct"],
+                                       check_names=False)
+        # exact distinct per day for the error bound
+        tsn = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"d": tsn // day * day,
+                           "u": users.to_numpy(zero_copy_only=False)})
+        exact = df.groupby("d")["u"].nunique()
+        got = out.set_index("day_ns")["est_direct"]
+        rel = np.abs(got - exact) / exact
+        assert rel.max() < 0.25  # ~4x the p=8 standard error
