@@ -32,6 +32,22 @@ def hash_shards(values, num_shards: int, *, mix=None):
     return (h % np.uint64(num_shards)).astype(np.int32)
 
 
+def segment_sum(x, offsets):
+    """Per-segment sums of ``x`` for Arrow list ``offsets`` — the safe
+    twin of ``np.add.reduceat(x, offsets[:-1])``, which raises
+    ``IndexError`` when the LAST segment is empty (its start offset ==
+    len(x), out of bounds for reduceat) and silently returns ``x[i]``
+    for interior empty segments.  Non-empty segments reduce with the
+    exact same reduceat float semantics; empty segments are 0.0."""
+    n = len(offsets) - 1
+    if len(x) == 0:
+        return np.zeros(n)
+    starts = np.minimum(offsets[:-1], len(x) - 1)
+    sums = np.add.reduceat(x, starts).astype(np.float64, copy=False)
+    sums[offsets[1:] == offsets[:-1]] = 0.0
+    return sums
+
+
 def scratch_dir(name: str) -> str:
     """Per-purpose, per-process scratch directory under /tmp, wiped on
     reuse so repeated bench/correctness runs hold at most ONE copy per

@@ -793,21 +793,45 @@ def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
     clear error instead of silently exhausting driver memory — the fix is
     a tighter ``tau`` or finer blocking, not a bigger driver.
     """
-    import ray
-
     labels_ref = _cluster_labels_ref(emb_ds, tau=tau, max_edges=max_edges)
+    return _assign_clusters(emb_ds, labels_ref)
+
+
+def _uf_labels(edge_pairs) -> dict:
+    """Union-find over (a, b) int pairs with the min-root convention ->
+    {node: component-min} for every non-root member.  The ONE union-find
+    shared by the collect-based and forest-contraction cluster variants
+    (and their per-shard contraction tasks)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def _assign_clusters(emb_ds, labels_ref):
+    """Stream vec_id -> cluster_id through a broadcast label map."""
+    import ray
 
     def _assign(batch: pa.Table) -> pa.Table:
         table = ray.get(labels_ref)
         idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "cluster_id": pa.array(_lookup_labels(idn, table),
-                                       pa.int64()),
-            }
-        )
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster_id": pa.array(_lookup_labels(idn, table), pa.int64()),
+        })
 
     return emb_ds.select_columns(["vec_id"]).map_batches(
         _assign, batch_format="pyarrow", zero_copy_batch=True
@@ -837,24 +861,8 @@ def _cluster_labels_ref(emb_ds, *, tau: float, max_edges: int):
             "tighten the blocking, or raise max_edges deliberately."
         ) from exc
 
-    parent: dict = {}
-
-    def _find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for e in edges:
-        ra, rb = _find(int(e["vec_a"])), _find(int(e["vec_b"]))
-        if ra != rb:
-            # min-root convention -> cluster_id is the component minimum
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    labels = {x: _find(x) for x in list(parent)}
-    return ray.put(labels)
+    return ray.put(_uf_labels(
+        (e["vec_a"], e["vec_b"]) for e in edges))
 
 
 def _lookup_labels(idn: np.ndarray, table: dict) -> np.ndarray:
@@ -934,9 +942,9 @@ def cluster_representatives(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
         flat = col.values.to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         offsets = col.offsets.to_numpy(zero_copy_only=False)
-        sq = np.add.reduceat(flat * flat, offsets[:-1]) \
-            if len(flat) else np.zeros(0)
-        sq[np.diff(offsets) == 0] = 0.0
+        from ._util import segment_sum
+
+        sq = segment_sum(flat * flat, offsets)
         norm = round_half_away(np.sqrt(sq), 6)
         return pa.table({
             "cluster_id": pa.array(cluster, pa.int64()),
@@ -1214,23 +1222,10 @@ def near_dup_clusters_distributed(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
             num_shards), pa.int32()))
 
     def _local_forest(df: pd.DataFrame) -> pd.DataFrame:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in zip(df["vec_a"].to_numpy(), df["vec_b"].to_numpy()):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        nodes = np.fromiter(parent.keys(), np.int64, len(parent))
-        roots = np.array([find(int(n)) for n in nodes], np.int64)
+        labels = _uf_labels(zip(df["vec_a"].to_numpy(),
+                                df["vec_b"].to_numpy()))
+        nodes = np.fromiter(labels.keys(), np.int64, len(labels))
+        roots = np.fromiter(labels.values(), np.int64, len(labels))
         keep = nodes != roots
         return pd.DataFrame({"vec_a": nodes[keep], "vec_b": roots[keep]})
 
@@ -1241,36 +1236,20 @@ def near_dup_clusters_distributed(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
         .groupby("shard").map_groups(_local_forest, batch_format="pandas")
     )
 
-    edges = forest.take_all(limit=max_forest_edges)
-    parent: dict = {}
-
-    def _find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for e in edges:
-        ra, rb = _find(int(e["vec_a"])), _find(int(e["vec_b"]))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    labels_ref = ray.put({x: _find(x) for x in list(parent)})
-
-    def _assign(batch: pa.Table) -> pa.Table:
-        table = ray.get(labels_ref)
-        idn = batch.column("vec_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "cluster_id": pa.array(_lookup_labels(idn, table), pa.int64()),
-        })
-
-    return emb_ds.select_columns(["vec_id"]).map_batches(
-        _assign, batch_format="pyarrow", zero_copy_batch=True
-    )
+    try:
+        edges = forest.take_all(limit=max_forest_edges)
+    except ValueError as exc:
+        if isinstance(exc, ray.exceptions.RayTaskError):
+            raise
+        raise RuntimeError(
+            f"contracted spanning forest exceeds max_forest_edges="
+            f"{max_forest_edges} rows (~vectors WITH a near-dup); the "
+            "frontier itself is corpus-scale — raise tau, or re-shard "
+            "and contract the forest once more before collecting."
+        ) from exc
+    labels_ref = ray.put(_uf_labels(
+        (e["vec_a"], e["vec_b"]) for e in edges))
+    return _assign_clusters(emb_ds, labels_ref)
 
 
 register(
@@ -1350,8 +1329,6 @@ def jaccard_prefix_join(docs_ds, *, tau: float = PPJ_TAU, k: int = 3,
     the one that still runs when a real corpus's biggest language is
     the corpus.
     """
-    import ray  # noqa: F401
-
     from ._util import hash_shards, regex_trim
     from .joins import join_output_schema, shuffle_join
 
@@ -1395,8 +1372,7 @@ def jaccard_prefix_join(docs_ds, *, tau: float = PPJ_TAU, k: int = 3,
         g = pd.DataFrame({
             "shingle": batch.column("shingle").to_pandas(),
         }).groupby("shingle", sort=False).size().reset_index(name="df")
-        g["shard"] = (pd.util.hash_array(g["shingle"].to_numpy(object))
-                      % num_shards).astype(np.int32)
+        g["shard"] = hash_shards(g["shingle"], num_shards)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def _df_merge(df: pd.DataFrame) -> pd.DataFrame:

@@ -1758,7 +1758,7 @@ def returned_item_revenue(sf_dir: str, *, top_n: int = Q10_TOP_N):
 
     from ._util import hash_shards
     from .enrich import broadcast_join
-    from .joins import join_output_schema, parquet_schema, shuffle_join
+    from .joins import parquet_schema, shuffle_join
 
     import datetime as _dt
     lo = _dt.datetime.fromisoformat(Q10_DATE_LO)

@@ -107,23 +107,30 @@ def _hash64(values: pd.Series) -> np.ndarray:
     return pd.util.hash_array(values.to_numpy(dtype=object))
 
 
+def _hll_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes -> (register index, rank) — the ONE HLL kernel shared
+    by the corpus-level sketch and the tier-cascade operator so their
+    registers can never diverge."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # top (64-p) significant bits
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    nz = rest != 0
+    # log2 of the highest set bit -> leading zero count
+    top = np.zeros(len(h), dtype=np.int64)
+    top[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    lz[nz] = top[nz]
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    return idx, rank
+
+
 def hll_partial_batch(batch: pa.Table, column: str, p: int = HLL_P) -> pa.Table:
     """One block -> one HLL register row (the combiner)."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     vals = batch.column(column).to_pandas().astype(str)
     if len(vals):
-        h = _hash64(vals)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)  # top (64-p) significant bits
-        # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
-        lz = np.full(len(h), 64 - p, dtype=np.int64)
-        nz = rest != 0
-        # log2 of the highest set bit -> leading zero count
-        top = np.zeros(len(h), dtype=np.int64)
-        top[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        lz[nz] = top[nz]
-        rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+        idx, rank = _hll_ranks(_hash64(vals), p)
         np.maximum.at(regs, idx, rank)
     return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
 
@@ -880,8 +887,6 @@ def hll_window_cascade(events_ds, *, p: int = HLL_TIER_P,
     tier merge is one window-sharded groupby over those partials; the
     final day-level join of the two paths moves |days| rows.
     """
-    import functools  # noqa: F401
-
     def _partials(day_key: bool):
         window_ns = DAY_NS_HLL if day_key else HOUR_NS_HLL
 
@@ -893,16 +898,7 @@ def hll_window_cascade(events_ds, *, p: int = HLL_TIER_P,
                 .cast(pa.int64()).to_numpy(zero_copy_only=False)
             win = ts // window_ns * window_ns
             vals = batch.column("user_id").to_pandas().astype(str)
-            h = _hash64(vals)
-            idx = (h >> np.uint64(64 - p)).astype(np.int64)
-            rest = h << np.uint64(p)
-            lz = np.full(len(h), 64 - p, dtype=np.int64)
-            nz = rest != 0
-            top = np.zeros(len(h), dtype=np.int64)
-            top[nz] = 63 - np.floor(
-                np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-            lz[nz] = top[nz]
-            rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+            idx, rank = _hll_ranks(_hash64(vals), p)
             order = np.argsort(win, kind="stable")
             starts = np.r_[0, np.where(np.diff(win[order]) != 0)[0] + 1]
             uwins = win[order][starts]

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._util import round_half_away
+from ._util import round_half_away, segment_sum
 from .registry import register
 
 #: Fixed stopword list for quality scoring (kept tiny and mirrored
@@ -95,8 +95,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     is_stop = pc.is_in(flat_words, value_set=pa.array(STOPWORDS)).to_numpy(
         zero_copy_only=False
     ).astype(np.float64)
-    stop_counts = np.add.reduceat(is_stop, offsets[:-1]) if len(is_stop) else np.zeros(n_docs)
-    stop_counts[n_words == 0] = 0.0
+    stop_counts = segment_sum(is_stop, offsets)
 
     doc_idx = np.repeat(np.arange(n_docs), n_words)
     uniq = (
@@ -169,9 +168,7 @@ class LangIdStage:
             hits = pc.is_in(flat_words, value_set=table).to_numpy(
                 zero_copy_only=False
             ).astype(np.float64)
-            scores[li] = (
-                np.add.reduceat(hits, offsets[:-1]) / n_words if len(hits) else 0.0
-            )
+            scores[li] = segment_sum(hits, offsets) / n_words
         best = np.argmax(scores, axis=0)  # argmax takes first on ties
         preds = [_LANG_ORDER[i] for i in best]
         return pa.table(
@@ -306,7 +303,7 @@ def _q_events_type_stats(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-    from ._util import round_half_away
+    from ._util import round_half_away, segment_sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
@@ -1657,10 +1654,7 @@ def bm25_topk(docs_ds, *, queries: dict = BM25_QUERIES, k1: float = BM25_K1,
         for t in terms:
             hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
-            per_doc = np.add.reduceat(hit, offsets[:-1]) if len(hit) \
-                else np.zeros(n_docs)
-            if n_docs:
-                per_doc[n_words == 0] = 0.0
+            per_doc = segment_sum(hit, offsets)
             a.append(int((per_doc > 0).sum()))
         return pa.table({
             "key": pa.array(keys, pa.string()),
@@ -1694,11 +1688,7 @@ def bm25_topk(docs_ds, *, queries: dict = BM25_QUERIES, k1: float = BM25_K1,
         for t in terms:
             hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
-            per_doc = np.add.reduceat(hit, offsets[:-1]) if len(hit) \
-                else np.zeros(n_docs)
-            if n_docs:
-                per_doc[n_words == 0] = 0.0
-            tf[t] = per_doc
+            tf[t] = segment_sum(hit, offsets)
         ids = batch.column("doc_id").to_pandas()
         parts = []
         for qid, qterms in queries.items():

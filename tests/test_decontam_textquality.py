@@ -116,3 +116,31 @@ class TestTfidfKeywords:
         # all idf equal (each word df=1): alphabetical tiebreak
         assert list(d1["word"]) == ["a", "b"]
         assert len(out[out.doc_id == 2]) == 2
+
+
+class TestTrailingEmptyDoc:
+    def test_bm25_and_quality_survive_trailing_null_text(self, ray_session):
+        """A batch whose LAST doc tokenizes to zero words used to crash
+        np.add.reduceat with an out-of-bounds trailing offset; the
+        segment_sum helper must keep both kernels alive and correct."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.textstats import (
+            bm25_topk,
+            quality_batch,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["hash join order hash", "stream merge", None],
+                             pa.string()),
+        })
+        q = quality_batch(t)
+        assert q.num_rows == 3
+        assert q.column("n_words").to_pylist()[2] == 0
+
+        out = bm25_topk(ray.data.from_arrow(t)).to_pandas()
+        # doc 0 must rank first for query 0 ("hash join order")
+        q0 = out[out["query_id"] == 0].sort_values("score", ascending=False)
+        assert q0.iloc[0]["doc_id"] == 0
+        assert (out["doc_id"] != 2).all()  # the null doc scores nowhere
