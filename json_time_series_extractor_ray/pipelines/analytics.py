@@ -1350,3 +1350,102 @@ _register_mode(
     FROM r WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: event type x day-of-week
+# ---------------------------------------------------------------------------
+
+_DAY_NS_CHI = 86_400_000_000_000
+
+
+def type_dow_chi2(events_ds):
+    """Pearson chi-square contingency cells for (event_type,
+    day-of-week): observed count, expected under independence
+    ``E = row_total * col_total / N``, and the cell contribution
+    ``(O - E)^2 / E`` — the standard seasonality-independence screen
+    (is behaviour type independent of weekday?).
+
+    Scale shape: per-block (type, dow) count partials (bounded by
+    |types| x 7 per block) and ONE tiny merge task that holds the whole
+    contingency matrix — expectations need every row/column total, so
+    a single-task finish over dozens of cells is the right plan, not a
+    limitation.  Counts are exact int64; both engines evaluate the
+    identical rounded expression tree.  Day-of-week matches DuckDB's
+    ``dayofweek`` (0 = Sunday): epoch day + 4 mod 7.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = ((ts // _DAY_NS_CHI) + 4) % 7
+        g = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "dow": dow,
+        }).groupby(["event_type", "dow"], sort=False) \
+            .size().reset_index(name="n")
+        g["one"] = np.zeros(len(g), np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _chi2(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "dow"], sort=True)["n"].sum() \
+            .reset_index()
+        n_total = float(g["n"].sum())
+        row_tot = g.groupby("event_type")["n"].transform("sum") \
+            .to_numpy(np.float64)
+        col_tot = g.groupby("dow")["n"].transform("sum") \
+            .to_numpy(np.float64)
+        obs = g["n"].to_numpy(np.float64)
+        exp = round_half_away(row_tot * col_tot / n_total, 6)
+        contrib = round_half_away((obs - exp) * (obs - exp) / exp, 6)
+        return pd.DataFrame({
+            "event_type": g["event_type"].astype(str),
+            "dow": g["dow"].astype(np.int64),
+            "observed": g["n"].astype(np.int64),
+            "expected": exp,
+            "contrib": contrib,
+        })
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("one").map_groups(_chi2, batch_format="pandas")
+    )
+
+
+def _q_type_dow_chi2(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return type_dow_chi2(ds)
+
+
+from .registry import register as _register_chi2  # noqa: E402
+
+_register_chi2(
+    "events_type_dow_chi2",
+    _q_type_dow_chi2,
+    """
+    WITH c AS (
+        SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT c.*,
+               sum(n) OVER () AS n_total,
+               sum(n) OVER (PARTITION BY event_type) AS row_tot,
+               sum(n) OVER (PARTITION BY dow) AS col_tot
+        FROM c
+    )
+    SELECT event_type, dow, n AS observed,
+           round(CAST(row_tot AS DOUBLE) * col_tot / n_total, 6)
+               AS expected,
+           round((n - round(CAST(row_tot AS DOUBLE) * col_tot / n_total, 6))
+                 * (n - round(CAST(row_tot AS DOUBLE) * col_tot / n_total, 6))
+                 / round(CAST(row_tot AS DOUBLE) * col_tot / n_total, 6), 6)
+               AS contrib
+    FROM t
+    """,
+)

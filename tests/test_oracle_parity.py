@@ -162,6 +162,8 @@ SUBSET = [
     "events_click_nearest_purchase",
     # TPC-H Q7 volume shipping (dual-nation join tree)
     "volume_shipping",
+    # chi-square independence cells (type x day-of-week)
+    "events_type_dow_chi2",
 ]
 
 
