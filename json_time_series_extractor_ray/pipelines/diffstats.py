@@ -586,3 +586,134 @@ register(
     FROM h
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t: weekend vs weekday values per series
+# ---------------------------------------------------------------------------
+
+def welch_weekend_effect(samples_ds, *, round_digits: int = 6,
+                         num_shards: int = _SHARDS):
+    """Per series: Welch's t-statistic comparing weekend vs weekday
+    sample values (unequal-variance two-sample t) plus both group means
+    — the seasonality-effect screen that complements the chi-square
+    independence cells with an effect-size view.
+
+    Scale shape: the usual rounded-moments discipline — per-block
+    (series, is_weekend) partials carry (n, sum, sum-of-squares), one
+    series-sharded merge holds each series' TWO moment rows and
+    evaluates the identical IEEE expression both engines round the
+    same way.  Day-of-week matches DuckDB ``dayofweek`` (0 = Sunday,
+    6 = Saturday).
+    """
+    from ._util import hash_shards
+
+    day_ns = 86_400_000_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "wk": pa.array([], pa.int8()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "ss": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = ((ts // day_ns) + 4) % 7
+        v = t.column("value_num").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "wk": ((dow == 0) | (dow == 6)).astype(np.int8),
+            "v": v,
+            "vv": v * v,
+        })
+        g = df.groupby(["series_key", "wk"], sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")
+        ).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _welch(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "wk"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        ).reset_index()
+        wide = g.pivot(index="series_key", columns="wk",
+                       values=["n", "s", "ss"])
+        out_rows = []
+        for key, row in wide.iterrows():
+            n0, n1 = row.get(("n", 0), np.nan), row.get(("n", 1), np.nan)
+            if not (n0 >= 2 and n1 >= 2):
+                continue
+            s0 = round_half_away(np.array([row[("s", 0)]]), round_digits)[0]
+            s1 = round_half_away(np.array([row[("s", 1)]]), round_digits)[0]
+            ss0 = round_half_away(np.array([row[("ss", 0)]]),
+                                  round_digits)[0]
+            ss1 = round_half_away(np.array([row[("ss", 1)]]),
+                                  round_digits)[0]
+            m0, m1 = s0 / n0, s1 / n1
+            var0 = (ss0 - s0 * s0 / n0) / (n0 - 1)
+            var1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+            se2 = var0 / n0 + var1 / n1
+            if se2 <= 0:
+                continue
+            t_stat = (m1 - m0) / np.sqrt(se2)
+            out_rows.append((
+                key, int(n0), int(n1),
+                round_half_away(np.array([m0]), round_digits)[0],
+                round_half_away(np.array([m1]), round_digits)[0],
+                round_half_away(np.array([t_stat]), round_digits)[0],
+            ))
+        return pd.DataFrame(
+            out_rows, columns=["series_key", "n_weekday", "n_weekend",
+                               "mean_weekday", "mean_weekend", "t_stat"])
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_welch, batch_format="pandas")
+    )
+
+
+def _q_welch(sf_dir: str):
+    return welch_weekend_effect(_numeric_samples(sf_dir))
+
+
+register(
+    "events_weekend_welch_t",
+    _q_welch,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               CASE WHEN dayofweek(to_timestamp(ts_ns / 1000000000))
+                         IN (0, 6) THEN 1 ELSE 0 END AS wk,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value_num), 6) AS s6,
+               round(sum(value_num * value_num), 6) AS ss6
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT a.series_key,
+               a.n AS n0, b.n AS n1, a.s6 AS s0, b.s6 AS s1,
+               a.ss6 AS ss0, b.ss6 AS ss1
+        FROM m a JOIN m b
+          ON a.series_key = b.series_key AND a.wk = 0 AND b.wk = 1
+        WHERE a.n >= 2 AND b.n >= 2
+    )
+    SELECT series_key, n0 AS n_weekday, n1 AS n_weekend,
+           round(s0 / n0, 6) AS mean_weekday,
+           round(s1 / n1, 6) AS mean_weekend,
+           round((s1 / n1 - s0 / n0)
+                 / sqrt((ss0 - s0 * s0 / n0) / (n0 - 1) / n0
+                        + (ss1 - s1 * s1 / n1) / (n1 - 1) / n1), 6)
+               AS t_stat
+    FROM w
+    WHERE (ss0 - s0 * s0 / n0) / (n0 - 1) / n0
+          + (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 > 0
+    """,
+)

@@ -164,6 +164,8 @@ SUBSET = [
     "volume_shipping",
     # chi-square independence cells (type x day-of-week)
     "events_type_dow_chi2",
+    # Welch's t (weekend vs weekday values per series)
+    "events_weekend_welch_t",
 ]
 
 
