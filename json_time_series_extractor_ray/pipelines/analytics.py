@@ -1449,3 +1449,108 @@ _register_chi2(
     FROM t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-window SLO burn-rate alerts (hourly spike gated by daily rate)
+# ---------------------------------------------------------------------------
+
+_HOUR_NS_SLO = 3_600_000_000_000
+_DAY_NS_SLO = 24 * _HOUR_NS_SLO
+SLO_FAST_RATE = 0.21   # hourly error-rate alert line (budget 0.2 x 1.05)
+SLO_SLOW_RATE = 0.202  # daily gate (budget 0.2 x 1.01)
+
+
+def slo_burn_alerts(events_ds, *, fast_rate: float = SLO_FAST_RATE,
+                    slow_rate: float = SLO_SLOW_RATE, num_shards: int = 32):
+    """Multi-window burn-rate alerting (the SRE-workbook pattern): an
+    hour alerts only when ITS error rate crosses the fast line AND the
+    containing day's rate crosses the slow line — the long window
+    suppresses one-off blips, the short window catches fast burns
+    early.
+
+    Scale shape: per-block (hour, n, err) count partials; the ONE
+    shuffle shards by DAY, so a single group task holds one day's
+    <= 24 hourly rows and evaluates both window conditions locally —
+    no second exchange, no join between the two window sizes.  Rates
+    are round-6 of exact integer counts, so both engines compare the
+    identical numbers against the same literal thresholds.
+    """
+    import pyarrow.compute as pc
+
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hour = ts // _HOUR_NS_SLO * _HOUR_NS_SLO
+        err = pc.equal(batch.column("event_type"), "error") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"hour_ns": hour, "err": err}) \
+            .groupby("hour_ns", sort=False).agg(
+                n=("err", "size"), err=("err", "sum")).reset_index()
+        g["shard"] = hash_shards(
+            g["hour_ns"].to_numpy() // _DAY_NS_SLO, num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _alerts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hour_ns", sort=True).agg(
+            n=("n", "sum"), err=("err", "sum")).reset_index()
+        g["day_ns"] = g["hour_ns"] // _DAY_NS_SLO * _DAY_NS_SLO
+        d = g.groupby("day_ns")[["n", "err"]].transform("sum")
+        rate_1h = round_half_away(
+            g["err"].to_numpy(np.float64) / g["n"].to_numpy(np.float64), 6)
+        rate_1d = round_half_away(
+            d["err"].to_numpy(np.float64) / d["n"].to_numpy(np.float64), 6)
+        keep = (rate_1h >= fast_rate) & (rate_1d >= slow_rate)
+        return pd.DataFrame({
+            "hour_ns": g["hour_ns"].to_numpy(np.int64)[keep],
+            "n": g["n"].to_numpy(np.int64)[keep],
+            "err": g["err"].to_numpy(np.int64)[keep],
+            "rate_1h": rate_1h[keep],
+            "rate_1d": rate_1d[keep],
+        })
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_alerts, batch_format="pandas")
+    )
+
+
+def _q_slo_burn(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return slo_burn_alerts(ds)
+
+
+from .registry import register as _register_slo  # noqa: E402
+
+_register_slo(
+    "events_slo_burn_alerts",
+    _q_slo_burn,
+    f"""
+    WITH h AS (
+        SELECT epoch_ns(ts) // {_HOUR_NS_SLO} * {_HOUR_NS_SLO} AS hour_ns,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS err
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT h.*,
+               hour_ns // {_DAY_NS_SLO} * {_DAY_NS_SLO} AS day_ns,
+               sum(n) OVER (PARTITION BY hour_ns // {_DAY_NS_SLO}) AS dn,
+               sum(err) OVER (PARTITION BY hour_ns // {_DAY_NS_SLO}) AS derr
+        FROM h
+    )
+    SELECT hour_ns, n, err,
+           round(CAST(err AS DOUBLE) / n, 6) AS rate_1h,
+           round(CAST(derr AS DOUBLE) / dn, 6) AS rate_1d
+    FROM w
+    WHERE round(CAST(err AS DOUBLE) / n, 6) >= {SLO_FAST_RATE}
+      AND round(CAST(derr AS DOUBLE) / dn, 6) >= {SLO_SLOW_RATE}
+    """,
+)

@@ -166,6 +166,8 @@ SUBSET = [
     "events_type_dow_chi2",
     # Welch's t (weekend vs weekday values per series)
     "events_weekend_welch_t",
+    # multi-window SLO burn-rate alerts (day-sharded dual window)
+    "events_slo_burn_alerts",
 ]
 
 
