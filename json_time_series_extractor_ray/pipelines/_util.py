@@ -40,12 +40,20 @@ def segment_sum(x, offsets):
     for interior empty segments.  Non-empty segments reduce with the
     exact same reduceat float semantics; empty segments are 0.0."""
     n = len(offsets) - 1
+    out = np.zeros(n)
     if len(x) == 0:
-        return np.zeros(n)
-    starts = np.minimum(offsets[:-1], len(x) - 1)
-    sums = np.add.reduceat(x, starts).astype(np.float64, copy=False)
-    sums[offsets[1:] == offsets[:-1]] = 0.0
-    return sums
+        return out
+    offsets = np.asarray(offsets)
+    nonempty = offsets[1:] > offsets[:-1]
+    # reduceat over ONLY the non-empty segments' starts: those are
+    # strictly increasing and in bounds, and consecutive non-empty
+    # starts delimit exactly one original segment (empty segments in
+    # between don't advance the offsets), so float semantics match
+    # reduceat on the dense case bit for bit.  (Clipping out-of-range
+    # starts instead would silently TRUNCATE the preceding segment —
+    # the bug hypothesis found.)
+    out[nonempty] = np.add.reduceat(x, offsets[:-1][nonempty])
+    return out
 
 
 def scratch_dir(name: str) -> str:
