@@ -991,3 +991,25 @@ class TestHllCascade:
         got = out.set_index("day_ns")["est_direct"]
         rel = np.abs(got - exact) / exact
         assert rel.max() < 0.25  # ~4x the p=8 standard error
+
+
+class TestPrefixJoinGuard:
+    def test_hot_prefix_shingle_fails_loudly(self, ray_session):
+        """A shingle appearing in more doc prefixes than
+        max_prefix_group must abort with the actionable message, not
+        silently run a quadratic candidate group."""
+        import ray
+
+        text = "alpha bravo charlie delta echo"
+        t = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array([text] * 30),
+        })
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            jaccard_prefix_join,
+        )
+
+        with pytest.raises(Exception, match="max_prefix_group"):
+            jaccard_prefix_join(
+                ray.data.from_arrow(t), tau=0.5, max_prefix_group=10
+            ).to_pandas()
