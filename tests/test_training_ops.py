@@ -1013,3 +1013,50 @@ class TestPrefixJoinGuard:
             jaccard_prefix_join(
                 ray.data.from_arrow(t), tau=0.5, max_prefix_group=10
             ).to_pandas()
+
+
+class TestPQ:
+    def test_rerank_recall_codes_size_and_determinism(self, ray_session):
+        """PQ shortlist + exact re-rank: recall@5 vs brute force stays
+        high, codes are exactly m bytes per vector (the 16x/32x
+        compression claim), and the whole path is seeded-deterministic."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.similarity import (
+            brute_force_topk,
+            pq_encode,
+            pq_topk_rerank,
+            pq_train,
+        )
+
+        t, E = _emb_table(n=300, d=16, seed=3)
+        ds = ray.data.from_arrow(t)
+        qids = np.arange(6, dtype=np.int64)
+        Q = E[:6].astype(np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+        m = 4
+        cb = pq_train(ds, m=m, k=16)
+        codes = pq_encode(ds, cb).materialize()
+        blob = codes.take(1)[0]["codes"]
+        assert len(blob) == m  # m uint8 codes per vector
+
+        got = pq_topk_rerank(codes, ds, cb, qids, Q).to_pandas()
+        ref = brute_force_topk(ds, qids, Q).to_pandas()
+        hit = tot = 0
+        for q in set(ref["query_id"]):
+            sb = set(ref[ref.query_id == q]["neighbor_id"])
+            sa = set(got[got.query_id == q]["neighbor_id"])
+            hit += len(sa & sb)
+            tot += len(sb)
+        assert hit / tot >= 0.7, (hit, tot)
+
+        again = pq_topk_rerank(codes, ds, cb, qids, Q).to_pandas()
+        key = ["query_id", "neighbor_id"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key, ignore_index=True),
+            again.sort_values(key, ignore_index=True))
+        # re-ranked scores are EXACT cosines: every kept row's cosine
+        # matches the brute-force value for the same (query, neighbor)
+        merged = got.merge(ref, on=key, suffixes=("_pq", "_bf"))
+        assert np.allclose(merged["cosine_pq"], merged["cosine_bf"])
