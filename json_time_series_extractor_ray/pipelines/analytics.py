@@ -1554,3 +1554,91 @@ _register_slo(
       AND round(CAST(derr AS DOUBLE) / dn, 6) >= {SLO_SLOW_RATE}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Schema drift report: per (series, month) value-kind mix + first-seen flags
+# ---------------------------------------------------------------------------
+
+def schema_drift_report(samples_ds, *, num_shards: int = 32):
+    """Per (series_key, epoch week, value_kind): sample count plus
+    ``is_new_kind`` — true in the FIRST week that kind ever appears
+    for the series.  The data-quality screen for evolving payloads: a
+    field that starts arriving as strings (or nulls) after months of
+    numbers shows up as a flagged new-kind row, before it breaks a
+    downstream cast.
+
+    Scale shape: per-block (series, month, kind) count partials —
+    bounded by series x kinds per block; the ONE shuffle shards by
+    SERIES so a group task holds a series' whole (week x kind) grid
+    and computes first-appearance locally.  Counts are exact ints; the
+    kind code matches the sample schema (0 null / 1 number / 2 string).
+    """
+    from ._util import hash_shards
+
+    week_ns = 7 * 86_400_000_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "series_key": batch.column("series_key").to_pandas(),
+            "week_ns": ts // week_ns * week_ns,
+            "value_kind": batch.column("value_kind")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        }).groupby(["series_key", "week_ns", "value_kind"], sort=False) \
+            .size().reset_index(name="n")
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _drift(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "week_ns", "value_kind"],
+                       sort=True)["n"].sum().reset_index()
+        first = g.groupby(["series_key", "value_kind"])["week_ns"] \
+            .transform("min")
+        return pd.DataFrame({
+            "series_key": g["series_key"].astype(str),
+            "week_ns": g["week_ns"].astype(np.int64),
+            "value_kind": g["value_kind"].astype(np.int64),
+            "n": g["n"].astype(np.int64),
+            "is_new_kind": (g["week_ns"] == first).astype(bool),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_drift, batch_format="pandas")
+    )
+
+
+def _q_schema_drift(sf_dir: str):
+    return schema_drift_report(_events_samples(sf_dir))
+
+
+from .registry import register as _register_drift  # noqa: E402
+from ._events_sql import events_samples_sql as _drift_samples_sql  # noqa: E402
+
+_register_drift(
+    "events_schema_drift",
+    _q_schema_drift,
+    f"""
+    WITH s AS ({_drift_samples_sql()}),
+    k AS (
+        SELECT series_key,
+               ts_ns // 604800000000000 * 604800000000000 AS week_ns,
+               CAST(CASE WHEN value_num IS NOT NULL THEN 1
+                         WHEN value_str IS NOT NULL THEN 2
+                         ELSE 0 END AS BIGINT) AS value_kind
+        FROM s
+    ),
+    c AS (
+        SELECT series_key, week_ns, value_kind,
+               CAST(count(*) AS BIGINT) AS n
+        FROM k GROUP BY 1, 2, 3
+    )
+    SELECT series_key, week_ns, value_kind, n,
+           week_ns = min(week_ns) OVER (
+               PARTITION BY series_key, value_kind) AS is_new_kind
+    FROM c
+    """,
+)

@@ -168,6 +168,8 @@ SUBSET = [
     "events_weekend_welch_t",
     # multi-window SLO burn-rate alerts (day-sharded dual window)
     "events_slo_burn_alerts",
+    # schema drift report (weekly kind mix + first-seen flags)
+    "events_schema_drift",
 ]
 
 
