@@ -85,7 +85,7 @@ def _q_curation(sf_dir: str):
 register(
     "corpus_curation",
     _q_curation,
-    f"""
+    rf"""
     WITH w AS (
         SELECT doc_id, lang,
                md5(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}', ' ', 'g')) AS fp,

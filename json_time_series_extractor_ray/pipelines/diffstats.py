@@ -717,3 +717,143 @@ register(
           + (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 > 0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter over window means (state-space smoothing)
+# ---------------------------------------------------------------------------
+
+KALMAN_Q = 0.25  # process variance — exact binary fraction: the recursion
+KALMAN_R = 1.0   # obs variance      is the SAME IEEE op sequence in both
+#                  engines (the Holt trick), so NO intermediate rounding.
+
+
+def kalman_level(samples_ds, *, window_ns: int, q: float = KALMAN_Q,
+                 r: float = KALMAN_R, round_digits: int = 6,
+                 num_shards: int = _SHARDS):
+    """Per-series local-level Kalman filter over window means: the
+    state-space counterpart of ``holt_smooth`` (level-only model
+    ``x_t = x_{t-1} + w``, ``y_t = x_t + v`` with Var(w)=q, Var(v)=r).
+    Per step: ``P' = P + q``; gain ``K = P'/(P'+r)``;
+    ``x = x + K*(y - x)``; ``P = (1-K)*P'``; init ``x_1 = y_1``,
+    ``P_1 = r``.  Unlike a fixed-alpha EWMA, the gain adapts over the
+    burn-in (starts at ~0.55, converges to the steady-state Riccati
+    value), giving principled early-window smoothing.
+
+    Scale shape: identical to ``holt_smooth`` — per-block (n, sum)
+    window combiner, ONE series-sharded shuffle, O(windows) sequential
+    recursion per series inside the group task (per-series state is the
+    operator's inherent frontier, bounded by retention not samples).
+
+    Hash parity: y is the canonical rounded mean; q/r are exact binary
+    fractions and — key property of the LOCAL-LEVEL model — P and K
+    never depend on the data, only on the step index, so both engines
+    walk the identical deterministic gain sequence and the recursion
+    hashes exactly with no intermediate rounding (pinned by the oracle's
+    recursive CTE carrying (x, P) through the same IEEE expressions).
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        out_x = np.empty(len(g))
+        out_k = np.empty(len(g))
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            x = y[lo]
+            p = r
+            out_x[lo], out_k[lo] = x, 0.0
+            for i in range(lo + 1, hi):
+                p_pred = p + q
+                gain = p_pred / (p_pred + r)
+                x = x + gain * (y[i] - x)
+                p = (1.0 - gain) * p_pred
+                out_x[i], out_k[i] = x, gain
+        return pd.DataFrame({
+            "series_key": series,
+            "window_ns": g["window_ns"].to_numpy(np.int64),
+            "y": y,
+            "level": round_half_away(out_x, round_digits),
+            "gain": round_half_away(out_k, round_digits),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_filter, batch_format="pandas")
+    )
+
+
+def _q_kalman(sf_dir: str):
+    return kalman_level(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_kalman_1h",
+    _q_kalman,
+    # recursive CTE carries (x, P): q=0.25 / r=1.0 are exact binary, the
+    # gain sequence is data-independent, and every expression mirrors the
+    # engine's IEEE op order — so the un-rounded recursion hashes exactly.
+    f"""
+    WITH RECURSIVE m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    rr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY series_key ORDER BY window_ns) AS rn
+        FROM m
+    ),
+    h(series_key, rn, window_ns, y, x, p, k) AS (
+        SELECT series_key, rn, window_ns, y, y,
+               CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        FROM rr WHERE rn = 1
+        UNION ALL
+        SELECT rr.series_key, rr.rn, rr.window_ns, rr.y,
+               h.x + ((h.p + 0.25) / ((h.p + 0.25) + 1.0))
+                     * (rr.y - h.x),
+               (1.0 - (h.p + 0.25) / ((h.p + 0.25) + 1.0))
+                   * (h.p + 0.25),
+               (h.p + 0.25) / ((h.p + 0.25) + 1.0)
+        FROM h JOIN rr
+          ON rr.series_key = h.series_key AND rr.rn = h.rn + 1
+    )
+    SELECT series_key, window_ns, y,
+           round(x, 6) AS level,
+           round(k, 6) AS gain
+    FROM h
+    """,
+)

@@ -261,8 +261,12 @@ def kmeans_fit(emb_ds, *, n_clusters: int, n_iters: int = 5, seed: int = 7,
         ids = batch.column("vec_id").cast(pa.int64()).to_numpy()
         return batch.filter(pa.array(ids % stride == 0))
 
+    # Sort by vec_id: block ARRIVAL order varies run to run, and the
+    # seeded index pick below must land on the same vectors every time
+    # (observed: unsorted samples made two same-seed fits diverge).
     sample = emb_ds.map_batches(_sample, batch_format="pyarrow",
-                                zero_copy_batch=True).to_pandas()
+                                zero_copy_batch=True).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
     S = _normalize(sample["embedding"].to_numpy())
     rng = np.random.default_rng(seed)
     pick = rng.choice(len(S), size=min(n_clusters, len(S)), replace=False)
@@ -278,17 +282,22 @@ def kmeans_fit(emb_ds, *, n_clusters: int, n_iters: int = 5, seed: int = 7,
             sums = np.zeros((k, d))
             np.add.at(sums, assign, E)
             counts = np.bincount(assign, minlength=k).astype(np.int64)
+            ids = batch.column("vec_id").cast(pa.int64()).to_numpy()
+            block_key = int(ids.min()) if len(ids) else -1
             return pa.table(
                 {
                     "cluster": pa.array(np.arange(k), pa.int64()),
                     "vec_sum": pa.array(list(sums)),
                     "count": pa.array(counts, pa.int64()),
+                    "block_key": pa.array([block_key] * k, pa.int64()),
                 }
             )
 
+        # Sort partials by (block, cluster) before folding: float += is
+        # order-sensitive, and partial ARRIVAL order is nondeterministic.
         parts = emb_ds.map_batches(
             _partial, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()  # tiny: k rows per batch
+        ).to_pandas().sort_values(["block_key", "cluster"])  # k rows/batch
         k, d = C.shape
         sums = np.zeros((k, d))
         counts = np.zeros(k, dtype=np.int64)
@@ -1008,8 +1017,10 @@ def pq_train(emb_ds, *, m: int = PQ_M, k: int = PQ_K, n_iters: int = 5,
         ids = batch.column("vec_id").cast(pa.int64()).to_numpy()
         return batch.filter(pa.array(ids % stride == 0))
 
+    # Sorted for the same run-to-run determinism reason as kmeans_fit.
     sample = emb_ds.map_batches(_sample, batch_format="pyarrow",
-                                zero_copy_batch=True).to_pandas()
+                                zero_copy_batch=True).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
     S = _normalize(sample["embedding"].to_numpy())
     d = S.shape[1]
     if d % m:
@@ -1039,16 +1050,21 @@ def pq_train(emb_ds, *, m: int = PQ_M, k: int = PQ_K, n_iters: int = 5,
                 sums.extend(list(s))
                 counts.extend(np.bincount(assign, minlength=k)
                               .astype(np.int64))
+            ids = batch.column("vec_id").cast(pa.int64()).to_numpy()
+            block_key = int(ids.min()) if len(ids) else -1
             return pa.table({
                 "subspace": pa.array(rows_s, pa.int64()),
                 "cluster": pa.array(rows_c, pa.int64()),
                 "sub_sum": pa.array(sums),
                 "count": pa.array(counts, pa.int64()),
+                "block_key": pa.array([block_key] * len(rows_s),
+                                      pa.int64()),
             })
 
+        # Order-stable fold (see kmeans_fit): sort partials first.
         parts = emb_ds.map_batches(
             _partial, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()  # m*k rows per batch
+        ).to_pandas().sort_values(["block_key", "subspace", "cluster"])
         sums = np.zeros((m, k, sub))
         counts = np.zeros((m, k), np.int64)
         for _, row in parts.iterrows():
@@ -1207,3 +1223,230 @@ def _q_ann_pq(sf_dir: str):
 # approximate by construction -> rows-only; approximation quality and
 # determinism pinned in tests/test_training_ops.py::TestPQ
 register("ann_cosine_topk_pq", _q_ann_pq)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine ANN
+# ---------------------------------------------------------------------------
+
+RRF_K = 60       # the standard Cormack/Clarke/Buettcher fusion constant
+RRF_TOP_K = 10
+
+
+def rrf_fuse(bm25_ds, cos_ds, *, k_rrf: int = RRF_K, top_k: int = RRF_TOP_K):
+    """Reciprocal-rank fusion of two per-query ranked lists: each doc's
+    fused score is ``1/(k+rank_bm25) + 1/(k+rank_cos)`` over the ranks it
+    holds in each list (absent list contributes nothing; absent rank is
+    reported as 0).  The classic lexical+dense hybrid-retrieval combiner
+    (Cormack et al., SIGIR 2009) — robust to incomparable score scales
+    because only RANKS enter the fusion.
+
+    Inputs are the OUTPUTS of ``textstats.bm25_topk`` (query_id, doc_id,
+    score) and ``brute_force_topk``/any ANN variant (query_id,
+    neighbor_id, cosine) — tiny ranked lists (queries x top_k rows), so
+    the fusion's one groupby moves O(|queries| x k) rows, never the
+    corpus.  Ranks are recomputed inside the fusion group from the
+    ROUND-6 scores (desc, id asc) so both engines agree on ties.
+    """
+
+    def _bm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": batch.column("query_id").cast(pa.int64()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "score": batch.column("score").cast(pa.float64()),
+            "src": pa.array(["bm25"] * batch.num_rows, pa.string()),
+        })
+
+    def _co(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": batch.column("query_id").cast(pa.int64()),
+            "doc_id": batch.column("neighbor_id").cast(pa.int64()),
+            "score": batch.column("cosine").cast(pa.float64()),
+            "src": pa.array(["cos"] * batch.num_rows, pa.string()),
+        })
+
+    unioned = bm25_ds.map_batches(
+        _bm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cos_ds.map_batches(
+        _co, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _fuse(df: pd.DataFrame) -> pd.DataFrame:
+        ranks = {}
+        for src in ("bm25", "cos"):
+            d = df[df["src"] == src].sort_values(
+                ["score", "doc_id"], ascending=[False, True])
+            ranks[src] = {int(i): r + 1
+                          for r, i in enumerate(d["doc_id"].to_numpy())}
+        ids = np.array(sorted({int(i) for i in df["doc_id"].to_numpy()}),
+                       dtype=np.int64)
+        rb = np.array([ranks["bm25"].get(i, 0) for i in ids], np.int64)
+        rc = np.array([ranks["cos"].get(i, 0) for i in ids], np.int64)
+        # fixed addition order (bm25 term + cos term) on both engines
+        rrf = (np.where(rb > 0, 1.0 / (k_rrf + rb), 0.0)
+               + np.where(rc > 0, 1.0 / (k_rrf + rc), 0.0))
+        out = pd.DataFrame({
+            "query_id": np.full(len(ids), int(df["query_id"].iloc[0]),
+                                np.int64),
+            "doc_id": ids,
+            "rank_bm25": rb,
+            "rank_cos": rc,
+            "rrf": round_half_away(rrf, 6),
+        }).sort_values(["rrf", "doc_id"], ascending=[False, True]) \
+            .head(top_k)
+        return out.reset_index(drop=True)
+
+    return unioned.groupby("query_id").map_groups(
+        _fuse, batch_format="pandas")
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval demo pairing: query ``q`` fuses the BM25 term
+    query ``q`` with the cosine neighbors of document ``q``'s embedding
+    ("docs that match these terms AND read like doc q") — the fixture's
+    ``doc_id`` and ``vec_id`` ranges coincide, so the pairing is
+    well-defined."""
+    import ray
+
+    from .textstats import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bm = bm25_topk(docs, top_k=RRF_TOP_K)
+    n_q = 4  # the BM25 query set has ids 0..3
+    qids, Q = _load_query_matrix(sf_dir, n_q)
+    co = brute_force_topk(_read_embeddings(sf_dir), qids, Q, k=RRF_TOP_K)
+    return rrf_fuse(bm, co)
+
+
+def _hybrid_rrf_sql() -> str:
+    from .textstats import _bm25_sql
+
+    return f"""
+    WITH bm_raw AS ({_bm25_sql()}),
+    bm AS (
+        SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rb
+        FROM bm_raw
+    ),
+    co_raw AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])), 6) AS score
+        FROM embeddings q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 4
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+                CAST(q.embedding AS DOUBLE[]),
+                CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+        ) <= {RRF_TOP_K}
+    ),
+    co AS (
+        SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rc
+        FROM co_raw
+    ),
+    f AS (
+        SELECT coalesce(bm.query_id, co.query_id) AS query_id,
+               coalesce(bm.doc_id, co.doc_id) AS doc_id,
+               CAST(coalesce(bm.rb, 0) AS BIGINT) AS rank_bm25,
+               CAST(coalesce(co.rc, 0) AS BIGINT) AS rank_cos,
+               round(CASE WHEN bm.rb IS NULL THEN 0.0
+                          ELSE 1.0 / ({RRF_K} + bm.rb) END
+                   + CASE WHEN co.rc IS NULL THEN 0.0
+                          ELSE 1.0 / ({RRF_K} + co.rc) END, 6) AS rrf
+        FROM bm FULL JOIN co
+          ON bm.query_id = co.query_id AND bm.doc_id = co.doc_id
+    )
+    SELECT query_id, doc_id, rank_bm25, rank_cos, rrf FROM f
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id) <= {RRF_TOP_K}
+    """
+
+
+register("hybrid_rrf_topk", _q_hybrid_rrf, _hybrid_rrf_sql())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup scoped by k-means clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3        # fixture-calibrated: same near-dup bar as
+#                           dedup.EMB_NEAR_DUP_TAU so both paths agree
+SEMDEDUP_CLUSTERS = 16
+
+
+def semdedup(emb_ds, *, n_clusters: int = SEMDEDUP_CLUSTERS,
+             tau: float = SEMDEDUP_TAU, n_iters: int = 5, seed: int = 7,
+             max_cluster_vecs: int = 200_000):
+    """SemDeDup-style semantic dedup: train k-means centroids over the
+    embedding column, assign every vector to its nearest centroid, then
+    WITHIN each cluster connect pairs with round-6 cosine >= tau and keep
+    only the min-``vec_id`` representative of each connected component
+    (``keep=false`` for the rest).  The k-means blocking replaces
+    ``dedup.embedding_near_dups``'s label blocking — it needs no label
+    column, so it is the variant a real corpus runs.
+
+    Scale shape: kmeans is the streaming combiner (``kmeans_fit``); the
+    assignment pass is one broadcast matmul per batch; the ONE shuffle
+    co-partitions by cluster id.  Pairwise cosine is quadratic per
+    CLUSTER — ``max_cluster_vecs`` fails loudly on a runaway cluster
+    (raise n_clusters, the standard SemDeDup remedy) instead of silently
+    running an O(n²) task.  Approximate by construction: only same-cluster
+    pairs are examined (cross-cluster recall vs the exact path is pinned
+    in pytest).
+    """
+    from .dedup import _uf_labels
+
+    emb_ds = emb_ds.materialize()  # consumed by kmeans passes + assignment
+    C = kmeans_fit(emb_ds, n_clusters=n_clusters, n_iters=n_iters,
+                   seed=seed)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        En = _normalize(batch.column("embedding").to_pylist())
+        assign = np.argmax(En @ C.T, axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "embedding": batch.column("embedding"),
+            "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+        })
+
+    assigned = emb_ds.map_batches(_assign, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_cluster_vecs:
+            raise ValueError(
+                f"semdedup cluster {int(df['cluster'].iloc[0])} has "
+                f"{len(df)} vectors (> max_cluster_vecs="
+                f"{max_cluster_vecs}); within-cluster cosine is quadratic "
+                "— raise n_clusters (finer blocking) or max_cluster_vecs "
+                "knowingly")
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy(np.int64)
+        En = _normalize(df["embedding"].to_numpy())
+        S = round_half_away(En @ En.T, 6)
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        hit = S[a_idx, b_idx] >= tau
+        labels = _uf_labels(zip(ids[a_idx[hit]], ids[b_idx[hit]]))
+        keep = np.array([labels.get(int(i), int(i)) == int(i)
+                         for i in ids])
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": df["cluster"].to_numpy(np.int64),
+            "keep": keep,
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        _dedup, batch_format="pandas")
+
+
+def _q_semdedup(sf_dir: str):
+    return semdedup(_read_embeddings(sf_dir))
+
+
+# approximate by construction (kmeans blocking) -> rows-only driver check;
+# within-cluster exactness + cross-cluster recall pinned in pytest
+register("semdedup_flags", _q_semdedup)

@@ -170,6 +170,8 @@ SUBSET = [
     "events_slo_burn_alerts",
     # schema drift report (weekly kind mix + first-seen flags)
     "events_schema_drift",
+    # Kalman local-level filter (data-independent gain sequence parity)
+    "events_kalman_1h",
 ]
 
 
