@@ -51,6 +51,7 @@ def _load_all() -> None:
         diffstats,
         downsample,
         enrich,
+        graph,
         joins,
         multimodal,
         packing,

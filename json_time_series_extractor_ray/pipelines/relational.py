@@ -1241,23 +1241,51 @@ Q5_DATE_LO = "1996-01-01"
 Q5_DATE_HI = "1997-01-01"
 
 
+#: Loud guard for dimension broadcasts: above this, the collected map no
+#: longer qualifies as a "small side" and the query must fall back to
+#: ``shuffle_join`` for that dimension (the pre-optimization Q5 shape —
+#: three chained shuffles — still exists in git history and in
+#: ``joins.shuffle_join`` itself; the guard names the remedy).
+MAX_BROADCAST_DIM_ROWS = 5_000_000
+
+
+def _dim_map(path: str, key: str, value: str, filt) -> dict:
+    """Driver-side key->value map from a row-filtered dimension parquet
+    (columns + filter pushed to the scan).  Small-side discipline: the
+    map is built ONCE and ``ray.put`` by the broadcast join; a dimension
+    that outgrows ``MAX_BROADCAST_DIM_ROWS`` fails loudly instead of
+    silently materializing GBs on the driver."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path).to_table(columns=[key, value], filter=filt)
+    if t.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"dimension {path} has {t.num_rows} rows after pruning "
+            f"(> {MAX_BROADCAST_DIM_ROWS}); broadcast-hash join no longer "
+            "applies — use joins.shuffle_join for this dimension")
+    return dict(zip(t.column(key).to_pylist(), t.column(value).to_pylist()))
+
+
 def _q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5: revenue from lineitems where the ordering customer and
     the supplying supplier share a nation inside one region, over a
     one-year order window.
 
-    Scale shape — filters travel to the cheapest place first:
+    Scale shape — filters travel to the cheapest place first, and ONLY
+    the fact-x-fact join shuffles:
 
     * region/nation predicates prune ``customer`` and ``supplier`` AT THE
-      READ (isin row filter, row-group pruning); the date range prunes
-      ``orders`` the same way;
-    * the join tree then runs narrowest-first: lineitem ⋈ filtered
-      orders (orderkey shuffle — drops out-of-window lineitems before
-      anything else moves), ⋈ filtered customer (custkey), ⋈ filtered
-      supplier (suppkey);
-    * the same-nation constraint is a vectorized post-join filter, and
-      nation names attach via a 5-row broadcast lookup — never a
-      shuffle.
+      READ; both pruned dimensions collapse to driver-side key->nation
+      maps broadcast once (``ray.put``) into every task — the
+      broadcast-hash side of a classic star join, with a loud
+      ``MAX_BROADCAST_DIM_ROWS`` guard naming the shuffle_join fallback;
+    * the ONE shuffle is lineitem ⋈ date-pruned orders (orderkey) — the
+      only join where both sides scale with the fact table.  (The
+      previous shape ran customer and supplier as two MORE chained
+      shuffles; at bench scale each extra sort barrier cost ~8 s of pure
+      orchestration against <0.2 s of compute);
+    * the same-nation constraint is a vectorized post-lookup filter, and
+      nation names attach via a 5-row broadcast lookup.
     """
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
@@ -1265,7 +1293,7 @@ def _q_local_supplier_volume(sf_dir: str):
     import ray
 
     from .enrich import broadcast_join
-    from .joins import shuffle_join
+    from .joins import parquet_schema, shuffle_join
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -1275,14 +1303,10 @@ def _q_local_supplier_volume(sf_dir: str):
              if r["n_regionkey"] == rkey}
     nkeys = sorted(names)
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
-        filter=pads.field("c_nationkey").isin(nkeys),
-    )
-    supp = ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
-        filter=pads.field("s_nationkey").isin(nkeys),
-    )
+    cust_map = _dim_map(f"{sf_dir}/customer.parquet", "c_custkey",
+                        "c_nationkey", pads.field("c_nationkey").isin(nkeys))
+    supp_map = _dim_map(f"{sf_dir}/supplier.parquet", "s_suppkey",
+                        "s_nationkey", pads.field("s_nationkey").isin(nkeys))
     import datetime as _dt
     lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
     hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
@@ -1305,10 +1329,6 @@ def _q_local_supplier_volume(sf_dir: str):
                          "rev": rev})
 
     li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
-    # Static schemas: three chained shuffle joins would otherwise each
-    # execute their upstream shuffle at PLAN time via ds.schema().
-    from .joins import join_output_schema, parquet_schema
-
     lp = f"{sf_dir}/lineitem.parquet"
     li_schema = pa.schema([
         ("l_orderkey", parquet_schema(lp, ["l_orderkey"])
@@ -1319,20 +1339,14 @@ def _q_local_supplier_volume(sf_dir: str):
     ])
     orders_schema = parquet_schema(
         f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
-    cust_schema = parquet_schema(
-        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"])
-    supp_schema = parquet_schema(
-        f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"])
     j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                       left_schema=li_schema, right_schema=orders_schema)
-    j1_schema = join_output_schema(li_schema, orders_schema,
-                                   on="l_orderkey", right_on="o_orderkey")
-    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey",
-                      left_schema=j1_schema, right_schema=cust_schema)
-    j2_schema = join_output_schema(j1_schema, cust_schema,
-                                   on="o_custkey", right_on="c_custkey")
-    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey",
-                      left_schema=j2_schema, right_schema=supp_schema)
+    # inner-join semantics via drop_misses: a custkey outside the region
+    # (or suppkey outside it) drops the row, exactly like the old joins
+    j2 = broadcast_join(j1, cust_map, key="o_custkey",
+                        value_name="c_nationkey", value_type=pa.int64())
+    j3 = broadcast_join(j2, supp_map, key="l_suppkey",
+                        value_name="s_nationkey", value_type=pa.int64())
 
     def _local(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("c_nationkey"),

@@ -172,6 +172,10 @@ SUBSET = [
     "events_schema_drift",
     # Kalman local-level filter (data-independent gain sequence parity)
     "events_kalman_1h",
+    # RRF hybrid retrieval (rank-only fusion of BM25 + cosine lists)
+    "hybrid_rrf_topk",
+    # PageRank over the nation trade graph (per-iteration round parity)
+    "nation_trade_pagerank",
 ]
 
 

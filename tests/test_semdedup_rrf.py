@@ -135,3 +135,46 @@ class TestRrfFuse:
                           ["query_id", "neighbor_id", "cosine"])
         out = rrf_fuse(bm, co, top_k=10).to_pandas()
         assert len(out) == 10
+
+
+class TestPagerank:
+    def test_two_node_closed_form(self):
+        """A <-> B symmetric graph: stationary rank is exactly 0.5/0.5
+        and stays there through every rounded iteration."""
+        from json_time_series_extractor_ray.pipelines.graph import (
+            pagerank_from_edges,
+        )
+
+        edges = pd.DataFrame({
+            "src_nation": [0, 1], "dst_nation": [1, 0], "weight": [3, 7],
+        })
+        out = pagerank_from_edges(edges)
+        assert list(out["n_nationkey"]) == [0, 1]
+        assert list(out["pagerank"]) == [0.5, 0.5]
+
+    def test_sink_heavy_node_ranks_higher(self):
+        """0 and 1 both point at 2; 2 splits back — 2 must rank top."""
+        from json_time_series_extractor_ray.pipelines.graph import (
+            pagerank_from_edges,
+        )
+
+        edges = pd.DataFrame({
+            "src_nation": [0, 1, 2, 2],
+            "dst_nation": [2, 2, 0, 1],
+            "weight": [1, 1, 1, 1],
+        })
+        out = pagerank_from_edges(edges).set_index("n_nationkey")
+        assert out.loc[2, "pagerank"] > out.loc[0, "pagerank"]
+        assert abs(out["pagerank"].sum() - 1.0) < 1e-4
+
+    def test_dangling_node_rejected(self):
+        from json_time_series_extractor_ray.pipelines.graph import (
+            pagerank_from_edges,
+        )
+        import pytest
+
+        edges = pd.DataFrame({
+            "src_nation": [0], "dst_nation": [1], "weight": [1],
+        })
+        with pytest.raises(AssertionError, match="dangling"):
+            pagerank_from_edges(edges)
