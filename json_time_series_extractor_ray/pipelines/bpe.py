@@ -1,0 +1,217 @@
+"""Byte-pair-encoding tokenizer training + encoding over the corpus.
+
+The missing piece between the repo's token STATISTICS (counts,
+frequencies, fertility) and a real training-data pipeline: TRAIN the
+subword vocabulary itself (Sennrich et al., ACL 2016), then encode
+documents with it.
+
+Scale shape — the classic two-level split of BPE training:
+
+* the corpus-scale pass is ONE distributed word count (per-block
+  ``np.unique`` combiner -> word-sharded groupby sum), collected as the
+  (word, count) vocabulary — vocab is corpus-DISTINCT-bounded, orders of
+  magnitude smaller than the corpus, and guarded by ``max_vocab_rows``
+  with a loud error;
+* the merge loop runs driver-side over that weighted vocabulary (every
+  production BPE trainer — subword-nmt, HuggingFace tokenizers — does
+  exactly this: pair counting over the word-frequency dict, not the raw
+  corpus), deterministic via (count desc, pair lexicographic) tie-break;
+* encoding streams back over the corpus as an ACTOR-POOL stage: each
+  actor builds the merge-rank table once in ``__init__`` and memoizes
+  word -> token-count across batches (Zipf makes the hit rate ~99%).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import round_half_away
+from .registry import register
+
+BPE_MERGES = 200
+MAX_VOCAB_ROWS = 20_000_000
+_SHARDS = 64
+
+
+def word_vocab(docs_ds, *, num_shards: int = _SHARDS,
+               max_vocab_rows: int = MAX_VOCAB_ROWS) -> pd.DataFrame:
+    """Corpus (word, count) vocabulary: per-block unique-count combiner,
+    ONE word-sharded groupby, driver collect (vocab-sized, guarded)."""
+    from .textstats import _words_and_offsets
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _words_and_offsets(batch.column("text"))
+        words, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True)
+        keep = words != ""
+        words, counts = words[keep], counts[keep]
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "shard": pa.array(
+                hash_shards(words.astype(object), num_shards), pa.int32()),
+        })
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=True)["n"].sum().reset_index()
+        return g
+
+    vocab = (
+        docs_ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+    ).to_pandas()
+    if len(vocab) > max_vocab_rows:
+        raise ValueError(
+            f"corpus vocabulary has {len(vocab)} distinct words "
+            f"(> max_vocab_rows={max_vocab_rows}); driver-side BPE "
+            "training no longer applies — sample the corpus or raise the "
+            "bound knowingly")
+    return vocab.sort_values("word").reset_index(drop=True)
+
+
+def bpe_train(vocab: pd.DataFrame, *, n_merges: int = BPE_MERGES,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Classic weighted BPE merge learning over a (word, n) vocabulary.
+
+    Words are character sequences with a ``</w>`` end-of-word marker (so
+    'st' mid-word and 'st' word-final learn separately, per the original
+    formulation).  Each round merges the (count desc, lexicographically
+    smallest) most frequent adjacent symbol pair; stops early when the
+    best pair drops below ``min_pair_count``.  Fully deterministic.
+    """
+    from collections import Counter
+
+    words = [tuple(w) + ("</w>",) for w in vocab["word"]]
+    counts = vocab["n"].to_numpy(np.int64)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in zip(words, counts):
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += int(n)
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        ab = a + b
+        new_words = []
+        for syms in words:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> tuple:
+    """Apply learned merges to one word: repeatedly merge the
+    lowest-rank adjacent pair (HuggingFace-style greedy-by-rank, which
+    reproduces training order exactly)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return tuple(syms)
+
+
+class BpeEncodeStage:
+    """Actor-pool encode stage: merge ranks built once per actor,
+    word -> n_tokens memoized across batches."""
+
+    def __init__(self, merges: list):
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .textstats import _words_and_offsets
+
+        flat, offsets, _ = _words_and_offsets(batch.column("text"))
+        words = flat.to_numpy(zero_copy_only=False)
+        n_tok = np.empty(len(words), np.int64)
+        cache = self.cache
+        for i, w in enumerate(words):
+            hit = cache.get(w)
+            if hit is None:
+                hit = len(_encode_word(w, self.ranks)) if w else 0
+                cache[w] = hit
+            n_tok[i] = hit
+        from ._util import segment_sum
+
+        sums = segment_sum(n_tok.astype(np.float64), offsets) \
+            .astype(np.int64)
+        # the regex split renders an empty doc as ONE empty word — count
+        # only real words (same `!= ""` rule as word_vocab)
+        n_words = segment_sum(
+            (words != "").astype(np.float64), offsets).astype(np.int64)
+        ratio = np.divide(sums, n_words, out=np.zeros_like(sums, float),
+                          where=n_words > 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(sums, pa.int64()),
+            "fertility": pa.array(round_half_away(ratio, 6), pa.float64()),
+        })
+
+
+def bpe_encode(docs_ds, merges: list, *, concurrency: int = 4):
+    """Distributed encode: broadcast the merge list into an actor pool
+    (``concurrency`` long-lived workers, rank table + memo built once
+    per actor in ``__init__``)."""
+    return docs_ds.map_batches(
+        BpeEncodeStage, fn_constructor_args=(merges,),
+        concurrency=concurrency, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver queries (rows-only: BPE merging has no SQL twin; the algorithm
+# is pinned in tests/test_bpe.py against hand-computed merges)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    vocab = word_vocab(_docs(sf_dir))
+    merges = bpe_train(vocab)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges],
+    })
+
+
+def _q_bpe_encode(sf_dir: str):
+    vocab = word_vocab(_docs(sf_dir))
+    merges = bpe_train(vocab)
+    return bpe_encode(_docs(sf_dir), merges)
+
+
+register("corpus_bpe_merges", _q_bpe_merges)
+register("doc_bpe_encode", _q_bpe_encode)

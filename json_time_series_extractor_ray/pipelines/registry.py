@@ -43,6 +43,7 @@ def _load_all() -> None:
         analytics,
         asof,
         bands,
+        bpe,
         containment,
         curation,
         datacard,
