@@ -66,5 +66,6 @@ def _load_all() -> None:
         symbolic,
         textstats,
         tokenchunks,
+        tpch,
         windows,
     )

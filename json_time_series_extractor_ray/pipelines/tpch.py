@@ -1,0 +1,545 @@
+"""Five more TPC-H-shaped relational pipelines (Q6, Q14, and Q4/Q16/Q19
+adapted to the fixture's columns — the tables lack ``l_commitdate`` /
+``l_shipmode`` / ``l_container`` / ``partsupp``, so the adapted variants
+keep each query's SHAPE (correlated-EXISTS semi join, promo share,
+disjunctive predicate pushdown, count-distinct rollup) over the columns
+that exist).
+
+Scale shapes, per query:
+
+* Q6 / Q19 / Q14 are pure combiner aggregates: every predicate is
+  vectorized per block (Q19's part attributes and Q14's promo flag
+  arrive via a broadcast dimension map, never a shuffle), each block
+  reduces to ONE partial row, and ``Dataset.sum`` folds the partials —
+  the shuffle moves O(blocks) rows at any corpus size.
+* Q4's correlated EXISTS (``l_shipdate > o_orderdate + 60 days``)
+  rewrites as ``max(l_shipdate) per order > o_orderdate + 60 days``:
+  a per-block (orderkey, max) combiner, one bounded groupby-max, then
+  ONE fact-x-fact shuffle join against the date-pruned orders — the
+  join's right side is pre-deduped to one row per orderkey so no group
+  can explode.
+* Q16 runs distinct twice, each time AFTER a cardinality-reducing step:
+  distinct (partkey, suppkey) over the fact table, broadcast-attach the
+  part dims, distinct (brand, type, size, suppkey), then a tiny count
+  combiner.  The part dimension is driver-built with the same loud
+  ``MAX_BROADCAST_DIM_ROWS`` guard as TPC-H Q5 (`relational._dim_map`).
+
+Float discipline: revenue sums round to 2 (cents; the noise margin rule
+of ``revenue_by_nation``), derived ratios round to 6 over the already-
+rounded sums so both engines divide identical inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import round_half_away
+from .registry import register
+
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.02, 0.04
+Q6_QTY_LT = 24.0
+
+Q14_LO, Q14_HI = "1996-03-01", "1996-04-01"
+
+Q4_LO, Q4_HI = "1996-07-01", "1996-10-01"
+Q4_LATE_DAYS = 60
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE = "PROMO"
+
+# Q19 disjunction: (brand, qty_lo, qty_hi, size_lo, size_hi)
+Q19_ARMS = (
+    ("Brand#12", 1.0, 11.0, 1, 5),
+    ("Brand#23", 10.0, 20.0, 1, 10),
+    ("Brand#34", 20.0, 30.0, 1, 15),
+)
+
+
+def _global_fold(ds, cols: list[str]) -> dict:
+    """Fold per-block partial rows into one dict of sums (tiny: the
+    aggregate input is one row per block)."""
+    out = ds.sum(cols)
+    if not isinstance(out, dict):  # single column returns a scalar
+        out = {f"sum({cols[0]})": out}
+    return {c: out[f"sum({c})"] or 0 for c in cols}
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change (filter + global combiner aggregate)
+# ---------------------------------------------------------------------------
+
+def forecast_revenue_change(li_ds) -> pd.DataFrame:
+    """TPC-H Q6: potential revenue increase from eliminating small
+    discounts on low-quantity lineitems shipped in one year."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        keep = (disc >= Q6_DISC_LO) & (disc <= Q6_DISC_HI) & (qty < Q6_QTY_LT)
+        return pa.table({
+            "rev": pa.array([float((price[keep] * disc[keep]).sum())],
+                            pa.float64()),
+            "n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    f = _global_fold(
+        li_ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["rev", "n"])
+    return pd.DataFrame({
+        "revenue": [round_half_away(np.float64(f["rev"]), 2)],
+        "n_items": pd.array([int(f["n"])], dtype="int64"),
+    })
+
+
+def _q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate")
+                >= dt.datetime.fromisoformat(Q6_LO))
+        & (pads.field("l_shipdate") < dt.datetime.fromisoformat(Q6_HI)),
+    )
+    return forecast_revenue_change(li)
+
+
+register(
+    "forecast_revenue_change",
+    _q_forecast_revenue,
+    f"""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q6_HI} 00:00:00'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY_LT}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion revenue share (broadcast dim + combiner aggregate)
+# ---------------------------------------------------------------------------
+
+def promo_revenue_effect(li_ds, promo_parts: frozenset) -> pd.DataFrame:
+    """TPC-H Q14: share of one month's discounted revenue from promo
+    parts.  ``promo_parts`` is broadcast once (``ray.put``); each block
+    reduces to one (promo_rev, total_rev) partial."""
+    import ray
+
+    promo_ref = ray.put(promo_parts)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        is_promo = pd.Series(pk).isin(promo).to_numpy()
+        return pa.table({
+            "promo_rev": pa.array([float(rev[is_promo].sum())],
+                                  pa.float64()),
+            "total_rev": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    f = _global_fold(
+        li_ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["promo_rev", "total_rev"])
+    promo2 = round_half_away(np.float64(f["promo_rev"]), 2)
+    total2 = round_half_away(np.float64(f["total_rev"]), 2)
+    return pd.DataFrame({
+        "promo_revenue_pct": [round_half_away(100.0 * promo2 / total2, 6)],
+        "promo_rev": [promo2],
+        "total_rev": [total2],
+    })
+
+
+def _q_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from .relational import MAX_BROADCAST_DIM_ROWS
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    if part.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"part has {part.num_rows} rows (> {MAX_BROADCAST_DIM_ROWS}); "
+            "broadcast promo map no longer applies — shuffle_join the "
+            "part dimension instead")
+    promo = frozenset(
+        part.filter(pc.equal(part.column("p_type"),
+                             pa.scalar(Q16_EXCL_TYPE)))
+        .column("p_partkey").to_pylist())
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate")
+                >= dt.datetime.fromisoformat(Q14_LO))
+        & (pads.field("l_shipdate") < dt.datetime.fromisoformat(Q14_HI)),
+    )
+    return promo_revenue_effect(li, promo)
+
+
+register(
+    "promo_revenue_effect",
+    _q_promo_revenue,
+    f"""
+    WITH agg AS (
+        SELECT
+            round(sum(CASE WHEN p.p_type = '{Q16_EXCL_TYPE}'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END), 2) AS promo_rev,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS total_rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{Q14_HI} 00:00:00'
+    )
+    SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_revenue_pct,
+           promo_rev, total_rev
+    FROM agg
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted) — order priority checking via max-shipdate semi join
+# ---------------------------------------------------------------------------
+
+def order_priority_checking(orders_ds, li_maxship_ds, *,
+                            late_days: int = Q4_LATE_DAYS) -> pd.DataFrame:
+    """Orders per priority, placed in one quarter, where at least one
+    lineitem shipped more than ``late_days`` after the order date.
+
+    ``EXISTS(l_shipdate > o_orderdate + D)`` == ``max(l_shipdate) >
+    o_orderdate + D``, so the right side arrives pre-reduced to one row
+    per orderkey (see :func:`lineitem_max_shipdate`) and the shuffle
+    join cannot explode any group.
+    """
+    from .joins import shuffle_join
+
+    orders_schema = pa.schema([
+        ("o_orderkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("ns")),
+        ("o_orderpriority", pa.string()),
+    ])
+    max_schema = pa.schema([
+        ("l_orderkey", pa.int64()),
+        ("max_ship", pa.timestamp("ns")),
+    ])
+    joined = shuffle_join(orders_ds, li_maxship_ds,
+                          on="o_orderkey", right_on="l_orderkey",
+                          left_schema=orders_schema,
+                          right_schema=max_schema)
+    late_ns = np.int64(late_days) * 86_400_000_000_000
+
+    def _late_counts(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ms = batch.column("max_ship").cast(pa.timestamp("ns")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pri = batch.column("o_orderpriority").to_pandas()[ms > od + late_ns]
+        g = pri.value_counts().sort_index()
+        return pa.table({
+            "o_orderpriority": pa.array(g.index, pa.string()),
+            "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+        })
+
+    merged = (
+        joined.map_batches(_late_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("o_orderpriority").sum("n")
+    ).to_pandas()
+    return pd.DataFrame({
+        "o_orderpriority": merged["o_orderpriority"],
+        "order_count": merged["sum(n)"].astype("int64"),
+    }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def lineitem_max_shipdate(li_ds):
+    """Per-orderkey max shipdate: per-block Arrow group-max combiner
+    (bounds every block to its distinct orderkeys), one groupby-max."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "ms": g.column("l_shipdate_max").cast(pa.timestamp("ns")),
+        })
+
+    local = li_ds.map_batches(_local, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = local.groupby("l_orderkey").max("ms")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "max_ship": batch.column("max(ms)").cast(pa.timestamp("ns")),
+        })
+
+    return merged.map_batches(_shape, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _q_order_priority(sf_dir: str) -> pd.DataFrame:
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate")
+                >= dt.datetime.fromisoformat(Q4_LO))
+        & (pads.field("o_orderdate") < dt.datetime.fromisoformat(Q4_HI)),
+    )
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    return order_priority_checking(orders, lineitem_max_shipdate(li))
+
+
+register(
+    "order_priority_checking",
+    _q_order_priority,
+    f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{Q4_HI} 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+                + INTERVAL {Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted) — supplier counts per (brand, type, size)
+# ---------------------------------------------------------------------------
+
+def part_supplier_counts(li_ds, part_dims: dict) -> "object":
+    """Distinct suppliers that shipped each (brand, type, size), via
+    lineitem as the part-supplier relation.  Two distincts, both after
+    a cardinality-reducing step; the part dims broadcast once."""
+    import ray
+
+    from .enrich import distinct
+
+    pairs = distinct(li_ds, ["l_partkey", "l_suppkey"])
+    # split the dims into three column maps ONCE, broadcast one ref
+    keys = list(part_dims)
+    maps = {
+        "p_brand": pd.Series([part_dims[k][0] for k in keys], index=keys),
+        "p_type": pd.Series([part_dims[k][1] for k in keys], index=keys),
+        "p_size": pd.Series([part_dims[k][2] for k in keys], index=keys,
+                            dtype="int64"),
+    }
+    dims_ref = ray.put(maps)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        dims = ray.get(dims_ref)
+        pk = pd.Series(batch.column("l_partkey").to_numpy(
+            zero_copy_only=False))
+        brand = pk.map(dims["p_brand"])
+        keep = brand.notna().to_numpy()
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "p_brand": pa.array(brand[keep], pa.string()),
+            "p_type": pa.array(pk.map(dims["p_type"])[keep], pa.string()),
+            "p_size": pa.array(
+                pk.map(dims["p_size"])[keep].to_numpy(np.int64), pa.int64()),
+            "l_suppkey": pa.array(sk, pa.int64()),
+        })
+
+    quads = distinct(
+        pairs.map_batches(_attach, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["p_brand", "p_type", "p_size", "l_suppkey"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("l_suppkey", "count")])
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "p_type": g.column("p_type"),
+            "p_size": g.column("p_size"),
+            "n": g.column("l_suppkey_count").cast(pa.int64()),
+        })
+
+    merged = (
+        quads.map_batches(_count, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby(["p_brand", "p_type", "p_size"]).sum("n")
+    ).to_pandas()
+    out = pd.DataFrame({
+        "p_brand": merged["p_brand"],
+        "p_type": merged["p_type"],
+        "p_size": merged["p_size"].astype("int64"),
+        "supplier_cnt": merged["sum(n)"].astype("int64"),
+    })
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+def _q_part_supplier(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from .relational import MAX_BROADCAST_DIM_ROWS
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    if part.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"part has {part.num_rows} rows (> {MAX_BROADCAST_DIM_ROWS}); "
+            "broadcast part dims no longer apply — shuffle_join instead")
+    mask = pc.and_(
+        pc.not_equal(part.column("p_brand"), pa.scalar(Q16_EXCL_BRAND)),
+        pc.not_equal(part.column("p_type"), pa.scalar(Q16_EXCL_TYPE)))
+    part = part.filter(mask)
+    dims = {
+        k: (b, t, int(s)) for k, b, t, s in zip(
+            part.column("p_partkey").to_pylist(),
+            part.column("p_brand").to_pylist(),
+            part.column("p_type").to_pylist(),
+            part.column("p_size").to_pylist())
+    }
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+    return part_supplier_counts(li, dims)
+
+
+register(
+    "part_supplier_counts",
+    _q_part_supplier,
+    f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_type <> '{Q16_EXCL_TYPE}'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q19 (adapted) — disjunctive brand/quantity/size revenue
+# ---------------------------------------------------------------------------
+
+def brand_quantity_revenue(li_ds, part_dims: dict) -> pd.DataFrame:
+    """Revenue over a 3-arm disjunction of (brand, quantity range, size
+    range) predicates; part attributes broadcast, predicate vectorized,
+    one partial row per block."""
+    import ray
+
+    keys = list(part_dims)
+    maps = {
+        "brand": pd.Series([part_dims[k][0] for k in keys], index=keys),
+        "size": pd.Series([float(part_dims[k][1]) for k in keys],
+                          index=keys),
+    }
+    dims_ref = ray.put(maps)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        dims = ray.get(dims_ref)
+        pk = pd.Series(batch.column("l_partkey").to_numpy(
+            zero_copy_only=False))
+        brand = pk.map(dims["brand"]).to_numpy()
+        size = pk.map(dims["size"]).to_numpy(dtype=float, na_value=np.nan)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(pk), dtype=bool)
+        for b, qlo, qhi, slo, shi in Q19_ARMS:
+            keep |= ((brand == b) & (qty >= qlo) & (qty <= qhi)
+                     & (size >= slo) & (size <= shi))
+        rev = price[keep] * (1.0 - disc[keep])
+        return pa.table({
+            "rev": pa.array([float(rev.sum())], pa.float64()),
+            "n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    f = _global_fold(
+        li_ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["rev", "n"])
+    return pd.DataFrame({
+        "revenue": [round_half_away(np.float64(f["rev"]), 2)],
+        "n_items": pd.array([int(f["n"])], dtype="int64"),
+    })
+
+
+def _q_brand_quantity(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    import ray
+
+    from .relational import MAX_BROADCAST_DIM_ROWS
+
+    brands = {b for b, *_ in Q19_ARMS}
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part = part.filter(pc.is_in(part.column("p_brand"),
+                                value_set=pa.array(sorted(brands))))
+    if part.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"part has {part.num_rows} rows after brand pruning "
+            f"(> {MAX_BROADCAST_DIM_ROWS}); shuffle_join instead")
+    dims = {
+        k: (b, int(s)) for k, b, s in zip(
+            part.column("p_partkey").to_pylist(),
+            part.column("p_brand").to_pylist(),
+            part.column("p_size").to_pylist())
+    }
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    return brand_quantity_revenue(li, dims)
+
+
+def _q19_arm_sql(arm) -> str:
+    b, qlo, qhi, slo, shi = arm
+    return (f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {qlo} AND {qhi}"
+            f" AND p.p_size BETWEEN {slo} AND {shi})")
+
+
+register(
+    "brand_quantity_revenue",
+    _q_brand_quantity,
+    f"""
+    SELECT round(coalesce(
+               sum(l.l_extendedprice * (1 - l.l_discount)), 0), 2)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {' OR '.join(_q19_arm_sql(a) for a in Q19_ARMS)}
+    """,
+)

@@ -176,6 +176,14 @@ SUBSET = [
     "hybrid_rrf_topk",
     # PageRank over the nation trade graph (per-iteration round parity)
     "nation_trade_pagerank",
+    # TPC-H Q6/Q14/Q4/Q16/Q19 shapes (combiner aggregates, correlated
+    # EXISTS via groupby-max + shuffle join, double distinct rollup,
+    # disjunctive broadcast predicate)
+    "forecast_revenue_change",
+    "promo_revenue_effect",
+    "order_priority_checking",
+    "part_supplier_counts",
+    "brand_quantity_revenue",
 ]
 
 
