@@ -857,3 +857,152 @@ register(
     FROM h
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend per series (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+THEIL_SEN_MAX_WINDOWS = 4_000
+
+
+def theil_sen_trend(samples_ds, *, window_ns: int, round_digits: int = 6,
+                    num_shards: int = _SHARDS,
+                    max_windows: int = THEIL_SEN_MAX_WINDOWS):
+    """Per-series Theil-Sen estimator: the MEDIAN of all pairwise slopes
+    over the series' window means, plus the matching median intercept
+    (at the series' first window) — the robust alternative to
+    ``window_trend``'s least squares (breakdown point 29% vs 0%).
+
+    Scale shape: the hourly-mean rollup is the scale REDUCER — pairwise
+    work grows with the square of the WINDOW count (bounded by
+    retention/window, e.g. one year of 1h windows = 8,760), never with
+    raw sample count.  The usual per-block (n, sum) combiner feeds ONE
+    series-sharded shuffle; each group task vectorizes its pair slopes
+    with numpy ``triu_indices``.  A series whose window count exceeds
+    ``max_windows`` (default 4,000 -> 8M pairs, ~130 MB of task scratch)
+    fails LOUDLY naming the fix (coarser window / shorter retention)
+    rather than silently OOMing a worker.
+
+    Hash parity: x is the window's exact hour offset from the series'
+    first window (exact float64 integers), y the canonical rounded mean;
+    the slope set is then identical IEEE division in both engines, and
+    numpy's interpolating median equals DuckDB ``median`` on identical
+    inputs.  The intercept derives from the ALREADY-ROUNDED slope so
+    both engines subtract identical products.
+    """
+    from ._util import hash_shards
+
+    hour_ns = 3_600_000_000_000.0
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _trend(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y_all = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        w = g["window_ns"].to_numpy(np.int64)
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        out = {"series_key": [], "n_windows": [], "theil_sen_slope": [],
+               "intercept_at_start": []}
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            if n > max_windows:
+                raise ValueError(
+                    f"series {series[lo]!r} has {n} windows "
+                    f"(> max_windows={max_windows}); pairwise Theil-Sen "
+                    "no longer applies — use a coarser window_ns or "
+                    "shorter retention, or raise the bound knowingly")
+            x = (w[lo:hi] - w[lo]) / hour_ns  # exact small integers
+            y = y_all[lo:hi]
+            i, j = np.triu_indices(n, k=1)
+            slopes = (y[j] - y[i]) / (x[j] - x[i])
+            slope6 = round_half_away(np.float64(np.median(slopes)),
+                                     round_digits)
+            icept = np.median(y - slope6 * x)
+            out["series_key"].append(series[lo])
+            out["n_windows"].append(n)
+            out["theil_sen_slope"].append(slope6)
+            out["intercept_at_start"].append(
+                round_half_away(np.float64(icept), round_digits))
+        return pd.DataFrame({
+            "series_key": np.asarray(out["series_key"], dtype=object),
+            "n_windows": np.asarray(out["n_windows"], dtype=np.int64),
+            "theil_sen_slope": np.asarray(out["theil_sen_slope"],
+                                          dtype=np.float64),
+            "intercept_at_start": np.asarray(out["intercept_at_start"],
+                                             dtype=np.float64),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_trend, batch_format="pandas")
+    )
+
+
+def _q_theil_sen(sf_dir: str):
+    return theil_sen_trend(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_theil_sen_1h",
+    _q_theil_sen,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    x AS (
+        SELECT series_key, y,
+               (window_ns - min(window_ns) OVER (PARTITION BY series_key))
+                   / 3600000000000.0 AS xh
+        FROM m
+    ),
+    sl AS (
+        SELECT a.series_key,
+               round(median((b.y - a.y) / (b.xh - a.xh)), 6) AS slope,
+               CAST(count(DISTINCT a.xh) + 1 AS BIGINT) AS n_windows
+        FROM x a JOIN x b
+          ON a.series_key = b.series_key AND b.xh > a.xh
+        GROUP BY a.series_key
+    )
+    SELECT x.series_key,
+           sl.n_windows AS n_windows,
+           sl.slope AS theil_sen_slope,
+           round(median(x.y - sl.slope * x.xh), 6) AS intercept_at_start
+    FROM x JOIN sl ON x.series_key = sl.series_key
+    GROUP BY x.series_key, sl.n_windows, sl.slope
+    """,
+)

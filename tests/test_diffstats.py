@@ -279,3 +279,60 @@ class TestWeightedSampleZeroWeights:
         # only the 10 positive-weight rows are eligible (SQL WHERE w > 0)
         assert len(got) == 10
         assert (got["w"] > 0).all()
+
+
+class TestTheilSen:
+    def test_matches_bruteforce(self, ray_session):
+        from json_time_series_extractor_ray.pipelines._util import (
+            round_half_away,
+        )
+        from json_time_series_extractor_ray.pipelines.diffstats import (
+            theil_sen_trend,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        ts = rng.integers(0, 24 * _H, n)
+        df = pd.DataFrame({
+            "series_key": rng.choice(["a", "b", "c"], n),
+            "ts_ns": ts,
+            "value_num": (rng.normal(0.5, 0.1, n)
+                          + ts / (24 * _H)).round(3),
+        })
+        got = theil_sen_trend(
+            _samples(ray_session, df), window_ns=_H
+        ).to_pandas().sort_values("series_key", ignore_index=True)
+        assert got["series_key"].tolist() == ["a", "b", "c"]
+        for _, row in got.iterrows():
+            s = df[df["series_key"] == row["series_key"]].copy()
+            s["w"] = s["ts_ns"] // _H * _H
+            m = s.groupby("w")["value_num"].agg(["sum", "size"])
+            y = round_half_away(
+                round_half_away(m["sum"].to_numpy(), 6)
+                / m["size"].to_numpy(), 6)
+            x = (m.index.to_numpy() - m.index.min()) / 3.6e12
+            i, j = np.triu_indices(len(y), k=1)
+            slope = round_half_away(
+                np.float64(np.median((y[j] - y[i]) / (x[j] - x[i]))), 6)
+            assert row["n_windows"] == len(y)
+            assert row["theil_sen_slope"] == slope
+            assert row["intercept_at_start"] == round_half_away(
+                np.float64(np.median(y - slope * x)), 6)
+            # the planted upward drift must be recovered (~1 unit / 24 h)
+            assert 0.02 < row["theil_sen_slope"] < 0.07
+
+    def test_window_bound_fails_loudly(self, ray_session):
+        import pytest
+
+        from json_time_series_extractor_ray.pipelines.diffstats import (
+            theil_sen_trend,
+        )
+
+        df = pd.DataFrame({
+            "series_key": ["hot"] * 40,
+            "ts_ns": np.arange(40) * _H,
+            "value_num": np.linspace(0, 1, 40),
+        })
+        with pytest.raises(ValueError, match="max_windows"):
+            theil_sen_trend(_samples(ray_session, df), window_ns=_H,
+                            max_windows=10).to_pandas()

@@ -184,6 +184,8 @@ SUBSET = [
     "order_priority_checking",
     "part_supplier_counts",
     "brand_quantity_revenue",
+    # Theil-Sen robust trend (median of pairwise slopes over window means)
+    "events_theil_sen_1h",
 ]
 
 
