@@ -51,6 +51,7 @@ def _load_all() -> None:
         dedup,
         diffstats,
         downsample,
+        dtw,
         enrich,
         graph,
         joins,

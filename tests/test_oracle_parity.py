@@ -186,6 +186,8 @@ SUBSET = [
     "brand_quantity_revenue",
     # Theil-Sen robust trend (median of pairwise slopes over window means)
     "events_theil_sen_1h",
+    # DTW distance (recursive-CTE double-diagonal DP oracle)
+    "events_dtw_1d",
 ]
 
 
