@@ -340,15 +340,41 @@ register(
 # Q16 (adapted) — supplier counts per (brand, type, size)
 # ---------------------------------------------------------------------------
 
+def _sharded_distinct(ds, cols: list[str], key_col: str,
+                      num_shards: int = 64):
+    """Distinct over ``cols``: per-block Arrow dedup combiner, then ONE
+    groupby on a HASH SHARD of ``key_col`` (64 groups) with a pandas
+    drop_duplicates per shard — same result as ``enrich.distinct`` but
+    without the one-Ray-group-per-distinct-key overhead (60k tiny
+    groups cost ~68 s at sf0.01; 64 shard groups cost ~2 s)."""
+    from ._util import hash_shards
+
+    def _local(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([])
+        return t.append_column(
+            "shard", pa.array(hash_shards(
+                pd.Series(t.column(key_col).to_numpy(
+                    zero_copy_only=False)).astype(str),
+                num_shards), pa.int32()))
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols)[cols]
+
+    return (
+        ds.map_batches(_local, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("shard").map_groups(_dedup, batch_format="pandas")
+    )
+
+
 def part_supplier_counts(li_ds, part_dims: dict) -> "object":
     """Distinct suppliers that shipped each (brand, type, size), via
     lineitem as the part-supplier relation.  Two distincts, both after
     a cardinality-reducing step; the part dims broadcast once."""
     import ray
 
-    from .enrich import distinct
-
-    pairs = distinct(li_ds, ["l_partkey", "l_suppkey"])
+    pairs = _sharded_distinct(li_ds, ["l_partkey", "l_suppkey"],
+                              "l_partkey")
     # split the dims into three column maps ONCE, broadcast one ref
     keys = list(part_dims)
     maps = {
@@ -374,10 +400,10 @@ def part_supplier_counts(li_ds, part_dims: dict) -> "object":
             "l_suppkey": pa.array(sk, pa.int64()),
         })
 
-    quads = distinct(
+    quads = _sharded_distinct(
         pairs.map_batches(_attach, batch_format="pyarrow",
                           zero_copy_batch=True),
-        ["p_brand", "p_type", "p_size", "l_suppkey"])
+        ["p_brand", "p_type", "p_size", "l_suppkey"], "l_suppkey")
 
     def _count(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["p_brand", "p_type", "p_size"]).aggregate(
