@@ -1006,3 +1006,156 @@ register(
     GROUP BY x.series_key, sl.n_windows, sl.slope
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MASE: seasonal-naive forecast error per series (Hyndman & Koehler 2006)
+# ---------------------------------------------------------------------------
+
+_DAY_NS = 86_400_000_000_000
+
+
+def mase_seasonal(samples_ds, *, window_ns: int = _H,
+                  season_ns: int = _DAY_NS, round_digits: int = 6,
+                  num_shards: int = _SHARDS):
+    """Per-series forecastability screen: the MAE of the seasonal-naive
+    forecast (``y_t = y(t - season)``) scaled by the MAE of the one-step
+    naive forecast (``y_t = y(t - window)``) over hourly window means —
+    MASE < 1 means "yesterday's value at this hour" beats "the last
+    hour's value", i.e. the series has exploitable daily seasonality.
+
+    Lags are WALL-TIME lags (a window pairs with the window exactly one
+    season/step earlier, if present), so gaps drop pairs on both engines
+    identically instead of silently mis-aligning ordinal positions.
+
+    Scale shape: the usual window-mean combiner + ONE series-sharded
+    shuffle; per-series matching is two vectorized ``searchsorted``
+    probes over the (bounded) window grid.  Hash parity: canonical
+    round-6 means, round-6 summed absolute errors, ratio of the two
+    ROUNDED MAEs.
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _lag_mae(w: np.ndarray, y: np.ndarray, lag_ns: int):
+        """(n_pairs, round-6 summed |err|) for the wall-time lag."""
+        target = w - lag_ns
+        idx = np.searchsorted(w, target)
+        idx_c = np.clip(idx, 0, len(w) - 1)
+        ok = w[idx_c] == target
+        if not ok.any():
+            return 0, 0.0
+        d = np.abs(y[ok] - y[idx_c[ok]])
+        return int(ok.sum()), float(round_half_away(
+            np.float64(d.sum()), round_digits))
+
+    def _mase(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y_all = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        w_all = g["window_ns"].to_numpy(np.int64)
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        out = {"series_key": [], "n_naive": [], "n_snaive": [],
+               "mae_naive": [], "mae_snaive": [], "mase": []}
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w, y = w_all[lo:hi], y_all[lo:hi]
+            n1, s1 = _lag_mae(w, y, window_ns)
+            ns_, ss = _lag_mae(w, y, season_ns)
+            if n1 == 0 or ns_ == 0:
+                continue
+            mae1 = round_half_away(np.float64(s1 / n1), round_digits)
+            maes = round_half_away(np.float64(ss / ns_), round_digits)
+            if mae1 == 0.0:
+                continue
+            out["series_key"].append(series[lo])
+            out["n_naive"].append(n1)
+            out["n_snaive"].append(ns_)
+            out["mae_naive"].append(mae1)
+            out["mae_snaive"].append(maes)
+            out["mase"].append(
+                round_half_away(np.float64(maes / mae1), round_digits))
+        return pd.DataFrame({
+            "series_key": np.asarray(out["series_key"], dtype=object),
+            "n_naive": np.asarray(out["n_naive"], dtype=np.int64),
+            "n_snaive": np.asarray(out["n_snaive"], dtype=np.int64),
+            "mae_naive": np.asarray(out["mae_naive"], dtype=np.float64),
+            "mae_snaive": np.asarray(out["mae_snaive"], dtype=np.float64),
+            "mase": np.asarray(out["mase"], dtype=np.float64),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_mase, batch_format="pandas")
+    )
+
+
+def _q_mase(sf_dir: str):
+    return mase_seasonal(_numeric_samples(sf_dir))
+
+
+register(
+    "events_mase_daily",
+    _q_mase,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    lag1 AS (
+        SELECT a.series_key,
+               CAST(count(*) AS BIGINT) AS n_naive,
+               round(round(sum(abs(a.y - b.y)), 6) / count(*), 6)
+                   AS mae_naive
+        FROM m a JOIN m b
+          ON b.series_key = a.series_key
+         AND b.window_ns = a.window_ns - {_H}
+        GROUP BY a.series_key
+    ),
+    lags AS (
+        SELECT a.series_key,
+               CAST(count(*) AS BIGINT) AS n_snaive,
+               round(round(sum(abs(a.y - b.y)), 6) / count(*), 6)
+                   AS mae_snaive
+        FROM m a JOIN m b
+          ON b.series_key = a.series_key
+         AND b.window_ns = a.window_ns - {_DAY_NS}
+        GROUP BY a.series_key
+    )
+    SELECT lag1.series_key, lag1.n_naive, lags.n_snaive,
+           lag1.mae_naive, lags.mae_snaive,
+           round(lags.mae_snaive / lag1.mae_naive, 6) AS mase
+    FROM lag1 JOIN lags ON lag1.series_key = lags.series_key
+    WHERE lag1.mae_naive <> 0
+    """,
+)

@@ -336,3 +336,48 @@ class TestTheilSen:
         with pytest.raises(ValueError, match="max_windows"):
             theil_sen_trend(_samples(ray_session, df), window_ns=_H,
                             max_windows=10).to_pandas()
+
+
+class TestMase:
+    def test_matches_bruteforce(self, ray_session):
+        from json_time_series_extractor_ray.pipelines._util import (
+            round_half_away,
+        )
+        from json_time_series_extractor_ray.pipelines.diffstats import (
+            mase_seasonal,
+        )
+
+        rng = np.random.default_rng(21)
+        n = 6000
+        ts = rng.integers(0, 72 * _H, n)
+        # strong daily cycle + noise: seasonal-naive should beat naive
+        df = pd.DataFrame({
+            "series_key": rng.choice(["a", "b"], n),
+            "ts_ns": ts,
+            "value_num": (np.sin(2 * np.pi * (ts % (24 * _H)) / (24 * _H))
+                          + rng.normal(0, 0.05, n)).round(4),
+        })
+        got = mase_seasonal(
+            _samples(ray_session, df), window_ns=_H
+        ).to_pandas().sort_values("series_key", ignore_index=True)
+        assert got["series_key"].tolist() == ["a", "b"]
+        for _, row in got.iterrows():
+            s = df[df["series_key"] == row["series_key"]].copy()
+            s["w"] = s["ts_ns"] // _H * _H
+            m = s.groupby("w")["value_num"].agg(["sum", "size"])
+            y = round_half_away(
+                round_half_away(m["sum"].to_numpy(), 6)
+                / m["size"].to_numpy(), 6)
+            w = m.index.to_numpy(np.int64)
+            lut = dict(zip(w, y))
+            for lag, n_col, mae_col in [(_H, "n_naive", "mae_naive"),
+                                        (24 * _H, "n_snaive",
+                                         "mae_snaive")]:
+                diffs = [abs(lut[t] - lut[t - lag]) for t in w
+                         if t - lag in lut]
+                assert row[n_col] == len(diffs)
+                assert row[mae_col] == round_half_away(
+                    np.float64(round_half_away(np.float64(sum(diffs)), 6)
+                               / len(diffs)), 6)
+            # daily seasonality planted -> MASE well under 1
+            assert row["mase"] < 0.7

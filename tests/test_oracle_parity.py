@@ -188,6 +188,8 @@ SUBSET = [
     "events_theil_sen_1h",
     # DTW distance (recursive-CTE double-diagonal DP oracle)
     "events_dtw_1d",
+    # MASE seasonal-naive forecast error (wall-time lag matching)
+    "events_mase_daily",
 ]
 
 
