@@ -1450,3 +1450,148 @@ def _q_semdedup(sf_dir: str):
 # approximate by construction (kmeans blocking) -> rows-only driver check;
 # within-cluster exactness + cross-cluster recall pinned in pytest
 register("semdedup_flags", _q_semdedup)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall report
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = (8, 16, 32)
+
+
+class _TruncPartial:
+    """Per-batch partial top-k under SEVERAL dimension truncations in one
+    corpus pass: truncate-then-renormalize both sides, one matmul per
+    truncation per batch.  One read serves every report row."""
+
+    def __init__(self, query_ids, query_matrix, dims, k):
+        self.query_ids = query_ids
+        self.Q = query_matrix  # (q, d) full, normalized
+        self.dims = tuple(dims)
+        self.k = k
+        self.Qt = {}
+        for d in self.dims:
+            Qd = query_matrix[:, :d]
+            n = np.linalg.norm(Qd, axis=1, keepdims=True)
+            self.Qt[d] = Qd / np.where(n == 0, 1.0, n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        E = np.stack(batch.column("embedding").to_pylist()).astype(
+            np.float64)
+        out = {"trunc_dim": [], "query_id": [], "neighbor_id": [],
+               "sim": []}
+        for d in self.dims:
+            Ed = E[:, :d]
+            n = np.linalg.norm(Ed, axis=1, keepdims=True)
+            En = Ed / np.where(n == 0, 1.0, n)
+            S = self.Qt[d] @ En.T
+            for qi, qid in enumerate(self.query_ids):
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_sims = S[qi][mask]
+                k = min(self.k, len(cand_ids))
+                if k == 0:
+                    continue
+                top = np.lexsort((cand_ids, -cand_sims))[:k]
+                out["trunc_dim"].extend([d] * k)
+                out["query_id"].extend([qid] * k)
+                out["neighbor_id"].extend(cand_ids[top])
+                out["sim"].extend(cand_sims[top])
+        return pa.table({
+            "trunc_dim": pa.array(out["trunc_dim"], pa.int64()),
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+            "sim": pa.array(out["sim"], pa.float64()),
+        })
+
+
+def dim_truncation_report(emb_ds, query_ids, query_matrix, *,
+                          dims=TRUNC_DIMS, k: int = TOP_K) -> pd.DataFrame:
+    """Recall@k of truncated-dimension retrieval vs the full-dimension
+    top-k (the Matryoshka embedding question: how many dims can be
+    dropped before retrieval degrades).
+
+    Scale shape: ONE corpus pass computes partial top-k for the full
+    dimension AND every truncation (broadcast query matrix, per-batch
+    matmuls); the merge + overlap join runs on queries x k rows — tiny
+    by construction, computed driver-side like the other top-k reports.
+    """
+    full = brute_force_topk(emb_ds, query_ids, query_matrix,
+                            k=k).to_pandas()
+    trunc_partials = emb_ds.map_batches(
+        _TruncPartial(query_ids, query_matrix, dims, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        return df[["trunc_dim", "query_id", "neighbor_id"]]
+
+    trunc = trunc_partials.groupby(["trunc_dim", "query_id"]).map_groups(
+        _merge, batch_format="pandas").to_pandas()
+    full_sets = full.groupby("query_id")["neighbor_id"].agg(set).to_dict()
+    g = trunc.groupby(["trunc_dim", "query_id"])["neighbor_id"] \
+        .agg(list).reset_index()
+    n_overlap = np.array([
+        len(set(row_ids) & full_sets.get(qid, set()))
+        for qid, row_ids in zip(g["query_id"], g["neighbor_id"])
+    ], dtype=np.int64)
+    out = pd.DataFrame({
+        "trunc_dim": g["trunc_dim"].to_numpy(np.int64),
+        "query_id": g["query_id"].to_numpy(np.int64),
+        "n_overlap": n_overlap,
+        "recall_at_k": round_half_away(n_overlap / float(k), 6),
+    })
+    return out.sort_values(["trunc_dim", "query_id"],
+                           ignore_index=True)
+
+
+def _q_dim_truncation(sf_dir: str) -> pd.DataFrame:
+    qids, Q = _load_query_matrix(sf_dir, N_QUERIES)
+    return dim_truncation_report(_read_embeddings(sf_dir), qids, Q)
+
+
+register(
+    "embedding_trunc_recall",
+    _q_dim_truncation,
+    f"""
+    WITH full_k AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) DESC,
+                     e.vec_id
+        ) <= {TOP_K}
+    ),
+    dims AS (SELECT unnest([{', '.join(str(d) for d in TRUNC_DIMS)}])
+                 AS trunc_dim),
+    trunc_k AS (
+        SELECT d.trunc_dim, q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM dims d, embeddings q JOIN embeddings e
+          ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        QUALIFY row_number() OVER (
+            PARTITION BY d.trunc_dim, q.vec_id
+            ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[])[1:d.trunc_dim],
+                         CAST(e.embedding AS DOUBLE[])[1:d.trunc_dim])
+                     DESC,
+                     e.vec_id
+        ) <= {TOP_K}
+    )
+    SELECT t.trunc_dim, t.query_id,
+           CAST(count(f.neighbor_id) AS BIGINT) AS n_overlap,
+           round(CAST(count(f.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+               AS recall_at_k
+    FROM trunc_k t LEFT JOIN full_k f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY t.trunc_dim, t.query_id
+    ORDER BY t.trunc_dim, t.query_id
+    """,
+)

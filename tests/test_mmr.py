@@ -64,3 +64,23 @@ class TestMmr:
                          lam=1.0).to_pandas().sort_values("mmr_rank")
         top = brute_force_topk(ds, qids, Q, k=4).to_pandas()
         assert mmr["neighbor_id"].tolist() == top["neighbor_id"].tolist()
+
+
+class TestTruncRecall:
+    def test_full_dim_recall_is_one_and_mean_monotone(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.similarity import (
+            _load_query_matrix,
+            _read_embeddings,
+            dim_truncation_report,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        qids, Q = _load_query_matrix(sf, 4)
+        got = dim_truncation_report(
+            _read_embeddings(sf), qids, Q, dims=(8, 32, 64))
+        # truncating to the FULL dimension is the identity retrieval
+        full = got[got["trunc_dim"] == 64]
+        assert (full["recall_at_k"] == 1.0).all()
+        # more dimensions can only help on average (Matryoshka premise)
+        means = got.groupby("trunc_dim")["recall_at_k"].mean()
+        assert means[8] <= means[32] <= means[64]

@@ -190,6 +190,8 @@ SUBSET = [
     "events_dtw_1d",
     # MASE seasonal-naive forecast error (wall-time lag matching)
     "events_mase_daily",
+    # Matryoshka dimension-truncation recall report
+    "embedding_trunc_recall",
 ]
 
 
