@@ -1,9 +1,9 @@
-"""Five more TPC-H-shaped relational pipelines (Q6, Q14, and Q4/Q16/Q19
-adapted to the fixture's columns — the tables lack ``l_commitdate`` /
-``l_shipmode`` / ``l_container`` / ``partsupp``, so the adapted variants
-keep each query's SHAPE (correlated-EXISTS semi join, promo share,
-disjunctive predicate pushdown, count-distinct rollup) over the columns
-that exist).
+"""Eight more TPC-H-shaped relational pipelines (Q6, Q13, Q14, Q15, Q17,
+and Q4/Q16/Q19 adapted to the fixture's columns — the tables lack
+``l_commitdate`` / ``l_shipmode`` / ``l_container`` / ``partsupp``, so
+the adapted variants keep each query's SHAPE (correlated-EXISTS semi
+join, promo share, disjunctive predicate pushdown, count-distinct
+rollup) over the columns that exist).
 
 Scale shapes, per query:
 
@@ -63,6 +63,8 @@ def _global_fold(ds, cols: list[str]) -> dict:
     """Fold per-block partial rows into one dict of sums (tiny: the
     aggregate input is one row per block)."""
     out = ds.sum(cols)
+    if out is None:  # empty dataset (e.g. the date filter pruned all rows)
+        return {c: 0 for c in cols}
     if not isinstance(out, dict):  # single column returns a scalar
         out = {f"sum({cols[0]})": out}
     return {c: out[f"sum({c})"] or 0 for c in cols}
@@ -567,5 +569,288 @@ register(
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE {' OR '.join(_q19_arm_sql(a) for a in Q19_ARMS)}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (LEFT-join histogram)
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(orders_ds, n_customers: int):
+    """TPC-H Q13: histogram of per-customer order counts, INCLUDING the
+    zero bucket.  Shape: per-block custkey-count combiner -> ONE
+    custkey groupby (bounded by customer count) -> per-block histogram
+    combiner -> tiny c_count groupby; the zero bucket is
+    ``n_customers - customers_with_orders`` (two scalars), never an
+    anti-join over the fact table."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "n": g.column("o_custkey_count").cast(pa.int64()),
+        })
+
+    per_cust = (
+        orders_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("o_custkey").sum("n")
+    )
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("sum(n)").aggregate([("sum(n)", "count")])
+        return pa.table({
+            "c_count": g.column("sum(n)").cast(pa.int64()),
+            "custdist": g.column("sum(n)_count").cast(pa.int64()),
+        })
+
+    hist = (
+        per_cust.map_batches(_hist, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("c_count").sum("custdist")
+    ).to_pandas()
+    out = pd.DataFrame({
+        "c_count": hist["c_count"].astype("int64"),
+        "custdist": hist["sum(custdist)"].astype("int64"),
+    })
+    zero = n_customers - int(out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat([out, pd.DataFrame(
+            {"c_count": pd.array([0], dtype="int64"),
+             "custdist": pd.array([zero], dtype="int64")})],
+            ignore_index=True)
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False],
+                           ignore_index=True)
+
+
+def _q_order_distribution(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    n_customers = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    return customer_order_distribution(orders, n_customers)
+
+
+register(
+    "customer_order_distribution",
+    _q_order_distribution,
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by windowed revenue
+# ---------------------------------------------------------------------------
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def top_supplier_revenue(li_ds, supp_names: dict):
+    """TPC-H Q15: the supplier(s) achieving the maximum revenue over one
+    quarter.  Revenue per supplier is ROUND-2 on both engines BEFORE the
+    max comparison so float ties cannot diverge; names attach via a
+    broadcast supplier map."""
+    import ray
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = (batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(
+                zero_copy_only=False)))
+        df = pd.DataFrame({
+            "l_suppkey": batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False),
+            "rev": rev,
+        })
+        g = df.groupby("l_suppkey", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        li_ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("l_suppkey").sum("rev")
+    ).to_pandas()
+    rev2 = round_half_away(merged["sum(rev)"].to_numpy(), 2)
+    best = rev2.max()
+    keep = merged[rev2 == best].copy()
+    names_ref = supp_names  # tiny, already driver-side
+    out = pd.DataFrame({
+        "s_suppkey": keep["l_suppkey"].astype("int64"),
+        "s_name": keep["l_suppkey"].map(names_ref),
+        "total_revenue": rev2[rev2 == best],
+    })
+    return out.sort_values("s_suppkey", ignore_index=True)
+
+
+def _q_top_supplier(sf_dir: str):
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    import ray
+
+    supp_names = _q_top_supplier_names(sf_dir)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate")
+                >= dt.datetime.fromisoformat(Q15_LO))
+        & (pads.field("l_shipdate") < dt.datetime.fromisoformat(Q15_HI)),
+    )
+    return top_supplier_revenue(li, supp_names)
+
+
+def _q_top_supplier_names(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_name"])
+    return dict(zip(t.column("s_suppkey").to_pylist(),
+                    t.column("s_name").to_pylist()))
+
+
+register(
+    "top_supplier_revenue",
+    _q_top_supplier,
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_LO} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{Q15_HI} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg via broadcast)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#23"
+Q17_FRACTION = 0.2
+
+
+def small_quantity_revenue(li_pass1, li_pass2_fn,
+                           brand_parts: frozenset) -> pd.DataFrame:
+    """TPC-H Q17: weekly-equivalent revenue lost to small orders —
+    lineitems of one brand's parts whose quantity is below
+    ``Q17_FRACTION`` x that part's average quantity.
+
+    The correlated scalar subquery becomes: pass 1 computes each
+    brand-part's (sum qty, n) via the usual combiner (bounded by the
+    brand's part count), the per-part threshold broadcasts as a map,
+    pass 2 filters rows against the broadcast threshold and folds one
+    (revenue, n) partial per block.  Avg uses the rounded-moments rule
+    (round-6 sum / n) so both engines compare against the identical
+    threshold."""
+    import ray
+
+    def _p1(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = pd.Series(pk).isin(brand_parts).to_numpy()
+        df = pd.DataFrame({
+            "l_partkey": pk[keep],
+            "q": batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)[keep],
+        })
+        g = df.groupby("l_partkey", sort=False).agg(
+            s=("q", "sum"), n=("q", "size")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        li_pass1.map_batches(_p1, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("l_partkey").sum(["s", "n"])
+    ).to_pandas()
+    thr = pd.Series(
+        Q17_FRACTION * (round_half_away(stats["sum(s)"].to_numpy(), 6)
+                        / stats["sum(n)"].to_numpy()),
+        index=stats["l_partkey"].to_numpy())
+    thr_ref = ray.put(thr)
+
+    def _p2(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        pk = pd.Series(batch.column("l_partkey").to_numpy(
+            zero_copy_only=False))
+        lim = pk.map(t).to_numpy(dtype=float, na_value=np.nan)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = qty < lim  # NaN (non-brand part) compares False
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.table({
+            "rev": pa.array([float(price.sum())], pa.float64()),
+            "n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    f = _global_fold(
+        li_pass2_fn().map_batches(_p2, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        ["rev", "n"])
+    rev2 = round_half_away(np.float64(f["rev"]), 2)
+    return pd.DataFrame({
+        "avg_yearly": [round_half_away(np.float64(rev2 / 7.0), 2)],
+        "n_items": pd.array([int(f["n"])], dtype="int64"),
+    })
+
+
+def _q_small_quantity(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_parts = frozenset(
+        part.filter(pc.equal(part.column("p_brand"),
+                             pa.scalar(Q17_BRAND)))
+        .column("p_partkey").to_pylist())
+
+    def _li():
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    return small_quantity_revenue(_li(), _li, brand_parts)
+
+
+register(
+    "small_quantity_revenue",
+    _q_small_quantity,
+    f"""
+    WITH stats AS (
+        SELECT l.l_partkey,
+               {Q17_FRACTION} * (round(sum(l.l_quantity), 6) / count(*))
+                   AS lim
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{Q17_BRAND}'
+        GROUP BY l.l_partkey
+    ),
+    hit AS (
+        SELECT round(coalesce(sum(l.l_extendedprice), 0), 2) AS rev,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN stats s ON s.l_partkey = l.l_partkey
+        WHERE l.l_quantity < s.lim
+    )
+    SELECT round(rev / 7.0, 2) AS avg_yearly, n_items FROM hit
     """,
 )

@@ -192,6 +192,11 @@ SUBSET = [
     "events_mase_daily",
     # Matryoshka dimension-truncation recall report
     "embedding_trunc_recall",
+    # TPC-H Q13/Q15/Q17 shapes (LEFT-join histogram with arithmetic zero
+    # bucket, rounded-max tie handling, correlated avg via broadcast)
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
 ]
 
 
