@@ -69,4 +69,5 @@ def _load_all() -> None:
         tokenchunks,
         tpch,
         windows,
+        zorder,
     )

@@ -197,6 +197,8 @@ SUBSET = [
     "customer_order_distribution",
     "top_supplier_revenue",
     "small_quantity_revenue",
+    # Z-order layout pruning index (range-normalized Morton cells)
+    "events_zorder_stats",
 ]
 
 
