@@ -258,6 +258,18 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("doc_bm25_topk", sf_dir)),
             ("customer_pareto_frontier",
              lambda: bench_query("customer_pareto_frontier", sf_dir)),
+            ("events_theil_sen_1h",
+             lambda: bench_query("events_theil_sen_1h", sf_dir)),
+            ("events_dtw_1d",
+             lambda: bench_query("events_dtw_1d", sf_dir)),
+            ("events_zorder_stats",
+             lambda: bench_query("events_zorder_stats", sf_dir)),
+            ("part_supplier_counts",
+             lambda: bench_query("part_supplier_counts", sf_dir)),
+            ("customer_order_distribution",
+             lambda: bench_query("customer_order_distribution", sf_dir)),
+            ("doc_bpe_encode",
+             lambda: bench_query("doc_bpe_encode", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]
