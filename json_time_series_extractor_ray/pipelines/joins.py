@@ -67,7 +67,7 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
                  right_schema: pa.Schema | None = None):
     """Equi-join two Datasets on a key column; returns the left columns
     followed by the right's non-key columns (right key is dropped —
-    it equals ``on``).  ``how`` is ``inner``, ``left``, ``semi``, or
+    it equals ``on``).  ``how`` is ``inner``, ``left``, ``outer``, ``semi``, or
     ``anti`` — the latter two return left columns only (existence
     filters, SQL ``WHERE [NOT] EXISTS``), shuffling just the right's
     KEY column (its payload never moves).
@@ -81,9 +81,10 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
     ``pq.read_schema`` metadata; prior joins: ``join_output_schema``)
     so plan construction stays pure metadata.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(
-            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
+            f"how must be 'inner', 'left', 'semi', 'anti' or 'outer', "
+            f"got {how!r}")
     right_key = right_on or on
     if left_schema is None:
         left_schema = left_ds.schema()
@@ -126,20 +127,29 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
             import pyarrow.compute as pc
 
             if side == 1:
-                # Null right keys never match any join mode — drop them
-                # BEFORE the shuffle (less exchange, and no NaN decay in
-                # downstream pandas frames).
-                batch = batch.filter(pc.is_valid(batch.column(right_key)))
+                if how == "outer":
+                    # FULL OUTER keeps unmatched null-keyed right rows:
+                    # route them to the dedicated null shard (they must
+                    # not NaN==NaN-match pandas-side).
+                    pass
+                else:
+                    # Null right keys never match any other join mode —
+                    # drop them BEFORE the shuffle (less exchange, no
+                    # NaN decay in downstream pandas frames).
+                    batch = batch.filter(
+                        pc.is_valid(batch.column(right_key)))
             key = (batch.column(on) if side == 0
                    else batch.column(right_key).cast(key_type))
             shard = _hash_shards(_canon_key(key), num_shards)
-            if side == 0:
-                # Null LEFT keys must survive left/anti joins, but a null
-                # inside a shard frame decays its int64 __key to float64
-                # in pandas (corrupting co-resident keys > 2^53): route
+            if side == 0 or how == "outer":
+                # Null LEFT keys must survive left/anti/outer joins (and
+                # null RIGHT keys survive outer), but a null inside a
+                # shard frame decays its int64 __key to float64 in
+                # pandas (corrupting co-resident keys > 2^53): route
                 # them to a dedicated null-only shard instead.
-                null_mask = pc.is_null(batch.column(on)) \
-                    .to_numpy(zero_copy_only=False)
+                kcol = batch.column(on) if side == 0 \
+                    else batch.column(right_key)
+                null_mask = pc.is_null(kcol).to_numpy(zero_copy_only=False)
                 shard = np.where(null_mask, num_shards, shard) \
                     .astype(np.int32)
             cols = {"__key": key}
@@ -182,6 +192,24 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
             return picked.rename(columns={"__key": on})[all_cols]
         if how == "inner":
             left = left[left["__key"].notna()]
+        if how == "outer":
+            # null keys never match (SQL): merge only the non-null keys,
+            # pass null-keyed rows through unmatched from BOTH sides
+            lnull = left[left["__key"].isna()]
+            rnull_rows = df[df["__side"] == 1]
+            rnull = rnull_rows[rnull_rows["__key"].isna()][["__key"] + rcols]
+            merged = left[left["__key"].notna()].merge(
+                right, on="__key", how="outer", sort=False)
+            merged = pd.concat([merged, lnull, rnull], ignore_index=True)
+            out = merged.rename(columns={"__key": on})[all_cols]
+            # unmatched rows null-upcast int columns to float64 NaN,
+            # which Arrow cannot cast back to int64 — go through the
+            # nullable Int64 extension so NaN becomes a true null
+            for c in all_cols:
+                if pa.types.is_integer(decl[c]) \
+                        and out[c].dtype == np.float64:
+                    out[c] = out[c].astype("Int64")
+            return out
         merged = left.merge(right, on="__key", how=how, sort=False)
         return merged.rename(columns={"__key": on})[all_cols]
 
@@ -491,5 +519,73 @@ register(
            CAST(COALESCE(a.n_open, 0) AS BIGINT) AS n_open,
            COALESCE(a.open_spend, 0) AS open_spend
     FROM customer c LEFT JOIN a ON a.o_custkey = c.c_custkey
+    """,
+)
+
+
+def _q_users_customers_outer(sf_dir: str):
+    """FULL OUTER join: per-user event counts x high-balance customers.
+    Both unmatched directions carry traffic (users whose customer row is
+    balance-pruned survive with null acctbal; event-less customers
+    survive with null count) — the completion of the join algebra over
+    the same one-bounded-shuffle layout.  Unmatched int columns travel
+    as true Arrow nulls (nullable Int64 path), never NaN-decayed
+    floats."""
+    import pyarrow.dataset as pads
+    import ray
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "n_events": g.column("user_id_count").cast(pa.int64()),
+        })
+
+    per_user = (
+        events.map_batches(_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("user_id").sum("n_events")
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "n_events": batch.column("sum(n_events)").cast(pa.int64()),
+        })
+
+    per_user = per_user.map_batches(_shape, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+        filter=pads.field("c_acctbal") >= 5000.0,
+    )
+    left_schema = pa.schema([("user_id", pa.int64()),
+                             ("n_events", pa.int64())])
+    right_schema = pa.schema([("c_custkey", pa.int64()),
+                              ("c_acctbal", pa.float64())])
+    return shuffle_join(per_user, cust, on="user_id",
+                        right_on="c_custkey", how="outer",
+                        left_schema=left_schema,
+                        right_schema=right_schema)
+
+
+register(
+    "users_customers_outer",
+    _q_users_customers_outer,
+    """
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 5000
+    )
+    SELECT coalesce(u.user_id, c.c_custkey) AS user_id,
+           u.n_events, c.c_acctbal
+    FROM u FULL JOIN c ON c.c_custkey = u.user_id
     """,
 )

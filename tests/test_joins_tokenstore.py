@@ -319,3 +319,40 @@ class TestShuffleJoinNullKeys:
         assert outer["lv"].tolist() == [10, 20, 30]
         assert outer["rv"].tolist()[2] == "y"
         assert outer["rv"].isna().tolist() == [True, True, False]
+
+
+class TestShuffleJoinOuter:
+    def test_full_outer_both_directions_and_null_keys(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.joins import (
+            shuffle_join,
+        )
+
+        left = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"),
+                             "lv": pd.array([10, 20, 30], dtype="Int64")})
+        right = pd.DataFrame({"k": pd.array([2, 4, None], dtype="Int64"),
+                              "rv": pd.array([200, 400, 500],
+                                             dtype="Int64")})
+        got = shuffle_join(
+            _mk_ds(ray_session, left), _mk_ds(ray_session, right),
+            on="k", how="outer", num_shards=4,
+        ).to_pandas()
+        # SQL FULL JOIN: matched (2), left-only (1, NULL-left), right-only
+        # (4, NULL-right); NULL keys never match each other
+        key = got.apply(lambda r: (r["k"], r["lv"], r["rv"]), axis=1)
+        rows = {tuple(None if pd.isna(v) else int(v) for v in t)
+                for t in key}
+        assert rows == {
+            (2, 20, 200),        # matched
+            (1, 10, None),       # left-only
+            (None, 30, None),    # null-key left survives unmatched
+            (4, None, 400),      # right-only
+            (None, None, 500),   # null-key right survives unmatched
+        }
+        # int columns come back as true nullable ints, never floats
+        import pyarrow as _pa
+        sch = shuffle_join(
+            _mk_ds(ray_session, left), _mk_ds(ray_session, right),
+            on="k", how="outer", num_shards=4,
+        ).schema()
+        assert sch.base_schema.field("lv").type == _pa.int64()
+        assert sch.base_schema.field("rv").type == _pa.int64()

@@ -199,6 +199,8 @@ SUBSET = [
     "small_quantity_revenue",
     # Z-order layout pruning index (range-normalized Morton cells)
     "events_zorder_stats",
+    # FULL OUTER shuffle join (both unmatched directions, nullable ints)
+    "users_customers_outer",
 ]
 
 
