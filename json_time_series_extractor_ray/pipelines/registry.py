@@ -54,6 +54,7 @@ def _load_all() -> None:
         dtw,
         enrich,
         graph,
+        integrity,
         joins,
         multimodal,
         packing,

@@ -201,6 +201,8 @@ SUBSET = [
     "events_zorder_stats",
     # FULL OUTER shuffle join (both unmatched directions, nullable ints)
     "users_customers_outer",
+    # referential-integrity report (distinct combiner + anti shuffle join)
+    "referential_integrity",
 ]
 
 
