@@ -1112,3 +1112,125 @@ register(
     LIMIT {TRIGRAM_TOP_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness (exact trailing-window distinct members)
+# ---------------------------------------------------------------------------
+
+_DAY = 86_400_000_000_000
+MAU_DAYS = 30
+
+
+def dau_mau_stickiness(events_ds, *, member: str = "user_id",
+                       ts: str = "ts", mau_days: int = MAU_DAYS,
+                       round_digits: int = 6) -> pd.DataFrame:
+    """Per observed day: exact DAU, exact trailing-``mau_days`` MAU, and
+    the stickiness ratio DAU/MAU — the standard product-engagement
+    screen, computed with EXACT distincts (no sketch).
+
+    Scale shape: the corpus first reduces to DISTINCT (day, member)
+    pairs (per-block Arrow dedup combiner + 64-way shard dedup — the
+    shuffle is user-day-bounded, never event-bounded); the trailing
+    window is a bounded x``mau_days`` expansion of those pairs (the
+    hopping-window trick), pruned to observed days via a broadcast day
+    set, then deduped and counted per day.  The final day-level merge is
+    driver-side on a days-count-sized frame.
+    """
+    import ray
+
+    from .tpch import _sharded_distinct
+
+    def _project(batch: pa.Table) -> pa.Table:
+        day = (batch.column(ts).cast(pa.timestamp("ns")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // _DAY)
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            member: batch.column(member),
+        })
+
+    ud = _sharded_distinct(
+        events_ds.map_batches(_project, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["day", member], member)
+
+    # DAU: count per day over the distinct pairs (tiny combiner)
+    def _dau_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("day").aggregate([("day", "count")])
+        return pa.table({"day": g.column("day"),
+                         "n": g.column("day_count").cast(pa.int64())})
+
+    dau = (
+        ud.map_batches(_dau_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("day").sum("n")
+    ).to_pandas().rename(columns={"sum(n)": "dau"})
+
+    days = np.sort(dau["day"].to_numpy(np.int64))
+    days_ref = ray.put(days)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)  # sorted observed-day array, broadcast
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        mem = batch.column(member).to_numpy(zero_copy_only=False)
+        tgt = (day[:, None] + np.arange(mau_days)[None, :]).ravel()
+        mem_rep = np.repeat(mem, mau_days)
+        keep = np.isin(tgt, obs)
+        return pa.table({
+            "day": pa.array(tgt[keep], pa.int64()),
+            member: pa.array(mem_rep[keep]),
+        })
+
+    mau_pairs = _sharded_distinct(
+        ud.map_batches(_expand, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day", member], member)
+    mau = (
+        mau_pairs.map_batches(_dau_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("day").sum("n")
+    ).to_pandas().rename(columns={"sum(n)": "mau"})
+
+    out = dau.merge(mau, on="day", how="inner")
+    return pd.DataFrame({
+        "day": out["day"].astype("int64"),
+        "dau": out["dau"].astype("int64"),
+        "mau": out["mau"].astype("int64"),
+        "stickiness": round_half_away(
+            out["dau"].to_numpy(np.float64)
+            / out["mau"].to_numpy(np.float64), round_digits),
+    }).sort_values("day", ignore_index=True)
+
+
+def _q_dau_mau(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    return dau_mau_stickiness(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
+register(
+    "events_dau_stickiness",
+    _q_dau_mau,
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT CAST(epoch_ns(ts) // {_DAY} AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    mau AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+        FROM days d JOIN ud u
+          ON u.day BETWEEN d.day - {MAU_DAYS - 1} AND d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.day = mau.day
+    ORDER BY dau.day
+    """,
+)

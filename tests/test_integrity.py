@@ -33,3 +33,35 @@ class TestOrphanCounts:
         dim = _ds(ray_session, "pk", [1])
         n_keys, n_orphans = orphan_counts(fact, "fk", dim, "pk")
         assert (n_keys, n_orphans) == (2, 2)
+
+
+class TestDauMau:
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+
+        from json_time_series_extractor_ray.pipelines.windows import (
+            dau_mau_stickiness,
+        )
+
+        _DAY = 86_400_000_000_000
+        rng = np.random.default_rng(31)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 40, n),
+            "ts_ns": rng.integers(0, 45 * _DAY, n),
+        })
+        ds = ray_session.data.from_arrow(pa.table({
+            "user_id": pa.array(df["user_id"], pa.int64()),
+            "ts": pa.array(df["ts_ns"], pa.int64()).cast(
+                pa.timestamp("ns")),
+        }))
+        got = dau_mau_stickiness(ds, mau_days=7)
+        df["day"] = df["ts_ns"] // _DAY
+        for _, row in got.iterrows():
+            d = row["day"]
+            dau = df[df["day"] == d]["user_id"].nunique()
+            mau = df[(df["day"] >= d - 6)
+                     & (df["day"] <= d)]["user_id"].nunique()
+            assert (row["dau"], row["mau"]) == (dau, mau)
+            assert row["stickiness"] <= 1.0
+        assert set(got["day"]) == set(df["day"])

@@ -203,6 +203,8 @@ SUBSET = [
     "users_customers_outer",
     # referential-integrity report (distinct combiner + anti shuffle join)
     "referential_integrity",
+    # DAU/MAU stickiness (exact trailing-window distinct members)
+    "events_dau_stickiness",
 ]
 
 
