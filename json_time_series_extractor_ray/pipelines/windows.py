@@ -1234,3 +1234,111 @@ register(
     ORDER BY dau.day
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert latency (first click -> first subsequent purchase)
+# ---------------------------------------------------------------------------
+
+def funnel_latency(events_ds, *, member: str = "user_id", ts: str = "ts",
+                   step_a: str = "click", step_b: str = "purchase",
+                   num_shards: int = 64) -> pd.DataFrame:
+    """How long conversion takes: per user, the gap from the FIRST
+    ``step_a`` event to the first ``step_b`` event at-or-after it;
+    summarized as exact median and p90 over converting users.
+
+    Scale shape: events project to (member, type flag, ts) and flow
+    through ONE member-sharded shuffle; each group task computes its
+    users' latencies vectorized (two groupby-mins + a filtered min).
+    The per-user latency list collected for the final percentile is
+    USER-bounded (one int per converting user), the same
+    members-not-rows justification as the dedup cluster collect.
+    Percentiles interpolate linearly (numpy 'linear' == DuckDB
+    ``quantile_cont``); the round-6 seconds output absorbs the two
+    engines' sub-ULP formula difference.
+    """
+    import ray  # noqa: F401
+
+    from ._util import hash_shards
+
+    def _project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, pa.scalar(step_a)),
+                      pc.equal(et, pa.scalar(step_b)))
+        t = batch.filter(keep)
+        mem = t.column(member).to_numpy(zero_copy_only=False)
+        return pa.table({
+            member: pa.array(mem),
+            "is_b": pc.equal(t.column("event_type"), pa.scalar(step_b)),
+            "ts_ns": t.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "shard": pa.array(
+                hash_shards(pd.Series(mem).astype(str), num_shards),
+                pa.int32()),
+        })
+
+    def _latencies(df: pd.DataFrame) -> pd.DataFrame:
+        out_m, out_l = [], []
+        for uid, g in df.groupby(member, sort=True):
+            a_ts = g[~g["is_b"]]["ts_ns"]
+            if a_ts.empty:
+                continue
+            t0 = int(a_ts.min())
+            b_ts = g[g["is_b"] & (g["ts_ns"] >= t0)]["ts_ns"]
+            if b_ts.empty:
+                continue
+            out_m.append(uid)
+            out_l.append(int(b_ts.min()) - t0)
+        return pd.DataFrame({
+            member: np.asarray(out_m, dtype=object),
+            "lat_ns": np.asarray(out_l, dtype=np.int64),
+        })
+
+    lats = (
+        events_ds.map_batches(_project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_latencies, batch_format="pandas")
+    ).to_pandas()  # one row per CONVERTING USER — bounded by members
+    lat = lats["lat_ns"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "n_users": pd.array([len(lat)], dtype="int64"),
+        "median_s": [round_half_away(
+            np.float64(np.percentile(lat, 50) / 1e9), 6)],
+        "p90_s": [round_half_away(
+            np.float64(np.percentile(lat, 90) / 1e9), 6)],
+    })
+
+
+def _q_funnel_latency(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    return funnel_latency(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"]))
+
+
+register(
+    "events_funnel_latency",
+    _q_funnel_latency,
+    """
+    WITH c AS (
+        SELECT user_id, min(epoch_ns(ts)) AS t0
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t1
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t0
+        GROUP BY e.user_id
+    ),
+    l AS (
+        SELECT c.user_id, p.t1 - c.t0 AS lat_ns
+        FROM c JOIN p ON p.user_id = c.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(lat_ns, 0.5) / 1e9, 6) AS median_s,
+           round(quantile_cont(lat_ns, 0.9) / 1e9, 6) AS p90_s
+    FROM l
+    """,
+)

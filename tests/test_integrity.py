@@ -65,3 +65,44 @@ class TestDauMau:
             assert (row["dau"], row["mau"]) == (dau, mau)
             assert row["stickiness"] <= 1.0
         assert set(got["day"]) == set(df["day"])
+
+
+class TestFunnelLatency:
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+
+        from json_time_series_extractor_ray.pipelines.windows import (
+            funnel_latency,
+        )
+
+        rng = np.random.default_rng(41)
+        n = 2000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 30, n),
+            "event_type": rng.choice(["click", "purchase", "view"], n),
+            "ts_ns": rng.integers(0, 10**12, n),
+        })
+        ds = ray_session.data.from_arrow(pa.table({
+            "user_id": pa.array(df["user_id"], pa.int64()),
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "ts": pa.array(df["ts_ns"], pa.int64()).cast(
+                pa.timestamp("ns")),
+        }))
+        got = funnel_latency(ds)
+        lats = []
+        for _, g in df.groupby("user_id"):
+            clicks = g[g["event_type"] == "click"]["ts_ns"]
+            if clicks.empty:
+                continue
+            t0 = clicks.min()
+            buys = g[(g["event_type"] == "purchase")
+                     & (g["ts_ns"] >= t0)]["ts_ns"]
+            if buys.empty:
+                continue
+            lats.append(buys.min() - t0)
+        lat = np.asarray(lats, dtype=np.float64)
+        assert got["n_users"].iloc[0] == len(lat)
+        assert got["median_s"].iloc[0] == round(
+            float(np.percentile(lat, 50)) / 1e9, 6)
+        assert got["p90_s"].iloc[0] == round(
+            float(np.percentile(lat, 90)) / 1e9, 6)

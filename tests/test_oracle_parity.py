@@ -205,6 +205,8 @@ SUBSET = [
     "referential_integrity",
     # DAU/MAU stickiness (exact trailing-window distinct members)
     "events_dau_stickiness",
+    # funnel time-to-convert latency (member-sharded, user-bounded collect)
+    "events_funnel_latency",
 ]
 
 
