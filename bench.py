@@ -275,12 +275,17 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
             queries[name] = r["sec"]
             extras[name] = r
 
+    sf_num: float | str
+    try:
+        sf_num = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf_num = sf_dir
     result = {
         "metric": "iot tokenized corpus extract+rollup (raw->1m->1h->1d) wall time",
         "value": headline["sec"],
         "unit": "sec",
         "queries": queries,
-        "sf": sf_dir,
+        "sf": sf_num,
         "num_cpus": num_cpus,
         "kernel": "shredded" if shred else "traversal",
         "host_probe": probe,
@@ -479,7 +484,32 @@ def main():
     shred = True if args.shred else (False if args.no_shred else None)
     result = run_bench(args.sf_dir, args.cpus, headline_only=args.headline_only,
                        shred=shred)
-    print(json.dumps(result))
+    if args.internal_json:
+        # Scaling legs parse the full payload from the child's stdout.
+        print(json.dumps(result))
+        return
+    # The driver captures only the TAIL of stdout (BENCH_r02.json recorded
+    # parsed:null because the full detail dict blew past its window).  The
+    # final line must stay compact: per-query rows/extras and the host
+    # probe go to a side file; the headline + per-query seconds (2dp)
+    # stay on the last line.
+    detail = {
+        "detail": result.pop("detail"),
+        "host_probe": result.pop("host_probe"),
+    }
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({**result, **detail}, f, indent=1)
+    result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 2200:  # stay inside the driver's tail-capture window
+        slowest = dict(sorted(result["queries"].items(),
+                              key=lambda kv: -kv[1])[:20])
+        result["queries"] = slowest
+        result["queries_truncated_see"] = "BENCH_DETAIL.json"
+        line = json.dumps(result, separators=(",", ":"))
+    sys.stderr.write(f"full detail written to {detail_path}\n")
+    print(line)
 
 
 if __name__ == "__main__":
