@@ -15,9 +15,10 @@ Scale shape: shard count is the parallelism knob — each shard task holds
 tunable independent of total size; a hot KEY concentrates only its own
 rows (the output explosion of a many-to-many hot key is inherent to join
 semantics, not to this layout).  Carried columns are projected BEFORE
-the shuffle, so only the join's output columns ever move.  The pandas
-null-upcast after the tagged union is reversed by the shared
-``asof._make_recast`` (round-1 driver-hash lesson).
+the shuffle, so only the join's output columns ever move.  Shard frames
+convert int columns to pandas NULLABLE ints (never float64 transit — an
+unmatched row must not round co-resident ints > 2^53) and the final
+``asof._make_recast`` restores the declared Arrow types.
 """
 
 from __future__ import annotations
@@ -30,6 +31,15 @@ from .asof import _make_recast
 from .registry import register
 
 DEFAULT_SHARDS = 64
+
+# Arrow int type -> pandas nullable counterpart, for shard frames whose
+# int columns contain nulls by construction (the tagged union).
+_PD_NULLABLE_INT = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
 
 
 from ._util import hash_shards as _hash_shards  # shared shard-hash rule
@@ -176,7 +186,14 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
 
     lval = [c for c in lcols if c != on]
 
-    def _join_shard(df: pd.DataFrame) -> pd.DataFrame:
+    def _join_shard(tbl: pa.Table) -> pd.DataFrame:
+        # Integer columns cross into pandas as NULLABLE ints: the tagged
+        # union nulls the other side's columns in every row, so a default
+        # to_pandas() would upcast EVERY int column to float64 and
+        # silently round co-resident values > 2^53 — the same corruption
+        # class the __key null-shard routing exists to prevent.  Nullable
+        # dtypes make unmatched rows <NA> with no float64 transit.
+        df = tbl.to_pandas(types_mapper=_PD_NULLABLE_INT.get)
         left = df[df["__side"] == 0][["__key"] + lval]
         # SQL equi-join semantics: NULL keys never match (pandas merge
         # would happily join NaN to NaN), so drop null keys from the
@@ -201,20 +218,14 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
             merged = left[left["__key"].notna()].merge(
                 right, on="__key", how="outer", sort=False)
             merged = pd.concat([merged, lnull, rnull], ignore_index=True)
-            out = merged.rename(columns={"__key": on})[all_cols]
-            # unmatched rows null-upcast int columns to float64 NaN,
-            # which Arrow cannot cast back to int64 — go through the
-            # nullable Int64 extension so NaN becomes a true null
-            for c in all_cols:
-                if pa.types.is_integer(decl[c]) \
-                        and out[c].dtype == np.float64:
-                    out[c] = out[c].astype("Int64")
-            return out
+            # int columns are already nullable (types_mapper above), so
+            # unmatched rows are <NA> — no float64 repair needed
+            return merged.rename(columns={"__key": on})[all_cols]
         merged = left.merge(right, on="__key", how=how, sort=False)
         return merged.rename(columns={"__key": on})[all_cols]
 
     joined = tagged.groupby("__shard").map_groups(
-        _join_shard, batch_format="pandas"
+        _join_shard, batch_format="pyarrow"
     )
     return joined.map_batches(_make_recast(decl), batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -860,6 +860,158 @@ register("events_window_percentiles_1h", _q_window_percentiles,
 
 
 # ---------------------------------------------------------------------------
+# Exact GLOBAL quantiles of an integer column without collecting it
+# ---------------------------------------------------------------------------
+
+QEXACT_COLLECT_THRESHOLD = 65_536
+QEXACT_BUCKETS = 4_096
+
+
+def dataset_quantiles_exact(ds, column: str, qs, *,
+                            collect_threshold: int = QEXACT_COLLECT_THRESHOLD,
+                            n_buckets: int = QEXACT_BUCKETS):
+    """Exact linear-interpolated global quantiles (numpy 'linear' ==
+    DuckDB ``quantile_cont``) of an int64 Dataset column WITHOUT
+    collecting the column to the driver.
+
+    Scale shape: one count/min/max aggregate finds the needed order
+    statistics; then an iterative bucket-count refinement locates each —
+    every pass is one ``map_batches`` histogram partial (``n_buckets``
+    rows per state) + a tiny groupby, narrowing the candidate value range
+    ~``n_buckets``x, and ALL ranks refine jointly in the same scans.  The
+    final in-range slice (≤ ``collect_threshold`` rows per rank, by the
+    loop guard) is the only raw-value collect.  Integer domains converge
+    in O(log_buckets(range)) passes — 3 for ns-scale ranges — so pass a
+    ``materialize()``d dataset when upstream is an expensive pipeline.
+
+    Returns ``(n, {q: value})``; empty input gives ``(0, {q: nan})``.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Count(), Min(column), Max(column))
+    n = int((agg or {}).get("count()") or 0)
+    if n == 0:
+        return 0, {q: float("nan") for q in qs}
+    lo0, hi0 = int(agg[f"min({column})"]), int(agg[f"max({column})"])
+
+    # 0-based order statistics needed for linear interpolation
+    ranks = sorted({int(np.floor((n - 1) * q)) for q in qs}
+                   | {int(np.ceil((n - 1) * q)) for q in qs})
+    picked = _order_statistics(ds, column, ranks, lo0, hi0, n,
+                               collect_threshold, n_buckets)
+    out = {}
+    for q in qs:
+        h = (n - 1) * q
+        k0, k1 = int(np.floor(h)), int(np.ceil(h))
+        v0, v1 = float(picked[k0]), float(picked[k1])
+        out[q] = v0 + (h - k0) * (v1 - v0)
+    return n, out
+
+
+def _order_statistics(ds, column: str, ranks, lo: int, hi: int, n: int,
+                      collect_threshold: int, n_buckets: int) -> dict:
+    """Values at the given 0-based global ranks of ``ds[column]`` (int).
+    Joint bucket-count refinement: all ranks share each scan."""
+    # state per rank: (rank-within-range, range_lo, range_hi, rows-in-range)
+    states = {i: [k, lo, hi, n] for i, k in enumerate(ranks)}
+
+    def _active():
+        return [i for i, (k, lo_, hi_, cnt) in states.items()
+                if hi_ > lo_ and cnt > collect_threshold]
+
+    while True:
+        act = _active()
+        if not act:
+            break
+        specs = {
+            i: (states[i][1], states[i][2],
+                max((states[i][2] - states[i][1] + n_buckets) // n_buckets,
+                    1))
+            for i in act
+        }
+
+        def _hist(batch: pa.Table, specs=specs) -> pa.Table:
+            v = batch.column(column).to_numpy(zero_copy_only=False)
+            sids, bids, cnts = [], [], []
+            for i, (lo_, hi_, w_) in specs.items():
+                vv = v[(v >= lo_) & (v <= hi_)]
+                if len(vv) == 0:
+                    continue
+                c = np.bincount((vv - lo_) // w_)
+                nz = np.nonzero(c)[0]
+                sids.append(np.full(len(nz), i, np.int64))
+                bids.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not sids:
+                return pa.table({"sid": pa.array([], pa.int64()),
+                                 "bucket": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"sid": pa.array(np.concatenate(sids)),
+                             "bucket": pa.array(np.concatenate(bids)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        hist = (
+            ds.map_batches(_hist, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["sid", "bucket"]).sum("cnt")
+        ).take_all()  # ≤ n_buckets rows per active rank
+        by_sid: dict = {}
+        for r in hist:
+            by_sid.setdefault(int(r["sid"]), []).append(
+                (int(r["bucket"]), int(r["sum(cnt)"])))
+        for i in act:
+            k, lo_, hi_, _ = states[i]
+            w_ = specs[i][2]
+            cum = 0
+            for b, c in sorted(by_sid.get(i, [])):
+                if cum + c > k:
+                    states[i] = [k - cum, lo_ + b * w_,
+                                 min(lo_ + (b + 1) * w_ - 1, hi_), c]
+                    break
+                cum += c
+            else:
+                raise AssertionError(
+                    f"rank {k} beyond range count (histogram lost rows)")
+
+    # single-point ranges answer directly; the rest collect one bounded
+    # slice each (all slices gathered in ONE pass)
+    out = {}
+    pending = {}
+    for i, (k, lo_, hi_, cnt) in states.items():
+        if hi_ == lo_:
+            out[ranks[i]] = lo_
+        else:
+            pending[i] = (k, lo_, hi_)
+    if pending:
+        specs2 = {i: (lo_, hi_) for i, (k, lo_, hi_) in pending.items()}
+
+        def _slice(batch: pa.Table, specs2=specs2) -> pa.Table:
+            v = batch.column(column).to_numpy(zero_copy_only=False)
+            sids, vals = [], []
+            for i, (lo_, hi_) in specs2.items():
+                vv = v[(v >= lo_) & (v <= hi_)]
+                if len(vv):
+                    sids.append(np.full(len(vv), i, np.int64))
+                    vals.append(vv.astype(np.int64))
+            if not sids:
+                return pa.table({"sid": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            return pa.table({"sid": pa.array(np.concatenate(sids)),
+                             "val": pa.array(np.concatenate(vals))})
+
+        rows = ds.map_batches(_slice, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        sid_arr = np.fromiter((r["sid"] for r in rows), np.int64,
+                              count=len(rows))
+        val_arr = np.fromiter((r["val"] for r in rows), np.int64,
+                              count=len(rows))
+        for i, (k, lo_, hi_) in pending.items():
+            vals = val_arr[sid_arr == i]
+            out[ranks[i]] = int(np.partition(vals, k)[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # HLL tier cascade: distinct users per day, direct vs merged-from-1h
 # ---------------------------------------------------------------------------
 

@@ -615,6 +615,19 @@ def customer_order_distribution(orders_ds, n_customers: int):
         "custdist": hist["sum(custdist)"].astype("int64"),
     })
     zero = n_customers - int(out["custdist"].sum())
+    if zero < 0:
+        # More distinct o_custkey values than customer rows: orders holds
+        # custkeys absent from customer, so the scalar zero-bucket
+        # derivation (and the nonzero buckets, which count orphans as
+        # customers) is invalid for this input.  Run the
+        # `referential_integrity` query to locate the orphans, or
+        # semi-join orders against customer before this histogram.
+        raise ValueError(
+            f"customer_order_distribution: {-zero} more distinct "
+            f"o_custkey values than customer rows ({n_customers}) — "
+            "orders references custkeys absent from customer; see the "
+            "referential_integrity query"
+        )
     if zero > 0:
         out = pd.concat([out, pd.DataFrame(
             {"c_count": pd.array([0], dtype="int64"),

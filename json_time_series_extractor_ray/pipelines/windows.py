@@ -1249,17 +1249,20 @@ def funnel_latency(events_ds, *, member: str = "user_id", ts: str = "ts",
 
     Scale shape: events project to (member, type flag, ts) and flow
     through ONE member-sharded shuffle; each group task computes its
-    users' latencies vectorized (two groupby-mins + a filtered min).
-    The per-user latency list collected for the final percentile is
-    USER-bounded (one int per converting user), the same
-    members-not-rows justification as the dedup cluster collect.
+    users' latencies fully vectorized (two pandas groupby-mins + a
+    masked min — no per-user Python loop).  The percentiles are then
+    computed DISTRIBUTIVELY over the per-converting-user latency
+    Dataset by ``sketches.dataset_quantiles_exact`` (bucket-count
+    refinement) — nothing per-user is ever collected to the driver.
     Percentiles interpolate linearly (numpy 'linear' == DuckDB
     ``quantile_cont``); the round-6 seconds output absorbs the two
-    engines' sub-ULP formula difference.
+    engines' sub-ULP formula difference.  Zero converting users yields
+    the SQL twin's row: n_users=0 with NULL percentiles.
     """
     import ray  # noqa: F401
 
     from ._util import hash_shards
+    from .sketches import dataset_quantiles_exact
 
     def _project(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1279,34 +1282,34 @@ def funnel_latency(events_ds, *, member: str = "user_id", ts: str = "ts",
         })
 
     def _latencies(df: pd.DataFrame) -> pd.DataFrame:
-        out_m, out_l = [], []
-        for uid, g in df.groupby(member, sort=True):
-            a_ts = g[~g["is_b"]]["ts_ns"]
-            if a_ts.empty:
-                continue
-            t0 = int(a_ts.min())
-            b_ts = g[g["is_b"] & (g["ts_ns"] >= t0)]["ts_ns"]
-            if b_ts.empty:
-                continue
-            out_m.append(uid)
-            out_l.append(int(b_ts.min()) - t0)
+        # first step_a per user; then first step_b at-or-after it —
+        # all int64 (a float transit would round ns epochs > 2^53)
+        t0 = (df.loc[~df["is_b"]].groupby(member, sort=False)["ts_ns"]
+              .min().rename("t0"))
+        b = df.loc[df["is_b"], [member, "ts_ns"]].merge(
+            t0, left_on=member, right_index=True, how="inner")
+        b = b[b["ts_ns"] >= b["t0"]]
+        g = b.groupby(member, sort=False).agg(
+            t1=("ts_ns", "min"), t0=("t0", "first"))
         return pd.DataFrame({
-            member: np.asarray(out_m, dtype=object),
-            "lat_ns": np.asarray(out_l, dtype=np.int64),
+            "lat_ns": (g["t1"] - g["t0"]).to_numpy(np.int64),
         })
 
-    lats = (
+    lat_ds = (
         events_ds.map_batches(_project, batch_format="pyarrow",
                               zero_copy_batch=True)
         .groupby("shard").map_groups(_latencies, batch_format="pandas")
-    ).to_pandas()  # one row per CONVERTING USER — bounded by members
-    lat = lats["lat_ns"].to_numpy(np.float64)
+    ).materialize()  # one int per CONVERTING USER; scanned ~4x below
+    n, pick = dataset_quantiles_exact(lat_ds, "lat_ns", (0.5, 0.9))
+    if n == 0:
+        return pd.DataFrame({
+            "n_users": pd.array([0], dtype="int64"),
+            "median_s": [np.nan], "p90_s": [np.nan],
+        })
     return pd.DataFrame({
-        "n_users": pd.array([len(lat)], dtype="int64"),
-        "median_s": [round_half_away(
-            np.float64(np.percentile(lat, 50) / 1e9), 6)],
-        "p90_s": [round_half_away(
-            np.float64(np.percentile(lat, 90) / 1e9), 6)],
+        "n_users": pd.array([n], dtype="int64"),
+        "median_s": [round_half_away(np.float64(pick[0.5] / 1e9), 6)],
+        "p90_s": [round_half_away(np.float64(pick[0.9] / 1e9), 6)],
     })
 
 

@@ -194,12 +194,23 @@ def write_zorder_partitions(events_ds, out_dir: str, bounds: tuple,
                                pa.array(z >> shift, pa.int64())))
 
     def _write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import shutil
+
         b = int(df["bucket"].iloc[0])
         path = os.path.join(out_dir, f"bucket={b:05d}")
         tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale partial from a kill
+        if os.path.isdir(path):
+            # Resume: the bucket was committed by a previous run — emit
+            # its manifest row from the existing parquet footer instead
+            # of rewriting (os.rename onto a non-empty dir raises).
+            n = pa.parquet.ParquetFile(
+                os.path.join(path, "part-0.parquet")).metadata.num_rows
+            return pd.DataFrame({"bucket": pd.array([b], dtype="int64"),
+                                 "n_rows": pd.array([n], dtype="int64")})
         df = df.sort_values(["z", "event_id"], ignore_index=True) \
             .drop(columns=["bucket"])
-        os.makedirs(tmp, exist_ok=True)
+        os.makedirs(tmp)
         pa.parquet.write_table(
             pa.Table.from_pandas(df, preserve_index=False),
             os.path.join(tmp, "part-0.parquet"))

@@ -35,6 +35,32 @@ class TestOrphanCounts:
         assert (n_keys, n_orphans) == (2, 2)
 
 
+class TestOrderDistributionOrphanGuard:
+    def test_orphan_custkeys_raise_loud(self, ray_session):
+        """Q13's scalar zero-bucket derivation is only valid when every
+        o_custkey exists in customer; orphans must fail loud (naming the
+        referential_integrity remedy), never silently skew the histogram."""
+        import pytest
+
+        from json_time_series_extractor_ray.pipelines.tpch import (
+            customer_order_distribution,
+        )
+
+        orders = _ds(ray_session, "o_custkey", [1, 2, 3, 4, 5, 5])
+        with pytest.raises(ValueError, match="referential_integrity"):
+            customer_order_distribution(orders, n_customers=3)
+
+    def test_zero_bucket_still_emitted(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.tpch import (
+            customer_order_distribution,
+        )
+
+        orders = _ds(ray_session, "o_custkey", [1, 1, 2])
+        out = customer_order_distribution(orders, n_customers=5)
+        zero = out[out["c_count"] == 0]["custdist"]
+        assert len(zero) == 1 and int(zero.iloc[0]) == 3
+
+
 class TestDauMau:
     def test_matches_bruteforce(self, ray_session):
         import numpy as np
@@ -106,3 +132,56 @@ class TestFunnelLatency:
             float(np.percentile(lat, 50)) / 1e9, 6)
         assert got["p90_s"].iloc[0] == round(
             float(np.percentile(lat, 90)) / 1e9, 6)
+
+    def test_no_converting_users_matches_sql_row(self, ray_session):
+        """Zero conversions: the SQL twin returns n_users=0 with NULL
+        percentiles — not an IndexError (ADVICE r2)."""
+        from json_time_series_extractor_ray.pipelines.windows import (
+            funnel_latency,
+        )
+
+        ds = ray_session.data.from_arrow(pa.table({
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["view", "view"], pa.string()),
+            "ts": pa.array([0, 1], pa.int64()).cast(pa.timestamp("ns")),
+        }))
+        got = funnel_latency(ds)
+        assert int(got["n_users"].iloc[0]) == 0
+        assert got["median_s"].isna().all() and got["p90_s"].isna().all()
+
+
+class TestDatasetQuantilesExact:
+    def test_matches_numpy_linear(self, ray_session):
+        import numpy as np
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            dataset_quantiles_exact,
+        )
+
+        rng = np.random.default_rng(7)
+        for vals in (
+            rng.integers(-10**15, 10**15, 10_001),    # wide range
+            rng.integers(0, 5, 4_000),                # heavy ties
+            np.array([42], dtype=np.int64),           # n=1
+            np.arange(100, dtype=np.int64),           # small exact
+        ):
+            ds = ray_session.data.from_arrow(
+                pa.table({"v": pa.array(vals, pa.int64())}))
+            n, got = dataset_quantiles_exact(
+                ds, "v", (0.5, 0.9), collect_threshold=256, n_buckets=16)
+            assert n == len(vals)
+            for q in (0.5, 0.9):
+                assert got[q] == float(np.percentile(vals, q * 100)), (
+                    q, len(vals))
+
+    def test_empty_dataset(self, ray_session):
+        import numpy as np
+
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            dataset_quantiles_exact,
+        )
+
+        ds = ray_session.data.from_arrow(
+            pa.table({"v": pa.array([], pa.int64())}))
+        n, got = dataset_quantiles_exact(ds, "v", (0.5,))
+        assert n == 0 and np.isnan(got[0.5])

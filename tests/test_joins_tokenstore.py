@@ -187,6 +187,37 @@ class TestShuffleJoin:
         ).to_pandas()
         assert len(got) == 120
 
+    def test_unmatched_rows_never_round_big_ints(self, ray_session):
+        """An unmatched row in a shard must not float64-transit the int
+        columns: matched int values > 2^53 co-resident in the same shard
+        stay exact (ADVICE r2 — nullable Int64 before merge/concat)."""
+        from json_time_series_extractor_ray.pipelines.joins import (
+            shuffle_join,
+        )
+
+        big = 2**60 + 1  # rounds to 2**60 through float64
+        left = pd.DataFrame({"k": [1, 2, 3],
+                             "lv": pd.array([big, big + 2, big + 4],
+                                            dtype="int64")})
+        right = pd.DataFrame({"k": [2, 9],
+                              "rv": pd.array([big + 6, big + 8],
+                                             dtype="int64")})
+        for how in ("left", "outer"):
+            out = shuffle_join(
+                _mk_ds(ray_session, left), _mk_ds(ray_session, right),
+                on="k", how=how, num_shards=1,
+            )
+            # read Arrow-side: a plain to_pandas() would itself float64
+            # the nullable int column and mask the engine's exactness
+            tbl = pa.concat_tables(list(
+                out.iter_batches(batch_format="pyarrow")))
+            assert tbl.column("lv").type == pa.int64()
+            assert tbl.column("rv").type == pa.int64()
+            rows = {r["k"]: r for r in tbl.to_pylist() if r["k"] is not None}
+            assert rows[2]["lv"] == big + 2 and rows[2]["rv"] == big + 6
+            assert rows[1]["lv"] == big and rows[1]["rv"] is None
+        assert rows[9]["rv"] == big + 8  # outer keeps unmatched right
+
     def test_overlapping_columns_rejected(self, ray_session):
         from json_time_series_extractor_ray.pipelines.joins import (
             shuffle_join,

@@ -91,6 +91,30 @@ class TestZorderPipeline:
         # resumability contract: every bucket directory is final (no .tmp)
         assert not [p for p in os.listdir(out) if p.endswith(".tmp")]
 
+    def test_rerun_skips_existing_buckets(self, ray_session, tmp_path):
+        """A restarted run must SKIP committed buckets (not crash on
+        os.rename into a non-empty dir) and still report the full
+        manifest; a stale .tmp from a killed writer is cleaned up."""
+        import shutil
+
+        ds, t = _events(ray_session, n=2000, seed=13)
+        bounds = (0, 49, 0, 719)
+        out = str(tmp_path / "zorder_rerun")
+        first = write_zorder_partitions(ds, out, bounds)
+        # simulate a killed run: remove one committed bucket, leave a
+        # stale .tmp for another
+        victim_b, victim_n, victim_path = first[1]
+        shutil.rmtree(victim_path)
+        stale = first[2][2] + ".tmp"
+        os.makedirs(stale, exist_ok=True)
+        with open(os.path.join(stale, "garbage"), "w") as f:
+            f.write("partial")
+        second = write_zorder_partitions(ds, out, bounds)
+        assert second == first                      # identical manifest
+        assert os.path.isdir(victim_path)           # rewritten
+        assert not os.path.isdir(stale)             # stale tmp cleaned
+        assert sum(n for _, n, _ in second) == t.num_rows
+
     def test_footer_bounds_match_data(self, ray_session):
         sf = "/root/testdata/sf0.001"
         x_lo, x_hi, h_lo, h_hi = events_bounds_from_footer(
