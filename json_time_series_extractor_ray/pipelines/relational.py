@@ -1383,7 +1383,7 @@ register(
 # Spend inequality: per-nation Gini coefficient over customer spend
 # ---------------------------------------------------------------------------
 
-def customer_spend_gini(orders_ds, cust_ds):
+def customer_spend_gini(orders_ds, cust_ds, *, value_shards: int = 64):
     """Per nation: the Gini coefficient of its customers' total order
     spend — the standard inequality index (0 = equal spend, -> 1 = one
     whale), computed with the exact sorted-rank formula
@@ -1392,11 +1392,18 @@ def customer_spend_gini(orders_ds, cust_ds):
 
     Scale shape: a per-block (custkey, spend) combiner and one custkey
     shard-merge build the per-customer relation (the ``customer_ltv``
-    shape); ONE shuffle join attaches the nation key; the final
-    ``nationkey`` groupby holds one nation's customers per task —
-    bounded at 1/|nations| of the customer table.  Spends are round-2
-    (cents); the rank sum's cross-engine float noise is ~1e-14 relative,
-    absorbed by the round-6 output.
+    shape); ONE shuffle join attaches the nation key.  The rank-weighted
+    sum is then DISTRIBUTED: rows go to value-ORDERED shards derived
+    from the spend's own IEEE bit pattern (no bounds pass — see
+    ``_vshard``), each shard task ranks only its slice and emits
+    per-nation partials (cnt, sum x, sum j*x), and the driver folds the
+    tiny partial table with cumulative offsets —
+    ``sum(i*x) = sum_shards(offset*sx + sjx)``, exact because ranks of
+    tied values are interchangeable in the formula.  No task ever holds
+    a whole nation's customers (the r2 version did: nation cardinality
+    is fixed, so per-nation tasks grew linearly with the customer
+    table).  Spends are round-2 (cents); the rank sum's reassociation
+    noise is ~1e-14 relative, absorbed by the round-6 output.
     """
     from ._util import hash_shards
     from .joins import shuffle_join
@@ -1430,22 +1437,70 @@ def customer_spend_gini(orders_ds, cust_ds):
         spend, cust_ds, on="custkey", right_on="c_custkey",
         left_schema=pa.schema([("custkey", pa.int64()),
                                ("spend", pa.float64())]))
+    def _vshard(batch: pa.Table) -> pa.Table:
+        # Value-ordered shard WITHOUT a bounds pass: the top bits of the
+        # IEEE-754 sortable-integer transform (sign flip trick) are a
+        # monotone function of the value, so shard ids order exactly like
+        # spends and offsets accumulate correctly; within one binade the
+        # mantissa's top 6 bits split uniformly.  Equal values share a
+        # shard by construction (a pure function of the value) — a
+        # fully-degenerate all-tied column lands in one task, which is
+        # inherent to any coordination-free value-ordered split.
+        s = np.ascontiguousarray(
+            batch.column("spend").to_numpy(zero_copy_only=False),
+            dtype=np.float64)
+        u = s.view(np.uint64)
+        su = np.where(u >> np.uint64(63), ~u, u | np.uint64(1 << 63))
+        # sign+exponent (12 bits) + log2(value_shards) mantissa bits:
+        # ~value_shards sub-shards per binade
+        mbits = max(int(np.log2(max(value_shards, 1))), 0)
+        vs = (su >> np.uint64(64 - 12 - mbits)).astype(np.int64)
+        return batch.append_column("vshard", pa.array(vs, pa.int64()))
 
-    def _gini(df: pd.DataFrame) -> pd.DataFrame:
-        x = np.sort(df["spend"].to_numpy(np.float64))
-        n = len(x)
-        i = np.arange(1, n + 1, dtype=np.float64)
-        tot = x.sum()
-        g = 2.0 * (i * x).sum() / (n * tot) - (n + 1.0) / n
-        return pd.DataFrame({
-            "nationkey": np.array([df["c_nationkey"].iloc[0]], np.int64),
-            "n_customers": np.array([n], np.int64),
-            "total_spend": round_half_away(np.array([tot]), 2),
-            "gini": round_half_away(np.array([g]), 6),
+    def _rank_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "spend"], kind="stable")
+        x = df["spend"].to_numpy(np.float64)
+        j = (df.groupby("c_nationkey", sort=False).cumcount()
+             .to_numpy(np.float64) + 1.0)
+        t = pd.DataFrame({
+            "nationkey": df["c_nationkey"].to_numpy(np.int64),
+            "cnt": np.ones(len(df), np.int64),
+            "sx": x,
+            "sjx": j * x,
         })
+        g = t.groupby("nationkey", sort=True).sum().reset_index()
+        g["vshard"] = np.int64(df["vshard"].iloc[0])
+        return g
 
-    return joined.groupby("c_nationkey").map_groups(
-        _gini, batch_format="pandas")
+    parts = (
+        joined.map_batches(_vshard, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("vshard").map_groups(_rank_partials,
+                                      batch_format="pandas")
+    ).to_pandas()  # ≤ value_shards x |nations| partial rows
+    parts = parts.sort_values(["nationkey", "vshard"], ignore_index=True)
+    rows = {"nationkey": [], "n_customers": [], "total_spend": [],
+            "gini": []}
+    for nk, sub in parts.groupby("nationkey", sort=True):
+        cnts = sub["cnt"].to_numpy(np.float64)
+        sxs = sub["sx"].to_numpy(np.float64)
+        sjxs = sub["sjx"].to_numpy(np.float64)
+        offs = np.concatenate(([0.0], np.cumsum(cnts)[:-1]))
+        six = (offs * sxs + sjxs).sum()
+        n = cnts.sum()
+        tot = sxs.sum()
+        rows["nationkey"].append(int(nk))
+        rows["n_customers"].append(int(n))
+        rows["total_spend"].append(
+            round_half_away(np.float64(tot), 2))
+        rows["gini"].append(round_half_away(
+            np.float64(2.0 * six / (n * tot) - (n + 1.0) / n), 6))
+    return pd.DataFrame({
+        "nationkey": np.asarray(rows["nationkey"], np.int64),
+        "n_customers": np.asarray(rows["n_customers"], np.int64),
+        "total_spend": np.asarray(rows["total_spend"], np.float64),
+        "gini": np.asarray(rows["gini"], np.float64),
+    })
 
 
 def _q_spend_gini(sf_dir: str):

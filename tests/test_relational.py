@@ -465,3 +465,68 @@ class TestParetoFrontier:
             ["c_custkey", "max_price", "n_orders"]].to_numpy()]
         assert [(int(a), float(b), int(c)) for a, b, c in got_t] == \
             [(int(a), float(b), int(c)) for a, b, c in exp]
+
+
+class TestSpendGiniDistributedRank:
+    def test_hot_nation_matches_single_task_formula(self, ray_session):
+        """Every customer in ONE nation (the worst skew for the r2
+        per-nation-task version): the value-sharded rank partials must
+        reproduce the exact sorted-rank Gini."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.relational import (
+            customer_spend_gini,
+        )
+
+        rng = np.random.default_rng(33)
+        n_orders, n_cust = 3000, 500
+        cust = rng.integers(0, n_cust, n_orders)
+        price = np.round(rng.uniform(10, 5000, n_orders), 2)
+        orders = ray.data.from_arrow(pa.table({
+            "o_custkey": pa.array(cust, pa.int64()),
+            "o_totalprice": pa.array(price, pa.float64()),
+        }))
+        customers = ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_nationkey": pa.array(np.zeros(n_cust, np.int64), pa.int64()),
+        }))
+        got = customer_spend_gini(orders, customers, value_shards=8)
+
+        spend = pd.DataFrame({"c": cust, "p": price}).groupby("c")["p"] \
+            .sum().round(2)
+        x = np.sort(spend.to_numpy(np.float64))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        g = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        assert len(got) == 1
+        assert int(got["n_customers"].iloc[0]) == n
+        assert abs(got["gini"].iloc[0] - round(g, 6)) < 1e-12
+        assert abs(got["total_spend"].iloc[0] - round(x.sum(), 2)) < 0.011
+
+    def test_ties_across_shard_cuts_stay_exact(self, ray_session):
+        """Tied spends equal to a cut value must all land in one shard;
+        the Gini is then identical to the single-sort formula."""
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.relational import (
+            customer_spend_gini,
+        )
+
+        # 40 customers, spends heavily tied (only 3 distinct values)
+        vals = np.array([100.0] * 20 + [500.0] * 15 + [900.0] * 5)
+        orders = ray.data.from_arrow(pa.table({
+            "o_custkey": pa.array(np.arange(40), pa.int64()),
+            "o_totalprice": pa.array(vals, pa.float64()),
+        }))
+        customers = ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array(np.arange(40), pa.int64()),
+            "c_nationkey": pa.array(np.arange(40) % 2, pa.int64()),
+        }))
+        got = customer_spend_gini(orders, customers, value_shards=16) \
+            .sort_values("nationkey", ignore_index=True)
+        for nk in (0, 1):
+            x = np.sort(vals[np.arange(40) % 2 == nk])
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.float64)
+            g = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+            assert abs(got["gini"].iloc[nk] - round(g, 6)) < 1e-12
