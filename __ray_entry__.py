@@ -369,6 +369,65 @@ def _events_nested_noidx(sf_dir: str):
     return samples_for_compare(samples)
 
 
+def _events_custom_tsparser(sf_dir: str):
+    """User-supplied ``timestamp_parser`` through the tokenized Ray path
+    (reference T2, ``JsonTimeSeriesExtractorTests.cs:743-776``): payload
+    timestamps are unix SECONDS, which the default numeric rule would
+    read as unix milliseconds — only the hook yields the intended
+    instants, and the oracle pins them to the second-floored event ts."""
+    import functools
+
+    import ray
+
+    from json_time_series_extractor_ray.corpus import events_to_corpus_unixsec
+    from json_time_series_extractor_ray.extractor import ExtractorOptions
+    from json_time_series_extractor_ray.functions.userhooks import (
+        unix_seconds_parser,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    corpus = ds.map_batches(
+        functools.partial(events_to_corpus_unixsec),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    samples = extract_pipeline(
+        corpus,
+        ExtractorOptions(recursive=True,
+                         timestamp_parser=unix_seconds_parser),
+    )
+    return samples_for_compare(samples)
+
+
+def _events_template_hook(sf_dir: str):
+    """User-supplied ``get_template_replacement`` through the tokenized
+    Ray path (reference ``JsonTimeSeriesExtractorTests.cs:109-150``):
+    the sparse corpus carries ``site`` only on even event ids; the hook
+    substitutes ``s-default`` for the odd half instead of skipping or
+    leaving the literal placeholder."""
+    import functools
+
+    import ray
+
+    from json_time_series_extractor_ray.corpus import events_to_corpus_sparse
+    from json_time_series_extractor_ray.extractor import ExtractorOptions
+    from json_time_series_extractor_ray.functions.userhooks import (
+        site_default_replacement,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    corpus = ds.map_batches(
+        functools.partial(events_to_corpus_sparse),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    opts = ExtractorOptions.from_dict(dict(
+        recursive=True,
+        template="{site}/{$prop-local}",
+        include=["/value", "/props/k"],
+    )).copy(get_template_replacement=site_default_replacement)
+    samples = extract_pipeline(corpus, opts)
+    return samples_for_compare(samples)
+
+
 def _events_templated(sf_dir: str):
     """Custom key template ``{type}/{$prop-local}`` (document-property
     placeholder + local property name, reference K3/K5 semantics)."""
@@ -417,6 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         "events_extract_filtered": _events_filtered,
         "events_extract_templated": _events_templated,
+        "events_extract_custom_tsparser": _events_custom_tsparser,
+        "events_extract_template_hook": _events_template_hook,
         "events_extract_wildcards": _events_wildcards,
         "events_extract_proppath": _events_proppath,
         "events_extract_unresolved_skip": _events_unresolved_skip,
@@ -496,6 +557,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type || '/k', epoch_ns(ts),
                    CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
                    printf('evt-%010d', event_id)
+            FROM events
+        """,
+        # custom timestamp_parser: unix-SECONDS payloads -> second-floored ts
+        "events_extract_custom_tsparser": """
+            SELECT 'type' AS series_key,
+                   epoch_ns(ts) // 1000000000 * 1000000000 AS ts_ns,
+                   CAST(NULL AS DOUBLE) AS value_num,
+                   event_type AS value_str,
+                   printf('evtu-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT 'user', epoch_ns(ts) // 1000000000 * 1000000000,
+                   CAST(user_id AS DOUBLE), NULL,
+                   printf('evtu-%010d', event_id)
+            FROM events
+            UNION ALL
+            SELECT 'value', epoch_ns(ts) // 1000000000 * 1000000000,
+                   value, NULL, printf('evtu-%010d', event_id)
+            FROM events
+            UNION ALL
+            SELECT 'props/k', epoch_ns(ts) // 1000000000 * 1000000000,
+                   CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+                   printf('evtu-%010d', event_id)
+            FROM events
+        """,
+        # get_template_replacement: '{site}' resolves from the document on
+        # even event ids, from the hook ('s-default') on odd ones
+        "events_extract_template_hook": """
+            SELECT CASE WHEN event_id % 2 = 0
+                        THEN 's' || CAST(user_id % 4 AS VARCHAR)
+                        ELSE 's-default' END || '/value' AS series_key,
+                   epoch_ns(ts) AS ts_ns, value AS value_num,
+                   CAST(NULL AS VARCHAR) AS value_str,
+                   printf('evts-%010d', event_id) AS doc_id
+            FROM events
+            UNION ALL
+            SELECT CASE WHEN event_id % 2 = 0
+                        THEN 's' || CAST(user_id % 4 AS VARCHAR)
+                        ELSE 's-default' END || '/k',
+                   epoch_ns(ts),
+                   CAST(json_extract(props, '$.k') AS DOUBLE), NULL,
+                   printf('evts-%010d', event_id)
             FROM events
         """,
         # pattern wildcards: /val?e -> value, /u*r -> user

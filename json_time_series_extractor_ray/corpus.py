@@ -325,3 +325,36 @@ def events_to_corpus_sparse(batch: pa.Table, tokenizer="utf8") -> pa.Table:
             payload["site"] = f"s{users[i] % 4}"
         texts.append(json.dumps(payload, **_COMPACT))
     return texts_to_corpus_table(doc_ids, texts, ["events"] * len(doc_ids), tokenizer)
+
+
+def events_to_corpus_unixsec(batch: pa.Table, tokenizer="utf8") -> pa.Table:
+    """Corpus rows whose ``/time`` property is a unix-SECONDS integer —
+    the shape that exercises the custom ``timestamp_parser`` hook end to
+    end (reference T2: ``TimeSeriesExtractorOptions.TimestampParser``,
+    ``JsonTimeSeriesExtractorTests.cs:743-776``): the default numeric
+    rule would read the value as unix milliseconds, so only a
+    user-supplied parser extracts the intended instants."""
+    secs = (
+        batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        .to_numpy() // 1_000_000
+    )
+    event_ids = batch.column("event_id").to_pylist()
+    users = batch.column("user_id").to_pylist()
+    etypes = batch.column("event_type").to_pylist()
+    values = batch.column("value").to_pylist()
+    props = batch.column("props").to_pylist()
+    doc_ids = [f"evtu-{i:010d}" for i in event_ids]
+    texts = [
+        json.dumps(
+            {
+                "time": int(secs[i]),
+                "type": etypes[i],
+                "user": users[i],
+                "value": values[i],
+                "props": json.loads(props[i]),
+            },
+            **_COMPACT,
+        )
+        for i in range(len(event_ids))
+    ]
+    return texts_to_corpus_table(doc_ids, texts, ["events"] * len(doc_ids), tokenizer)
