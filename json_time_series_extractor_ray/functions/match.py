@@ -7,10 +7,12 @@ Re-implements the reference's three rule families and their combinator
   (prefix) matches for container elements in recursive mode so that
   descendants can still match later (``MatchExactOrPartialJsonPointer``,
   ``TimeSeriesExtractor.cs:318-337``);
-* **pattern wildcard** rules (``?`` = one char, ``*`` = any run) — compiled
-  to one anchored case-insensitive regex per rule over the *escaped pointer
-  string*; containers below the max depth always pass in recursive mode
-  because the match is whole-string (``TimeSeriesExtractor.cs:160-189``);
+* **pattern wildcard** rules (``?`` = one char, ``*`` = any run) — a
+  LINEAR-time case-folded glob walk over the whole pointer string
+  (``glob_match``; no regex, no backtracking blow-up — the reference
+  instead bounds its regexes with a 1 s match timeout); containers below
+  the max depth always pass in recursive mode because the match is
+  whole-string (``TimeSeriesExtractor.cs:160-189``);
 * **MQTT-style** rules (``+`` = one segment, ``#`` = any suffix, final
   segment only) — incremental segment matching: only the final segment of
   the element pointer is tested per call because ancestors were tested on
@@ -33,8 +35,6 @@ bit-for-bit, quirk included.
 """
 
 from __future__ import annotations
-
-import re
 from dataclasses import dataclass, field
 
 from .pointer import (
@@ -138,40 +138,56 @@ def _match_exact_or_partial(ctx, match_ptr: Pointer, element_ptr: Pointer, eleme
     return False
 
 
-#: Bound on ``*`` wildcards per pattern rule.  The reference compiles its
-#: pattern regexes with a 1-second match timeout
-#: (``TimeSeriesExtractor.cs:58-66,163-176``); Python's ``re`` has no
-#: timeout, and a rule with many ``.*`` segments can backtrack
-#: super-linearly against a hostile pointer string, stalling a worker
-#: indefinitely.  Since escaped-literal + ``.*``/``.`` patterns backtrack
-#: at most O(len^k) for k stars, capping k (plus the naturally short
-#: pointer strings) bounds the worst-case match cost — the engine's
-#: deterministic analogue of the reference's wall-clock timeout.
-MAX_PATTERN_STARS = 16
+def glob_match(pattern: str, text: str) -> bool:
+    """Full-string wildcard match (``*`` any run incl. empty, ``?`` one
+    char) via the classic two-pointer walk with star backtracking —
+    worst case O(|pattern| x |text|) time, O(1) space, NEVER the
+    exponential backtracking a naive ``.*`` regex translation risks.
+    The reference bounds that failure mode with a 1-second regex match
+    timeout (``TimeSeriesExtractor.cs:58-66,163-176``); a polynomial
+    matcher makes the timeout unnecessary.  Callers case-fold both
+    arguments for the reference's IgnoreCase semantics."""
+    np_, nt = len(pattern), len(text)
+    pi = si = 0
+    star = -1
+    mark = 0
+    while si < nt:
+        if pi < np_ and (pattern[pi] == SINGLE_CHARACTER_WILDCARD
+                         or pattern[pi] == text[si]):
+            pi += 1
+            si += 1
+        elif pi < np_ and pattern[pi] == MULTI_CHARACTER_WILDCARD:
+            star = pi
+            mark = si
+            pi += 1
+        elif star != -1:
+            # re-expand the last '*' by one character and retry
+            pi = star + 1
+            mark += 1
+            si = mark
+        else:
+            return False
+    while pi < np_ and pattern[pi] == MULTI_CHARACTER_WILDCARD:
+        pi += 1
+    return pi == np_
 
 
 def _compile_pattern_predicate(raw_value: str):
-    """Pattern wildcard rule (``TimeSeriesExtractor.cs:160-189``)."""
-    if raw_value.count(MULTI_CHARACTER_WILDCARD) > MAX_PATTERN_STARS:
-        raise ValueError(
-            f"pattern rule {raw_value!r} has more than {MAX_PATTERN_STARS} "
-            "'*' wildcards; the match cost of such rules is unbounded "
-            "(the reference guards this with a regex match timeout)"
-        )
-    pattern = re.escape(raw_value).replace(r"\*", ".*").replace(r"\?", ".")
-    rx = re.compile(f"^{pattern}$", re.IGNORECASE | re.DOTALL)
+    """Pattern wildcard rule (``TimeSeriesExtractor.cs:160-189``):
+    linear-time ``glob_match`` against the case-folded pointer string."""
+    pat = raw_value.casefold()
 
     def predicate(ctx, element_ptr: Pointer, element) -> bool:
         # Containers below the max depth always pass in recursive mode: the
-        # regex matches the whole pointer string, so pruning early would drop
-        # descendants that could match (TimeSeriesExtractor.cs:177-187).
+        # pattern matches the whole pointer string, so pruning early would
+        # drop descendants that could match (TimeSeriesExtractor.cs:177-187).
         if (
             ctx.options.recursive
             and len(ctx.element_stack) < ctx.max_depth
             and _is_container(element)
         ):
             return True
-        return rx.match(pointer_to_string(element_ptr)) is not None
+        return glob_match(pat, pointer_to_string(element_ptr).casefold())
 
     return predicate
 

@@ -1,31 +1,44 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images / audio / video ride through the engine as ``binary`` columns with
-typed metadata columns beside them — the Ray-side plumbing (schema, actor
-signature, batch sizing, output layout) is real and tested; the actual
-codec work is stubbed because no image/audio libraries exist in this
-container:
+typed metadata columns beside them.  Decode and resize are REAL for the
+uncompressed container formats parseable without codec libraries — BMP
+(24-bit BI_RGB), binary PPM/PGM, 16-bit PCM WAV
+(``functions/mediacodecs.py``) — selected per payload by magic-byte
+sniffing; compressed formats (JPEG/PNG/MP3/H.264) raise
+``NotImplementedError`` at decode time (explicit environment stub), and
+video frame sampling stays fully stubbed behind ``fake=True``.
 
-* :class:`DecodeStage` raises ``NotImplementedError`` unless constructed
-  with ``fake=True``, in which case it runs :func:`fake_decode` — a
-  deterministic stand-in (payload bytes -> shape + checksum + a small
-  feature vector) with the same signature a real decoder would have.
+* :class:`DecodeStage` decodes real payloads (or, with ``fake=True``,
+  runs :func:`fake_decode` — a deterministic stand-in used by the
+  metadata oracles).
 * Batch size guidance: large binary payloads need SMALL batches —
   ``media_batch_size(avg_bytes)`` targets ~64 MB per batch so
   batch x concurrency fits a worker heap.
 
-Payload synthesis (:func:`synthesize_media_table`) builds a deterministic
-media table from the ``documents`` table (payload = seeded bytes, length
-from ``n_chars``) so the plumbing is testable without real media.
+Payload synthesis builds deterministic media tables from the
+``documents`` table: :func:`synthesize_media_table` makes opaque seeded
+bytes (plumbing tests), :func:`synthesize_real_media_table` makes REAL
+BMP/WAV payloads whose decoded metadata is SQL-expressible.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
 
+from ..functions.mediacodecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    sniff_format,
+)
 from .registry import register
 
 MEDIA_SCHEMA = pa.schema(
@@ -93,47 +106,99 @@ def fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
+def real_decode(payload: bytes) -> dict:
+    """Decode one real payload by magic-byte sniffing (BMP / PPM / PGM /
+    WAV).  Compressed formats raise ``NotImplementedError`` — the
+    explicit environment stub the fake path substitutes for."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        px = decode_bmp(payload)
+        raw = px.tobytes()
+        h, w = px.shape[:2]
+        sr = dur = 0
+    elif fmt in ("ppm", "pgm"):
+        px = decode_ppm(payload)
+        raw = px.tobytes()
+        h, w = px.shape[:2]
+        sr = dur = 0
+    elif fmt == "wav":
+        d = decode_wav(payload)
+        raw = d["samples"].tobytes()
+        w = h = 0
+        sr, dur = d["sample_rate"], d["duration_ms"]
+    else:
+        raise NotImplementedError(
+            f"no decoder for payload format {fmt!r}: compressed media "
+            "codecs (JPEG/PNG/MP3/H.264) are not present in this "
+            "environment — decodable formats are BMP/PPM/PGM/WAV, or use "
+            "DecodeStage(fake=True) for the deterministic stand-in"
+        )
+    view = np.frombuffer(raw[:65536], dtype=np.uint8).astype(np.float64)
+    feats = np.array(
+        [view[i::8].mean() if len(view) > i else 0.0 for i in range(8)]
+    )
+    return {
+        "checksum": hashlib.blake2b(raw, digest_size=16).hexdigest(),
+        "width": w,
+        "height": h,
+        "sample_rate": sr,
+        "duration_ms": dur,
+        "decoded_bytes": len(raw),
+        "features": feats,
+    }
+
+
 class DecodeStage:
     """Actor-pool decode/feature-extract stage for media batches.
 
-    Real decoders (PIL / libsndfile / ffmpeg) are NOT available in this
-    container: constructing with ``fake=False`` (the production signature)
-    raises ``NotImplementedError`` at init — clearly marked stub — while
-    ``fake=True`` runs the deterministic stand-in so every other part of
-    the pipeline (schema, batches, actor lifecycle, output layout) is
-    exercised for real.
+    The real path (``fake=False``, the default) decodes BMP / binary
+    PPM/PGM / 16-bit PCM WAV payloads with the library's pure-Python
+    codecs and raises ``NotImplementedError`` for compressed formats
+    (explicit stub — no codec libraries in this container).
+    ``fake=True`` runs the deterministic stand-in (payload checksum +
+    sqrt shape) that the metadata oracles pin.
     """
 
     def __init__(self, *, fake: bool = False, feature_dim: int = 8):
-        if not fake:
-            raise NotImplementedError(
-                "Media decoding requires image/audio codecs not present in "
-                "this environment; construct DecodeStage(fake=True) for the "
-                "deterministic stand-in."
-            )
+        self.fake = fake
         self.feature_dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         kinds = batch.column("kind").to_pylist()
-        checksums, widths, heights, nbytes, feats = [], [], [], [], []
+        cols = {k: [] for k in ("checksum", "width", "height",
+                                "sample_rate", "duration_ms", "n_bytes",
+                                "decoded_bytes", "features")}
         for payload, kind in zip(payloads, kinds):
-            d = fake_decode(payload, kind)
-            checksums.append(d["checksum"])
-            widths.append(d["width"])
-            heights.append(d["height"])
-            nbytes.append(d["n_bytes"])
-            feats.append(d["features"][: self.feature_dim])
+            if self.fake:
+                d = fake_decode(payload, kind)
+                d.update(sample_rate=0, duration_ms=0,
+                         decoded_bytes=d["n_bytes"])
+            else:
+                d = real_decode(payload)
+                d["n_bytes"] = len(payload)
+            cols["checksum"].append(d["checksum"])
+            cols["width"].append(d["width"])
+            cols["height"].append(d["height"])
+            cols["sample_rate"].append(d["sample_rate"])
+            cols["duration_ms"].append(d["duration_ms"])
+            cols["n_bytes"].append(d["n_bytes"])
+            cols["decoded_bytes"].append(d["decoded_bytes"])
+            cols["features"].append(d["features"][: self.feature_dim])
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
-                "checksum": pa.array(checksums, pa.string()),
-                "width": pa.array(widths, pa.int32()),
-                "height": pa.array(heights, pa.int32()),
-                "n_bytes": pa.array(nbytes, pa.int64()),
+                "checksum": pa.array(cols["checksum"], pa.string()),
+                "width": pa.array(cols["width"], pa.int32()),
+                "height": pa.array(cols["height"], pa.int32()),
+                "sample_rate": pa.array(cols["sample_rate"], pa.int32()),
+                "duration_ms": pa.array(cols["duration_ms"], pa.int32()),
+                "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
+                "decoded_bytes": pa.array(cols["decoded_bytes"], pa.int64()),
                 "features": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float64())
+                    [np.asarray(f).tolist() for f in cols["features"]],
+                    pa.list_(pa.float64())
                 ),
             }
         )
@@ -152,29 +217,52 @@ def decode_media_dataset(media_ds, *, avg_payload_bytes: int = 1 << 20,
     )
 
 
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W[, C]) uint8 image — pure
+    numpy index grids, the standard NN rule ``src = floor(dst * S / D)``."""
+    h, w = px.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return px[yi][:, xi]
+
+
 class ResizeStage:
     """Image-resize stage (actor pool): payload in, resized payload out.
 
-    Real resizing needs an image codec (absent here): ``fake=False``
-    raises at init; the fake path deterministically re-samples the payload
-    bytes to the target pixel count so downstream schema/size behaviour is
-    exercised for real (output payloads shrink/grow exactly as a resize
-    would).
+    The real path (``fake=False``, the default) decodes BMP / binary
+    PPM/PGM payloads, nearest-neighbor resamples with numpy, and
+    re-encodes in the SAME container; compressed formats raise
+    ``NotImplementedError`` (environment stub).  The fake path
+    re-samples the raw payload bytes to the target pixel count so
+    schema/size behaviour is exercised without decodable payloads.
     """
 
     def __init__(self, width: int, height: int, *, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "Image resize requires codecs not present in this "
-                "environment; construct ResizeStage(..., fake=True)."
-            )
         self.width = width
         self.height = height
+        self.fake = fake
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        fmt = sniff_format(payload)
+        if fmt == "bmp":
+            return encode_bmp(resize_nearest(decode_bmp(payload),
+                                             self.width, self.height))
+        if fmt in ("ppm", "pgm"):
+            return encode_ppm(resize_nearest(decode_ppm(payload),
+                                             self.width, self.height))
+        raise NotImplementedError(
+            f"no resize for payload format {fmt!r}: only BMP/PPM/PGM are "
+            "decodable in this environment — use ResizeStage(..., "
+            "fake=True) for the byte-resampling stand-in"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         target = self.width * self.height
         out = []
         for payload in batch.column("payload").to_pylist():
+            if not self.fake:
+                out.append(self._resize_real(payload))
+                continue
             src = np.frombuffer(payload, dtype=np.uint8)
             if len(src) == 0:
                 out.append(b"")
@@ -350,6 +438,109 @@ def _media_resize_meta(sf_dir: str):
 
     return resized.map_batches(_meta, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+MAX_REAL_MEDIA = 4096  # pixel / sample cap for synthesized real payloads
+
+
+def synthesize_real_media_table(doc_ids, sizes, seed: int = 11) -> pa.Table:
+    """Deterministic REAL media rows from (doc_id, n_chars): even doc ids
+    become 24-bit BMP squares (w = h = isqrt(min(max(n,1), 4096))), odd
+    ids 16-bit 8 kHz mono PCM WAV (n_samples = min(max(n,1), 4096)) —
+    both rules SQL-expressible so decoded metadata oracles exactly."""
+    payloads, kinds, widths, heights, rates, durs = [], [], [], [], [], []
+    for doc_id, size in zip(doc_ids, sizes):
+        n = min(max(int(size), 1), MAX_REAL_MEDIA)
+        stable = int.from_bytes(
+            hashlib.blake2b(str(doc_id).encode(), digest_size=4).digest(),
+            "big")
+        rng = np.random.default_rng([seed, stable])
+        if int(doc_id) % 2 == 0:
+            side = math.isqrt(n)
+            side = max(side, 1)
+            px = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px))
+            kinds.append("image")
+            widths.append(side)
+            heights.append(side)
+            rates.append(0)
+            durs.append(0)
+        else:
+            samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+            payloads.append(encode_wav(samples, 8000))
+            kinds.append("audio")
+            widths.append(0)
+            heights.append(0)
+            rates.append(8000)
+            durs.append(n * 1000 // 8000)
+    return pa.table(
+        {
+            "media_id": pa.array([str(d) for d in doc_ids], pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _media_decode_real(sf_dir: str):
+    """REAL decode through the driver gate: synthesized BMP/WAV payloads
+    run the production ``DecodeStage()`` (no fake flag) and the decoded
+    header metadata — dimensions, sample rate, duration, raw byte count
+    — must match the SQL rules the synthesis derives from n_chars."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_real_media_table(
+            batch.column("doc_id").to_pylist(),
+            batch.column("n_chars").to_pylist(),
+        )
+
+    media = docs.map_batches(_synth, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    decoded = decode_media_dataset(media, avg_payload_bytes=8192,
+                                   concurrency=(1, 2), fake=False)
+    return decoded.select_columns(
+        ["media_id", "kind", "width", "height", "sample_rate",
+         "duration_ms", "decoded_bytes"])
+
+
+register(
+    "media_decode_real",
+    _media_decode_real,
+    f"""
+    WITH m AS (
+        SELECT doc_id, LEAST(GREATEST(n_chars, 1), {MAX_REAL_MEDIA}) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n,
+               GREATEST(CAST(floor(sqrt(n)) AS INTEGER), 1) AS side
+        FROM m
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN side ELSE 0 END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN side ELSE 0 END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 ELSE 0 END
+                AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN n // 8 ELSE 0 END
+                AS INTEGER) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 * side * side
+                     ELSE 2 * n END AS BIGINT) AS decoded_bytes
+    FROM s
+    """,
+)
 
 
 register(

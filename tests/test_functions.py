@@ -240,23 +240,36 @@ def test_integer_named_object_properties_survive_index_suppression():
     assert samples[0].key == "0/v"
 
 
-def test_pattern_rule_star_bound():
-    """Hostile many-star rules are rejected up front (the reference bounds
-    pattern matching with a 1 s regex timeout; the engine bounds the
-    backtracking budget instead — functions/match.MAX_PATTERN_STARS)."""
-    import pytest
+def test_pattern_rule_hostile_stars_bounded_time():
+    """A hostile many-star rule against a near-miss pointer must match in
+    polynomial time (the reference bounds this with a 1 s regex timeout,
+    TimeSeriesExtractor.cs:58-66; the engine's glob_match is O(n*m) by
+    construction, so a 64-star rule over a 2000-char pointer is
+    milliseconds, where naive .* regex backtracking would never finish)."""
+    import time
 
-    from json_time_series_extractor_ray.functions.match import (
-        MAX_PATTERN_STARS,
-        make_pointer_filter,
-    )
+    from json_time_series_extractor_ray.functions.match import glob_match
 
-    hostile = "/" + "*a" * (MAX_PATTERN_STARS + 1)
-    with pytest.raises(ValueError, match="wildcards"):
-        make_pointer_filter(include=[hostile], allow_wildcards=True)
-    # at the bound it still compiles
-    ok = "/" + "*a" * MAX_PATTERN_STARS
-    make_pointer_filter(include=[ok], allow_wildcards=True)
+    hostile = "*a" * 64 + "b"          # forces maximal star re-expansion
+    text = "a" * 2000                  # no 'b': worst-case miss
+    t0 = time.perf_counter()
+    assert glob_match(hostile, text) is False
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_glob_match_semantics():
+    from json_time_series_extractor_ray.functions.match import glob_match
+
+    assert glob_match("/val?e", "/value")
+    assert glob_match("/u*r", "/user")
+    assert glob_match("*", "")
+    assert glob_match("a*", "a")
+    assert not glob_match("a*b", "a")
+    assert glob_match("a**b", "ab")
+    assert not glob_match("?", "")
+    assert glob_match("/data/*/v", "/data/0/v")
+    # full-string anchoring: no partial matches
+    assert not glob_match("/val", "/value")
 
 
 def test_parse_hooks_on_string_entry():

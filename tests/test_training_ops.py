@@ -424,9 +424,104 @@ class TestMultimodal:
         assert media_batch_size(1 << 26) == 1
         assert media_batch_size(1) >= 1
 
-    def test_real_decoder_is_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            DecodeStage()
+    def test_compressed_formats_still_stubbed(self):
+        """Real mode decodes BMP/PPM/WAV; a compressed payload (JPEG
+        magic) must raise the explicit environment stub at decode time."""
+        import pyarrow as pa
+
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            MEDIA_SCHEMA,
+        )
+
+        stage = DecodeStage()  # real mode constructs fine now
+        jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+        batch = pa.table({
+            "media_id": pa.array(["x"], pa.string()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([jpeg_ish], pa.large_binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "sample_rate": pa.array([0], pa.int32()),
+            "duration_ms": pa.array([0], pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+        with pytest.raises(NotImplementedError, match="unknown"):
+            stage(batch)
+
+    def test_bmp_ppm_wav_roundtrip(self):
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_bmp,
+            decode_ppm,
+            decode_wav,
+            encode_bmp,
+            encode_ppm,
+            encode_wav,
+            sniff_format,
+        )
+
+        rng = np.random.default_rng(5)
+        # BMP: width NOT a multiple of 4 exercises row padding
+        px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+        b = encode_bmp(px)
+        assert sniff_format(b) == "bmp"
+        np.testing.assert_array_equal(decode_bmp(b), px)
+        # PPM P6 + PGM P5 (with a comment line in the header)
+        p6 = encode_ppm(px)
+        assert sniff_format(p6) == "ppm"
+        np.testing.assert_array_equal(decode_ppm(p6), px)
+        gray = rng.integers(0, 256, size=(4, 9), dtype=np.uint8)
+        p5 = encode_ppm(gray)
+        commented = p5[:2] + b"\n# a comment\n" + p5[3:]
+        np.testing.assert_array_equal(decode_ppm(commented), gray)
+        # WAV 16-bit PCM mono
+        samples = rng.integers(-32768, 32768, size=1000).astype(np.int16)
+        w = encode_wav(samples, 8000)
+        assert sniff_format(w) == "wav"
+        d = decode_wav(w)
+        assert d["sample_rate"] == 8000 and d["duration_ms"] == 125
+        np.testing.assert_array_equal(d["samples"][:, 0], samples)
+
+    def test_real_decode_pipeline(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            synthesize_real_media_table,
+        )
+
+        t = synthesize_real_media_table(list(range(12)),
+                                        [100 + 400 * i for i in range(12)])
+        out = decode_media_dataset(
+            ray.data.from_arrow(t), avg_payload_bytes=4096, fake=False
+        ).to_pandas().sort_values("media_id", key=lambda s: s.astype(int),
+                                  ignore_index=True)
+        for i in range(12):
+            n = min(max(100 + 400 * i, 1), 4096)
+            if i % 2 == 0:
+                side = int(np.sqrt(n))
+                assert out["width"][i] == side == out["height"][i]
+                assert out["decoded_bytes"][i] == 3 * side * side
+            else:
+                assert out["sample_rate"][i] == 8000
+                assert out["duration_ms"][i] == n * 1000 // 8000
+                assert out["decoded_bytes"][i] == 2 * n
+
+    def test_real_resize_bmp(self, ray_session):
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_bmp,
+            encode_bmp,
+        )
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            ResizeStage,
+            resize_nearest,
+        )
+
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+        stage = ResizeStage(4, 6)  # real mode
+        out = stage(synthesize_media_table(["a"], [1]).set_column(
+            2, "payload", pa.array([encode_bmp(px)], pa.large_binary())))
+        got = decode_bmp(out.column("payload")[0].as_py())
+        np.testing.assert_array_equal(got, resize_nearest(px, 4, 6))
+        assert got.shape == (6, 4, 3)
 
     def test_fake_decode_pipeline(self, ray_session):
         import ray
@@ -519,18 +614,27 @@ class TestMultimodalStages:
         assert out["frame_index"].tolist() == [0, 3, 6, 9]
         assert (out["frame"].apply(len) == 100).all()
 
-    def test_real_paths_are_stubbed(self):
+    def test_video_frame_sampling_still_stubbed(self):
+        """Frame sampling needs a video codec (none decodable here):
+        real mode raises; images/audio now have REAL paths instead."""
         import pytest
 
         from json_time_series_extractor_ray.pipelines.multimodal import (
             FrameSampleStage,
-            ResizeStage,
         )
 
         with pytest.raises(NotImplementedError):
-            ResizeStage(8, 8)
-        with pytest.raises(NotImplementedError):
             FrameSampleStage(4)
+
+    def test_resize_real_rejects_compressed(self):
+        import pytest
+
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            ResizeStage,
+        )
+
+        with pytest.raises(NotImplementedError, match="unknown"):
+            ResizeStage(8, 8)._resize_real(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
 
 
 class TestDistributedDelegates:
