@@ -83,38 +83,67 @@ def bpe_train(vocab: pd.DataFrame, *, n_merges: int = BPE_MERGES,
     formulation).  Each round merges the (count desc, lexicographically
     smallest) most frequent adjacent symbol pair; stops early when the
     best pair drops below ``min_pair_count``.  Fully deterministic.
+
+    Pair counts update INCREMENTALLY (the subword-nmt approach): one
+    initial counting pass builds ``pairs`` plus a pair -> word-indices
+    index, and each merge round rewrites ONLY the words containing the
+    merged pair — O(initial symbols + rounds x affected words), not the
+    r2 version's O(rounds x total symbols) full recount, which ADVICE
+    noted could take hours on vocabularies far below the row guard.
     """
-    from collections import Counter
+    from collections import Counter, defaultdict
 
     words = [tuple(w) + ("</w>",) for w in vocab["word"]]
     counts = vocab["n"].to_numpy(np.int64)
+    pairs: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> word idx (may be stale)
+    for wi, (syms, n) in enumerate(zip(words, counts)):
+        n = int(n)
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += n
+            where[p].add(wi)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for syms, n in zip(words, counts):
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += int(n)
         if not pairs:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_count:
+        best_pair, best_n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_n < min_pair_count:
             break
-        a, b = best[0]
+        a, b = best_pair
         merges.append((a, b))
         ab = a + b
-        new_words = []
-        for syms in words:
+        for wi in where.pop(best_pair, ()):
+            syms = words[wi]
             out = []
             i = 0
+            changed = False
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
                     out.append(ab)
                     i += 2
+                    changed = True
                 else:
                     out.append(syms[i])
                     i += 1
-            new_words.append(tuple(out))
-        words = new_words
+            if not changed:  # stale index entry (word rewritten earlier)
+                continue
+            n = int(counts[wi])
+            for i in range(len(syms) - 1):  # retire the old word's pairs
+                p = (syms[i], syms[i + 1])
+                c = pairs.get(p)
+                if c is not None:
+                    if c - n > 0:
+                        pairs[p] = c - n
+                    else:
+                        del pairs[p]
+            new = tuple(out)
+            words[wi] = new
+            for i in range(len(new) - 1):  # count the rewritten word's pairs
+                p = (new[i], new[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+                where[p].add(wi)
+        pairs.pop(best_pair, None)  # fully consumed by the rewrite above
     return merges
 
 

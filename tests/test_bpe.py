@@ -97,3 +97,65 @@ class TestBpeEncode:
         ds = _docs(["a b c d e f"])
         with pytest.raises(ValueError, match="max_vocab_rows"):
             word_vocab(ds, max_vocab_rows=3)
+
+
+def _bpe_train_bruteforce(vocab, n_merges, min_pair_count=2):
+    """The r2 full-recount reference: recount every pair each round."""
+    from collections import Counter
+
+    words = [tuple(w) + ("</w>",) for w in vocab["word"]]
+    counts = [int(n) for n in vocab["n"]]
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, n in zip(words, counts):
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        words = [_merge_word(syms, a, b) for syms in words]
+    return merges
+
+
+def _merge_word(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+class TestIncrementalPairCounts:
+    def test_matches_full_recount_on_random_vocab(self):
+        """The incremental (subword-nmt style) trainer must produce the
+        EXACT merge sequence of the full-recount reference — including
+        repeated-symbol words like 'aaa' and tie-breaks."""
+        import numpy as np
+        import pandas as pd
+
+        from json_time_series_extractor_ray.pipelines.bpe import bpe_train
+
+        rng = np.random.default_rng(17)
+        alphabet = list("abcde")
+        words = set()
+        while len(words) < 300:
+            n = rng.integers(1, 9)
+            words.add("".join(rng.choice(alphabet, n)))
+        words = sorted(words) + ["aaa", "aaaa", "bbbb"]
+        vocab = pd.DataFrame({
+            "word": words,
+            "n": rng.integers(1, 50, len(words)),
+        })
+        got = bpe_train(vocab, n_merges=60)
+        want = _bpe_train_bruteforce(vocab, n_merges=60)
+        assert got == want
+        assert len(got) == 60
