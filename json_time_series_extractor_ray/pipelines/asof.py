@@ -8,13 +8,15 @@ drop, mirroring DuckDB's ``ASOF JOIN``).
 Composition (no raw Ray tasks needed):
 
 1. both sides are projected to a shared schema with a ``__side`` tag and
-   unioned — Ray Data has no cogroup, so the union + one
-   ``groupby(by)`` is the co-partitioning step;
-2. ``map_groups`` splits the group back into sides and runs a local
-   vectorized backward ``searchsorted`` merge.
+   unioned — Ray Data has no cogroup, so the union + ONE
+   ``groupby(hash(by) % 64)`` shard co-partition is the exchange (the
+   repo's shard-merge rule: never one Ray group per high-cardinality
+   key);
+2. ``map_groups`` runs a pandas per-key loop inside each shard task,
+   each key merging via a local vectorized ``searchsorted``.
 
-PARTITIONING ASSUMPTION (documented per the custom-operator rule): all
-rows of one ``by`` key — both sides — must fit in one group task.  Keys
+PARTITIONING ASSUMPTION (documented per the custom-operator rule): the
+rows of one ``by`` key — both sides — land in one shard task.  Keys
 are device/user/entity ids with bounded history; when a single key's
 right side is huge, pre-dedupe it (one row per (key, ts)) before the
 join, which this module does for determinism anyway.
@@ -27,8 +29,13 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _project_side(ds, side: str, by: str, ts: str, cols, all_cols):
-    """Project one input onto the union schema (missing cols -> null)."""
+def _project_side(ds, side: str, by: str, ts: str, cols, all_cols,
+                  *, shard: bool = False):
+    """Project one input onto the union schema (missing cols -> null).
+    ``shard=True`` also appends ``__shard = hash(by) % ASOF_SHARDS`` here,
+    inside the same pass — a separate tagging operator costs a full extra
+    scan of the union."""
+    from ._util import hash_shards
 
     def _fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -54,6 +61,11 @@ def _project_side(ds, side: str, by: str, ts: str, cols, all_cols):
                 out[name] = batch.column(name).cast(typ)
             else:
                 out[name] = pa.nulls(n, typ)
+        if shard:
+            out["__shard"] = pa.array(
+                hash_shards(batch.column(by).to_pandas().astype(str),
+                            ASOF_SHARDS),
+                pa.int32())
         return pa.table(out)
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -106,17 +118,161 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
             direction=direction, tolerance_ns=tolerance_ns,
         )
     all_cols = [(n, t) for n, t in {**left_cols, **right_cols}.items()]
-    l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
-    r = _project_side(right_ds, "r", by, right_ts, set(right_cols), all_cols)
+    l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols,
+                      shard=True)
+    r = _project_side(right_ds, "r", by, right_ts, set(right_cols),
+                      all_cols, shard=True)
     unioned = l.union(r)
 
-    merged = unioned.groupby("__by").map_groups(
-        _make_merge(list(left_cols), list(right_cols), direction=direction,
-                    tolerance_ns=tolerance_ns),
+    # Shard-merge, not one Ray group per key (the repo's measured
+    # high-cardinality-groupby rule): co-partition on hash(__by) % 64
+    # (tagged inside the projection pass) and run the VECTORIZED
+    # whole-shard merge — identical per-key results, ~64 groups instead
+    # of |keys| in the Ray exchange.
+    merged = unioned.groupby("__shard").map_groups(
+        _make_shard_merge(list(left_cols), list(right_cols),
+                          direction=direction, tolerance_ns=tolerance_ns),
         batch_format="pandas"
     )
     return merged.map_batches(_make_recast(dict(all_cols)),
                               batch_format="pyarrow", zero_copy_batch=True)
+
+
+ASOF_SHARDS = 64
+
+
+def _tag_by_shard(batch: pa.Table) -> pa.Table:
+    """Append ``__shard = hash(__by) % ASOF_SHARDS`` for the shard-merge
+    co-partition (dtype-stable string canon, same rule as joins)."""
+    from ._util import hash_shards
+
+    by = batch.column("__by").to_pandas().astype(str)
+    return batch.append_column(
+        "__shard", pa.array(hash_shards(by, ASOF_SHARDS), pa.int32()))
+
+
+def _tag_by_bucket_shard(batch: pa.Table) -> pa.Table:
+    """``__shard = hash(__by, __bucket) % ASOF_SHARDS`` for the bucketed
+    shard-merge (a hot key's buckets spread across shards)."""
+    from ._util import hash_shards
+
+    key = (batch.column("__by").to_pandas().astype(str)
+           + ":" + batch.column("__bucket").to_pandas().astype(str))
+    return batch.append_column(
+        "__shard", pa.array(hash_shards(key, ASOF_SHARDS), pa.int32()))
+
+
+def _sharded(merge_fn, keys=("__by",)):
+    """Wrap a per-key merge body to run over every key (or key x bucket)
+    group in a shard frame — one pandas groupby per shard task."""
+    keys = list(keys)
+    gkeys = keys[0] if len(keys) == 1 else keys
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__shard")
+        outs = [merge_fn(g) for _, g in df.groupby(gkeys, sort=False)]
+        if not outs:
+            return merge_fn(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return _fn
+
+
+def _group_codes(df: pd.DataFrame, keys) -> np.ndarray:
+    """Dense int codes for the (possibly composite) group key."""
+    codes = None
+    for k in keys:
+        c, uniques = pd.factorize(df[k], sort=False)
+        c = c.astype(np.int64)
+        codes = c if codes is None else codes * np.int64(len(uniques)) + c
+    return codes
+
+
+def _make_shard_merge(left_names, right_names, direction: str = "backward",
+                      tolerance_ns: int | None = None, keys=("__by",)):
+    """Whole-shard VECTORIZED as-of merge: every key in the shard matches
+    in a handful of numpy ops instead of a per-key pandas loop (which
+    profiled at ~21 CPU-seconds for 10k keys at sf0.1).
+
+    Composite-rank trick: with the right side sorted by (key code, ts),
+    ``comp = code * K + rank(ts)`` (ranks over the union of both sides'
+    timestamps, K = #distinct ts + 1) is order-isomorphic to (code, ts),
+    so ONE ``np.searchsorted`` finds every left row's backward/forward
+    candidate; a code-equality check rejects cross-key hits.  Falls back
+    to the per-key loop when the composite would overflow int64 (needs
+    ~2^62 — |keys| x |distinct ts| per SHARD, unreachable in practice)."""
+    per_key = _make_merge(left_names, right_names, direction=direction,
+                          tolerance_ns=tolerance_ns)
+    keys = list(keys)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__shard")
+        if df.empty:
+            return per_key(df)
+        codes = _group_codes(df, keys)
+        is_l = (df["__side"] == "l").to_numpy()
+        left = df[is_l]
+        right = df[~is_l]
+        if left.empty or right.empty:
+            return per_key(df.iloc[0:0])
+        l_ts = left["__ts"].to_numpy(np.int64)
+        code_l = codes[is_l]
+        # deterministic right dedup per (code, ts): last in column order —
+        # identical to the per-key body's sort + drop_duplicates
+        right = right.assign(__code=codes[~is_l]).sort_values(
+            ["__code", "__ts"] + right_names, kind="stable"
+        ).drop_duplicates(["__code", "__ts"], keep="last")
+        code_r = right["__code"].to_numpy(np.int64)
+        r_ts = right["__ts"].to_numpy(np.int64)
+        all_ts = np.unique(np.concatenate([r_ts, l_ts]))
+        K = np.int64(len(all_ts) + 1)
+        if (int(codes.max()) + 1) * int(K) > 2**62:  # composite overflow
+            gkeys = keys[0] if len(keys) == 1 else keys
+            outs = [per_key(g) for _, g in df.groupby(gkeys, sort=False)]
+            return pd.concat(outs, ignore_index=True)
+        comp_r = code_r * K + np.searchsorted(all_ts, r_ts)
+        comp_l = code_l * K + np.searchsorted(all_ts, l_ts)
+        nr = len(comp_r)
+        big = np.iinfo(np.int64).max
+        if direction == "backward":
+            pos = np.searchsorted(comp_r, comp_l, side="right") - 1
+            pos0 = np.maximum(pos, 0)
+            matched = (pos >= 0) & (code_r[pos0] == code_l)
+            if tolerance_ns is not None:
+                matched &= (l_ts - r_ts[pos0]) <= tolerance_ns
+            idx = pos0
+        elif direction == "forward":
+            pos = np.searchsorted(comp_r, comp_l, side="left")
+            pos0 = np.minimum(pos, nr - 1)
+            matched = (pos < nr) & (code_r[pos0] == code_l)
+            if tolerance_ns is not None:
+                matched &= (r_ts[pos0] - l_ts) <= tolerance_ns
+            idx = pos0
+        else:  # nearest: min |delta|, exact tie -> the backward candidate
+            bpos = np.searchsorted(comp_r, comp_l, side="right") - 1
+            fpos = np.searchsorted(comp_r, comp_l, side="left")
+            b0 = np.maximum(bpos, 0)
+            f0 = np.minimum(fpos, nr - 1)
+            has_b = (bpos >= 0) & (code_r[b0] == code_l)
+            has_f = (fpos < nr) & (code_r[f0] == code_l)
+            d_b = np.where(has_b, l_ts - r_ts[b0], big)
+            d_f = np.where(has_f, r_ts[f0] - l_ts, big)
+            use_b = has_b & (~has_f | (d_b <= d_f))
+            idx = np.where(use_b, b0, f0)
+            matched = has_b | has_f
+            if tolerance_ns is not None:
+                matched &= np.minimum(d_b, d_f) <= tolerance_ns
+        if not matched.any():
+            return per_key(df.iloc[0:0])
+        left_m = left[matched]
+        picks = right.iloc[idx[matched]]
+        out = {c: left_m[c].to_numpy() for c in left_names}
+        out.update({c: picks[c].to_numpy() for c in right_names})
+        out["__by"] = left_m["__by"].to_numpy()
+        out["__ts"] = left_m["__ts"].to_numpy()
+        return pd.DataFrame(out)
+
+    return _fn
 
 
 def _make_merge(left_names, right_names, direction: str = "backward",
@@ -233,9 +389,11 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
 
     def _add_bucket(batch: pa.Table) -> pa.Table:
         ts = batch.column("__ts").to_numpy(zero_copy_only=False)
-        return batch.append_column(
+        # shard tag rides along here (fused with the projection task);
+        # a post-union tagging operator would cost a full extra pass
+        return _tag_by_bucket_shard(batch.append_column(
             "__bucket", pa.array(ts // bucket_ns, pa.int64())
-        )
+        ))
 
     l = l.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     r = r.map_batches(_add_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -308,8 +466,10 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
             out[c] = picks[c].to_numpy()
         return out
 
-    carried = close.union(pres).groupby("__by").map_groups(
-        _carry, batch_format="pandas"
+    carried = close.union(pres).map_batches(
+        _tag_by_shard, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__shard").map_groups(
+        _sharded(_carry), batch_format="pandas"
     )
 
     # Re-shape carried rows onto the projected union schema (same column
@@ -329,14 +489,16 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
             else:
                 out[name] = pa.nulls(n, typ)
         out["__bucket"] = batch.column("__bucket").cast(pa.int64())
-        return pa.table(out)
+        return _tag_by_bucket_shard(pa.table(out))  # same tag rule as l/r
 
     carried = carried.map_batches(_as_right_rows, batch_format="pyarrow")
 
     unioned = l.union(r).union(carried)
-    merged = unioned.groupby(["__by", "__bucket"]).map_groups(
-        _make_merge(left_names, right_names, direction=direction,
-                    tolerance_ns=tolerance_ns),
+    # shard-merge on hash(key, bucket) — same rule as the unbucketed path
+    merged = unioned.groupby("__shard").map_groups(
+        _make_shard_merge(left_names, right_names, direction=direction,
+                          tolerance_ns=tolerance_ns,
+                          keys=("__by", "__bucket")),
         batch_format="pandas"
     )
     return merged.map_batches(_make_recast(decl), batch_format="pyarrow",
