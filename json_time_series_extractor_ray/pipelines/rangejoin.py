@@ -8,14 +8,16 @@ semantics).  One left row can match many intervals; unmatched left rows
 drop (inner semantics).
 
 Composition mirrors the as-of join: project both sides onto a tagged
-union schema, ONE ``groupby(by)`` as the co-partitioning step (Ray Data
-has no cogroup), then a per-group vectorized double-``searchsorted``
-sweep — for each interval, the contained left rows are one contiguous
-slice of the ts-sorted left side, materialized with a repeat/arange
-gather (no Python loop over rows).
+union schema, ONE ``groupby(hash(by) % 64)`` shard co-partition (Ray
+Data has no cogroup; shard-merge, never one Ray group per key), then a
+whole-shard vectorized double-``searchsorted`` sweep over composite
+(key-code, ts-rank) values — for each interval, the contained left rows
+are one contiguous slice of the (code, ts)-sorted left side,
+materialized with a repeat/arange gather (no Python loop over rows or
+keys).
 
 PARTITIONING ASSUMPTION (documented per the custom-operator rule): by
-default all rows of one ``by`` key — both sides — must fit in one group
+default all rows of one ``by`` key — both sides — land in one shard
 task, the same contract as the as-of join.  ``bucket_ns=...`` lifts it:
 groups become ``(key, ts // bucket_ns)`` with intervals replicated to
 every bucket they overlap, so no hot key can exceed one key x one bucket
@@ -29,7 +31,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .asof import _project_side
+from .asof import (
+    _group_codes,
+    _project_side,
+    _tag_by_bucket_shard,
+    _tag_by_shard,
+)
 
 
 def _project_intervals(ds, by: str, start: str, end: str, cols, all_cols):
@@ -82,7 +89,16 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
     l = _project_side(left_ds, "l", by, left_ts, set(left_cols), all_cols)
 
     def _add_end(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__end", pa.nulls(batch.num_rows, pa.int64()))
+        # 0 sentinel, NOT null: a null would float64-decay the whole
+        # int64 __end column in the pandas shard frames and round
+        # ns-scale interval ends (> 2^53) off the exact integer ranks
+        # the vectorized merge compares against.  Left __end is never
+        # read.
+        import numpy as np
+
+        return batch.append_column(
+            "__end", pa.array(np.zeros(batch.num_rows, np.int64),
+                              pa.int64()))
 
     l = l.map_batches(_add_end, batch_format="pyarrow", zero_copy_batch=True)
     r = _project_intervals(right_ds, by, right_start, right_end,
@@ -113,13 +129,22 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
             out = batch.take(pa.array(idx))
             return out.append_column("__bucket", pa.array(bucket, pa.int64()))
 
+        # shard tags ride pre-union (fused MapBatches — no extra pass)
         l = l.map_batches(_bucket_left, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .map_batches(_tag_by_bucket_shard, batch_format="pyarrow",
                           zero_copy_batch=True)
         r = r.map_batches(_replicate_intervals, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .map_batches(_tag_by_bucket_shard, batch_format="pyarrow",
                           zero_copy_batch=True)
-        group_keys = ["__by", "__bucket"]
+        group_keys = ("__by", "__bucket")
     else:
-        group_keys = "__by"
+        l = l.map_batches(_tag_by_shard, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        r = r.map_batches(_tag_by_shard, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        group_keys = ("__by",)
 
     unioned = l.union(r)
 
@@ -161,8 +186,61 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
 
-    joined = unioned.groupby(group_keys).map_groups(_merge,
-                                                    batch_format="pandas")
+    def _shard_merge(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-shard vectorized sweep: every key's interval slices via
+        ONE composite-rank double-searchsorted (same trick as
+        ``asof._make_shard_merge``), per-key loop only on int64
+        overflow."""
+        df = df.drop(columns="__shard")
+        if df.empty:
+            return _merge(df)
+        codes = _group_codes(df, list(group_keys))
+        is_l = (df["__side"] == "l").to_numpy()
+        left = df[is_l]
+        right = df[~is_l]
+        if left.empty or right.empty:
+            return _merge(df.iloc[0:0])
+        l_ts = left["__ts"].to_numpy(np.int64)
+        code_l = codes[is_l]
+        order = np.lexsort((l_ts, code_l))  # (code, ts) ascending, stable
+        left = left.iloc[order]
+        l_ts = l_ts[order]
+        code_l = code_l[order]
+        starts = right["__ts"].to_numpy(np.int64)
+        ends = right["__end"].to_numpy(np.int64)
+        code_r = codes[~is_l]
+        all_ts = np.unique(np.concatenate([l_ts, starts, ends]))
+        K = np.int64(len(all_ts) + 1)
+        if (int(codes.max()) + 1) * int(K) > 2**62:
+            gk = list(group_keys)
+            outs = [_merge(g) for _, g in
+                    df.groupby(gk[0] if len(gk) == 1 else gk, sort=False)]
+            return pd.concat(outs, ignore_index=True)
+        comp_l = code_l * K + np.searchsorted(all_ts, l_ts)
+        lo = np.searchsorted(
+            comp_l, code_r * K + np.searchsorted(all_ts, starts),
+            side="left")
+        hi = np.searchsorted(
+            comp_l, code_r * K + np.searchsorted(all_ts, ends),
+            side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return _merge(df.iloc[0:0])
+        r_idx = np.repeat(np.arange(len(starts)), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        l_idx = (np.arange(total) - np.repeat(cum, counts)
+                 + np.repeat(lo, counts))
+        left_m = left.iloc[l_idx]
+        right_m = right.iloc[r_idx]
+        out = {c: left_m[c].to_numpy() for c in left_names}
+        out.update({c: right_m[c].to_numpy() for c in right_names})
+        out["__by"] = left_m["__by"].to_numpy()
+        out["__ts"] = left_m["__ts"].to_numpy()
+        return pd.DataFrame(out)
+
+    joined = unioned.groupby("__shard").map_groups(_shard_merge,
+                                                   batch_format="pandas")
 
     # The tagged union holds nulls in the other side's columns, so pandas
     # upcasts int columns to float inside the group frames; restore every

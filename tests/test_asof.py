@@ -497,3 +497,40 @@ class TestNearestAsof:
                       left_cols={"v": pa.int64()},
                       right_cols={"v": pa.int64()},
                       direction="nearest", bucket_ns=100)
+
+
+class TestRangeJoinNsBoundary:
+    def test_interval_end_equality_exact_at_ns_scale(self, ray_session):
+        """An event exactly AT a session end must match even when the
+        epoch-ns values exceed 2^53 (regression: a null left __end
+        float64-decayed the column and rounded interval bounds off the
+        vectorized merge's exact integer ranks)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.rangejoin import (
+            range_join,
+        )
+
+        base = 1_704_000_000_000_000_001  # > 2^53, odd (rounds in f64)
+        left = pa.table({
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([base, base + 2, base + 4], pa.int64()),
+            "lid": pa.array([0, 1, 2], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1], pa.int64()),
+            "s": pa.array([base], pa.int64()),
+            "e": pa.array([base + 2], pa.int64()),  # end == second event ts
+            "rid": pa.array([7], pa.int64()),
+        })
+        for bucket_ns in (None, 10):
+            out = range_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                by="k", left_ts="ts", right_start="s", right_end="e",
+                left_cols={"lid": pa.int64()},
+                right_cols={"rid": pa.int64()},
+                bucket_ns=bucket_ns,
+            ).to_pandas()
+            assert sorted(out["lid"].astype(int)) == [0, 1], bucket_ns
