@@ -5,6 +5,29 @@ from __future__ import annotations
 import numpy as np
 
 
+def shard_to_pandas(tbl) -> "pd.DataFrame":
+    """Arrow shard frame -> pandas without float64-decaying ints: an int
+    column WITH nulls becomes a pandas nullable IntegerArray built
+    directly from (fill_null values, is_null mask) — fast path; a default
+    ``to_pandas()`` would upcast it to float64 and silently round
+    co-resident values > 2^53.  Null-free columns take the plain numpy
+    fast path.  Shared by the shuffle/as-of/range join shard tasks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if pa.types.is_integer(col.type) and col.null_count > 0:
+            filled = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+            cols[name] = pd.arrays.IntegerArray(filled, mask)
+        else:
+            cols[name] = col.to_pandas()
+    return pd.DataFrame(cols)
+
+
 def round_half_away(x, digits: int = 6):
     """Round ties away from zero — bit-matching DuckDB's ``ROUND`` so both
     sides of a driver comparison round identically (numpy's default is

@@ -132,7 +132,7 @@ def asof_join(left_ds, right_ds, *, by: str, left_ts: str, right_ts: str,
     merged = unioned.groupby("__shard").map_groups(
         _make_shard_merge(list(left_cols), list(right_cols),
                           direction=direction, tolerance_ns=tolerance_ns),
-        batch_format="pandas"
+        batch_format="pyarrow"
     )
     return merged.map_batches(_make_recast(dict(all_cols)),
                               batch_format="pyarrow", zero_copy_batch=True)
@@ -168,8 +168,10 @@ def _sharded(merge_fn, keys=("__by",)):
     keys = list(keys)
     gkeys = keys[0] if len(keys) == 1 else keys
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__shard")
+    def _fn(tbl: pa.Table) -> pd.DataFrame:
+        from ._util import shard_to_pandas
+
+        df = shard_to_pandas(tbl).drop(columns="__shard")
         outs = [merge_fn(g) for _, g in df.groupby(gkeys, sort=False)]
         if not outs:
             return merge_fn(df.iloc[0:0])
@@ -205,8 +207,10 @@ def _make_shard_merge(left_names, right_names, direction: str = "backward",
                           tolerance_ns=tolerance_ns)
     keys = list(keys)
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__shard")
+    def _fn(tbl: pa.Table) -> pd.DataFrame:
+        from ._util import shard_to_pandas
+
+        df = shard_to_pandas(tbl).drop(columns="__shard")
         if df.empty:
             return per_key(df)
         codes = _group_codes(df, keys)
@@ -266,8 +270,11 @@ def _make_shard_merge(left_names, right_names, direction: str = "backward",
             return per_key(df.iloc[0:0])
         left_m = left[matched]
         picks = right.iloc[idx[matched]]
-        out = {c: left_m[c].to_numpy() for c in left_names}
-        out.update({c: picks[c].to_numpy() for c in right_names})
+        # .array (not .to_numpy()): a nullable-int carried column must
+        # stay an IntegerArray — numpy conversion would float64-round
+        # values > 2^53 before the final recast
+        out = {c: left_m[c].array for c in left_names}
+        out.update({c: picks[c].array for c in right_names})
         out["__by"] = left_m["__by"].to_numpy()
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
@@ -332,8 +339,11 @@ def _make_merge(left_names, right_names, direction: str = "backward",
             return empty
         left_m = left[matched]
         picks = right.iloc[idx[matched]]
-        out = {c: left_m[c].to_numpy() for c in left_names}
-        out.update({c: picks[c].to_numpy() for c in right_names})
+        # .array (not .to_numpy()): a nullable-int carried column must
+        # stay an IntegerArray — numpy conversion would float64-round
+        # values > 2^53 before the final recast
+        out = {c: left_m[c].array for c in left_names}
+        out.update({c: picks[c].array for c in right_names})
         out["__by"] = left_m["__by"].to_numpy()
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
@@ -469,7 +479,7 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
     carried = close.union(pres).map_batches(
         _tag_by_shard, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("__shard").map_groups(
-        _sharded(_carry), batch_format="pandas"
+        _sharded(_carry), batch_format="pyarrow"
     )
 
     # Re-shape carried rows onto the projected union schema (same column
@@ -499,7 +509,7 @@ def _asof_join_bucketed(left_ds, right_ds, *, by: str, left_ts: str,
         _make_shard_merge(left_names, right_names, direction=direction,
                           tolerance_ns=tolerance_ns,
                           keys=("__by", "__bucket")),
-        batch_format="pandas"
+        batch_format="pyarrow"
     )
     return merged.map_batches(_make_recast(decl), batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -32,25 +32,7 @@ from .registry import register
 
 DEFAULT_SHARDS = 64
 
-def _shard_to_pandas(tbl: pa.Table) -> pd.DataFrame:
-    """Arrow shard frame -> pandas without float64-decaying ints: an int
-    column WITH nulls becomes a pandas nullable IntegerArray built
-    directly from (fill_null values, is_null mask) — the generic
-    ``to_pandas(types_mapper=...)`` path measured 2.4x slower on the
-    join bench — while null-free columns take the plain numpy fast
-    path."""
-    import pyarrow.compute as pc
-
-    cols = {}
-    for name in tbl.column_names:
-        col = tbl.column(name)
-        if pa.types.is_integer(col.type) and col.null_count > 0:
-            filled = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
-            mask = pc.is_null(col).to_numpy(zero_copy_only=False)
-            cols[name] = pd.arrays.IntegerArray(filled, mask)
-        else:
-            cols[name] = col.to_pandas()
-    return pd.DataFrame(cols)
+from ._util import shard_to_pandas as _shard_to_pandas  # shared conversion
 
 
 from ._util import hash_shards as _hash_shards  # shared shard-hash rule

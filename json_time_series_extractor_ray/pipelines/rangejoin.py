@@ -180,18 +180,22 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
         l_idx = np.arange(total) - np.repeat(cum, counts) + np.repeat(lo, counts)
         left_m = left.iloc[l_idx]
         right_m = right.iloc[r_idx]
-        out = {c: left_m[c].to_numpy() for c in left_names}
-        out.update({c: right_m[c].to_numpy() for c in right_names})
+        # .array: nullable-int carried columns stay IntegerArrays — a
+        # numpy conversion would float64-round values > 2^53
+        out = {c: left_m[c].array for c in left_names}
+        out.update({c: right_m[c].array for c in right_names})
         out["__by"] = left_m["__by"].to_numpy()
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
 
-    def _shard_merge(df: pd.DataFrame) -> pd.DataFrame:
+    def _shard_merge(tbl: pa.Table) -> pd.DataFrame:
         """Whole-shard vectorized sweep: every key's interval slices via
         ONE composite-rank double-searchsorted (same trick as
         ``asof._make_shard_merge``), per-key loop only on int64
         overflow."""
-        df = df.drop(columns="__shard")
+        from ._util import shard_to_pandas
+
+        df = shard_to_pandas(tbl).drop(columns="__shard")
         if df.empty:
             return _merge(df)
         codes = _group_codes(df, list(group_keys))
@@ -233,14 +237,16 @@ def range_join(left_ds, right_ds, *, by: str, left_ts: str,
                  + np.repeat(lo, counts))
         left_m = left.iloc[l_idx]
         right_m = right.iloc[r_idx]
-        out = {c: left_m[c].to_numpy() for c in left_names}
-        out.update({c: right_m[c].to_numpy() for c in right_names})
+        # .array: nullable-int carried columns stay IntegerArrays — a
+        # numpy conversion would float64-round values > 2^53
+        out = {c: left_m[c].array for c in left_names}
+        out.update({c: right_m[c].array for c in right_names})
         out["__by"] = left_m["__by"].to_numpy()
         out["__ts"] = left_m["__ts"].to_numpy()
         return pd.DataFrame(out)
 
     joined = unioned.groupby("__shard").map_groups(_shard_merge,
-                                                   batch_format="pandas")
+                                                   batch_format="pyarrow")
 
     # The tagged union holds nulls in the other side's columns, so pandas
     # upcasts int columns to float inside the group frames; restore every

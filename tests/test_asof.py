@@ -534,3 +534,36 @@ class TestRangeJoinNsBoundary:
                 bucket_ns=bucket_ns,
             ).to_pandas()
             assert sorted(out["lid"].astype(int)) == [0, 1], bucket_ns
+
+
+class TestAsofBigIntCarry:
+    def test_carried_ints_above_2_53_stay_exact(self, ray_session):
+        """Carried int columns with unmatched-row nulls in the shard
+        frames must not float64-round values > 2^53 (nullable-int shard
+        conversion, same class as the shuffle-join fix)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.asof import asof_join
+
+        big = 2**60 + 1
+        left = pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([100, 200], pa.int64()),
+            "lv": pa.array([big, big + 2], pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1], pa.int64()),
+            "rts": pa.array([150], pa.int64()),
+            "rv": pa.array([big + 4], pa.int64()),
+        })
+        out = asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            by="k", left_ts="ts", right_ts="rts",
+            left_cols={"lv": pa.int64()}, right_cols={"rv": pa.int64()},
+        )
+        rows = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow"))).to_pylist()
+        assert len(rows) == 1  # only ts=200 has an earlier right row
+        assert rows[0]["lv"] == big + 2 and rows[0]["rv"] == big + 4
