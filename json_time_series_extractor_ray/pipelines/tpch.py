@@ -867,3 +867,518 @@ register(
     SELECT round(rev / 7.0, 2) AS avg_yearly, n_items FROM hit
     """,
 )
+
+
+def _key_set(path: str, key: str, filt) -> set:
+    """Driver-side key SET from a row-filtered dimension parquet — the
+    one-column sibling of ``relational._dim_map``, same loud broadcast
+    guard."""
+    import pyarrow.dataset as pads
+
+    from .relational import MAX_BROADCAST_DIM_ROWS
+
+    t = pads.dataset(path).to_table(columns=[key], filter=filt)
+    if t.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"dimension {path} has {t.num_rows} rows after pruning "
+            f"(> {MAX_BROADCAST_DIM_ROWS}); broadcast key set no longer "
+            "applies — use joins.shuffle_join for this dimension")
+    return set(t.column(key).to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (region-market customers, one supplier nation)
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_9"
+Q8_TYPE = "ECONOMY"
+Q8_LO, Q8_HI = "1996-01-01", "1998-01-01"
+
+
+def national_market_share(sf_dir: str):
+    """TPC-H Q8: per order year, the share of ``Q8_NATION``-supplied
+    revenue within all revenue for ``Q8_TYPE`` parts sold to customers
+    in ``Q8_REGION``, over a two-year order window.
+
+    Scale shape (the Q7 discipline): the part-type, order-date and
+    customer-region predicates all prune AT THE READ (partkeys arrive
+    as a loud-guarded broadcast set, region membership as an ``isin``
+    row filter); the join tree runs narrowest-first — type-pruned
+    lineitem ⋈ date-pruned orders ⋈ region-pruned customers (semi) ⋈
+    supplier — so only in-market, in-window rows reach each exchange.
+    The final aggregate is a per-block (year, target/total) combiner +
+    one tiny merge; the share divides the two ALREADY-round-2 sums
+    (round-6), so both engines divide identical doubles.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import join_output_schema, parquet_schema, shuffle_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = dict(zip(nation.column("n_name").to_pylist(),
+                  nation.column("n_nationkey").to_pylist()))
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = dict(zip(region.column("r_name").to_pylist(),
+                  region.column("r_regionkey").to_pylist()))
+    market_nations = [
+        k for k, r in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_regionkey").to_pylist())
+        if r == rk[Q8_REGION]
+    ]
+    target_key = nk[Q8_NATION]
+
+    type_parts = _key_set(f"{sf_dir}/part.parquet", "p_partkey",
+                          pads.field("p_type") == Q8_TYPE)
+    lo = _dt.datetime.fromisoformat(Q8_LO)
+    hi = _dt.datetime.fromisoformat(Q8_HI)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+        filter=pads.field("l_partkey").isin(sorted(type_parts)),
+    )
+
+    def _vol(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "vol": rev,
+        })
+
+    li = li.map_batches(_vol, batch_format="pyarrow", zero_copy_batch=True)
+    lp = f"{sf_dir}/lineitem.parquet"
+    li_schema = pa.schema([
+        ("l_orderkey",
+         parquet_schema(lp, ["l_orderkey"]).field("l_orderkey").type),
+        ("l_suppkey",
+         parquet_schema(lp, ["l_suppkey"]).field("l_suppkey").type),
+        ("vol", pa.float64()),
+    ])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+
+    def _year(batch: pa.Table) -> pa.Table:
+        year = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "o_year": pa.array(year, pa.int64()),
+        })
+
+    orders = orders.map_batches(_year, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    op = f"{sf_dir}/orders.parquet"
+    orders_schema = pa.schema([
+        ("o_orderkey",
+         parquet_schema(op, ["o_orderkey"]).field("o_orderkey").type),
+        ("o_custkey",
+         parquet_schema(op, ["o_custkey"]).field("o_custkey").type),
+        ("o_year", pa.int64()),
+    ])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_nationkey").isin(market_nations),
+    )
+    cust_schema = parquet_schema(f"{sf_dir}/customer.parquet",
+                                 ["c_custkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp_schema = parquet_schema(f"{sf_dir}/supplier.parquet",
+                                 ["s_suppkey", "s_nationkey"])
+
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      left_schema=li_schema, right_schema=orders_schema)
+    j1_schema = join_output_schema(li_schema, orders_schema,
+                                   on="l_orderkey", right_on="o_orderkey")
+    # region membership is an existence test: semi join ships only the
+    # customer KEY column, never a payload
+    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                      how="semi", left_schema=j1_schema,
+                      right_schema=cust_schema)
+    j2_schema = join_output_schema(j1_schema, cust_schema,
+                                   on="o_custkey", right_on="c_custkey",
+                                   how="semi")
+    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey",
+                      left_schema=j2_schema, right_schema=supp_schema)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_year": batch.column("o_year").to_numpy(zero_copy_only=False),
+            "vol": batch.column("vol").to_numpy(zero_copy_only=False),
+            "tgt": pc.equal(batch.column("s_nationkey"),
+                            pa.scalar(target_key))
+            .to_numpy(zero_copy_only=False),
+        })
+        df["tvol"] = np.where(df["tgt"], df["vol"], 0.0)
+        g = df.groupby("o_year", sort=False).agg(
+            t=("tvol", "sum"), a=("vol", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        t = round_half_away(np.float64(df["t"].sum()), 2)
+        a = round_half_away(np.float64(df["a"].sum()), 2)
+        return pd.DataFrame({
+            "o_year": pd.array([int(df["o_year"].iloc[0])], dtype="int64"),
+            "mkt_share": [round_half_away(np.float64(t / a), 6)],
+        })
+
+    return (
+        j3.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("o_year").map_groups(_merge, batch_format="pandas")
+    )
+
+
+register(
+    "national_market_share",
+    national_market_share,
+    f"""
+    WITH vols AS (
+        SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS vol,
+               CASE WHEN n2.n_name = '{Q8_NATION}'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END AS tvol
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = '{Q8_REGION}'
+          AND p.p_type = '{Q8_TYPE}'
+          AND o.o_orderdate >= DATE '{Q8_LO}'
+          AND o.o_orderdate <  DATE '{Q8_HI}'
+    )
+    SELECT o_year,
+           round(round(sum(tvol), 2) / round(sum(vol), 2), 6) AS mkt_share
+    FROM vols GROUP BY o_year
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted) — product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+Q9_NAME_TOKEN = "widget"
+
+
+def product_type_profit(sf_dir: str):
+    """TPC-H Q9 adapted to the fixture (no ``partsupp`` table, so profit
+    omits the supply-cost term): revenue of parts whose name contains
+    ``Q9_NAME_TOKEN``, grouped by (supplier nation, order year).
+
+    Scale shape: the name predicate prunes parts driver-side into a
+    loud-guarded broadcast key set filtering lineitem AT THE READ; the
+    tree is lineitem ⋈ orders (year only) ⋈ supplier (nation), then a
+    per-block (nation, year) combiner + tiny merge — at most
+    |nations| x |years| rows move in the final exchange."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import join_output_schema, parquet_schema, shuffle_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    tok_parts = sorted(_key_set(
+        f"{sf_dir}/part.parquet", "p_partkey",
+        pc.match_substring(pads.field("p_name"), Q9_NAME_TOKEN)))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+        filter=pads.field("l_partkey").isin(tok_parts),
+    )
+
+    def _vol(batch: pa.Table) -> pa.Table:
+        # EXACT integer arithmetic in 1e-4 units: price and discount are
+        # 2-decimal values, so price*(1-disc) is a 4-decimal decimal —
+        # float sums of it can land on either side of a half-cent
+        # boundary depending on add order (observed: 6244553.215), while
+        # integer sums round identically on both engines.  Headroom:
+        # ~1e9 units/item, int64 overflows past ~9e9 items per group.
+        price_c = np.rint(batch.column("l_extendedprice")
+                          .to_numpy(zero_copy_only=False) * 100.0)             .astype(np.int64)
+        disc_c = 100 - np.rint(batch.column("l_discount")
+                               .to_numpy(zero_copy_only=False) * 100.0)             .astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "vol": pa.array(price_c * disc_c, pa.int64()),
+        })
+
+    li = li.map_batches(_vol, batch_format="pyarrow", zero_copy_batch=True)
+    lp = f"{sf_dir}/lineitem.parquet"
+    li_schema = pa.schema([
+        ("l_orderkey",
+         parquet_schema(lp, ["l_orderkey"]).field("l_orderkey").type),
+        ("l_suppkey",
+         parquet_schema(lp, ["l_suppkey"]).field("l_suppkey").type),
+        ("vol", pa.int64()),
+    ])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def _year(batch: pa.Table) -> pa.Table:
+        year = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_year": pa.array(year, pa.int64()),
+        })
+
+    orders = orders.map_batches(_year, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    op = f"{sf_dir}/orders.parquet"
+    orders_schema = pa.schema([
+        ("o_orderkey",
+         parquet_schema(op, ["o_orderkey"]).field("o_orderkey").type),
+        ("o_year", pa.int64()),
+    ])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp_schema = parquet_schema(f"{sf_dir}/supplier.parquet",
+                                 ["s_suppkey", "s_nationkey"])
+
+    j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      left_schema=li_schema, right_schema=orders_schema)
+    j1_schema = join_output_schema(li_schema, orders_schema,
+                                   on="l_orderkey", right_on="o_orderkey")
+    j2 = shuffle_join(j1, supp, on="l_suppkey", right_on="s_suppkey",
+                      left_schema=j1_schema, right_schema=supp_schema)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nk": batch.column("s_nationkey").to_numpy(
+                zero_copy_only=False),
+            "o_year": batch.column("o_year").to_numpy(
+                zero_copy_only=False),
+            "vol": batch.column("vol").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["nk", "o_year"], sort=False)["vol"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["nk", "o_year"], sort=True)["vol"].sum() \
+            .reset_index()
+        cents = (g["vol"].to_numpy(np.int64) + 50) // 100  # half-up
+        return pd.DataFrame({
+            "n_name": g["nk"].map(names).to_numpy(dtype=object),
+            "o_year": g["o_year"].astype("int64"),
+            "profit": cents.astype(np.float64) / 100.0,
+        })
+
+    from ._util import hash_shards
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nk").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(hash_shards(nk, 16), pa.int32()))
+
+    return (
+        j2.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard").map_groups(_merge, batch_format="pandas")
+    )
+
+
+register(
+    "product_type_profit",
+    product_type_profit,
+    f"""
+    SELECT n.n_name AS n_name,
+           CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 + 50) // 100 AS DOUBLE) / 100.0 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%{Q9_NAME_TOKEN}%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted) — global sales opportunity (no c_phone: nation = country)
+# ---------------------------------------------------------------------------
+
+Q22_NATIONS = (3, 9, 13, 17, 21)
+Q22_MAX_ORDERS = 7
+
+
+def sales_opportunity(sf_dir: str):
+    """TPC-H Q22 adapted to the fixture (no ``c_phone`` — the country
+    code is ``c_nationkey`` — and every fixture customer has orders, so
+    the original's NOT-EXISTS becomes "at most ``Q22_MAX_ORDERS``
+    orders"): under-engaged customers of ``Q22_NATIONS`` whose account
+    balance exceeds the positive-balance average of that nation set,
+    counted per nation with their total balance.
+
+    Scale shape: pass 1 is a per-block (sum, count) combiner over the
+    nation-pruned positive balances (one scalar pair to the driver);
+    the order-count side is a per-block custkey combiner + one bounded
+    shard merge filtered to the low-engagement keys (keys only — no
+    payload ever shuffles); pass 2 re-reads customers with the
+    threshold AS a read filter and semi-joins those keys; the final
+    per-nation aggregate is a block combiner + tiny merge."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ._util import hash_shards
+    from .joins import parquet_schema, shuffle_join
+
+    nations = sorted(Q22_NATIONS)
+    base_filter = (pads.field("c_nationkey").isin(nations)
+                   & (pads.field("c_acctbal") > 0.0))
+    cust0 = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"],
+        filter=base_filter,
+    )
+
+    def _sumcount(batch: pa.Table) -> pa.Table:
+        v = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([float(v.sum())], pa.float64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    parts = cust0.map_batches(_sumcount, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    total = sum(p["s"] for p in parts)
+    count = sum(p["n"] for p in parts)
+    if count == 0:
+        return pd.DataFrame({
+            "cntrycode": np.array([], np.int64),
+            "numcust": np.array([], np.int64),
+            "totacctbal": np.array([], np.float64),
+        })
+    # both engines compare against the same round-6 threshold, so block
+    # summation-order noise cannot flip a membership decision
+    avg_bal = float(round_half_away(
+        np.float64(round_half_away(np.float64(total), 2) / count), 6))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        ck = g.column("o_custkey")
+        return pa.table({
+            "ck": ck,
+            "n": g.column("o_custkey_count").cast(pa.int64()),
+            "shard": pa.array(
+                hash_shards(ck.to_numpy(zero_copy_only=False), 64),
+                pa.int32()),
+        })
+
+    def _low_keys(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ck", sort=False)["n"].sum()
+        low = g[g <= Q22_MAX_ORDERS]
+        return pd.DataFrame({"ck": low.index.to_numpy()})
+
+    low = (
+        orders.map_batches(_count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("shard").map_groups(_low_keys, batch_format="pandas")
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=(pads.field("c_nationkey").isin(nations)
+                & (pads.field("c_acctbal") > avg_bal)),
+    )
+    cust_schema = parquet_schema(
+        f"{sf_dir}/customer.parquet",
+        ["c_custkey", "c_nationkey", "c_acctbal"])
+    picked = shuffle_join(
+        cust, low, on="c_custkey", right_on="ck", how="semi",
+        left_schema=cust_schema,
+        right_schema=pa.schema([("ck", cust_schema.field("c_custkey")
+                                 .type)]))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cntrycode": batch.column("c_nationkey").to_numpy(
+                zero_copy_only=False),
+            "bal": batch.column("c_acctbal").to_numpy(
+                zero_copy_only=False),
+        })
+        g = df.groupby("cntrycode", sort=False).agg(
+            n=("bal", "size"), s=("bal", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cntrycode": pd.array([int(df["cntrycode"].iloc[0])],
+                                  dtype="int64"),
+            "numcust": pd.array([int(df["n"].sum())], dtype="int64"),
+            "totacctbal": round_half_away(
+                np.array([df["s"].sum()]), 2),
+        })
+
+    out = (
+        picked.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("cntrycode").map_groups(_merge, batch_format="pandas")
+    ).to_pandas()  # ≤ |Q22_NATIONS| rows
+    if out.empty:  # schema-stable empty (an empty Dataset has no schema)
+        return pd.DataFrame({
+            "cntrycode": np.array([], np.int64),
+            "numcust": np.array([], np.int64),
+            "totacctbal": np.array([], np.float64),
+        })
+    return out
+
+
+register(
+    "sales_opportunity",
+    sales_opportunity,
+    f"""
+    WITH pos AS (
+        SELECT c_acctbal FROM customer
+        WHERE c_nationkey IN {tuple(sorted(Q22_NATIONS))}
+          AND c_acctbal > 0.0
+    ),
+    thr AS (
+        SELECT round(round(sum(c_acctbal), 2) / count(*), 6) AS avg_bal
+        FROM pos
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_nationkey IN {tuple(sorted(Q22_NATIONS))}
+      AND c.c_acctbal > thr.avg_bal
+      AND (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey) <= {Q22_MAX_ORDERS}
+    GROUP BY c.c_nationkey
+    """,
+)
