@@ -56,6 +56,7 @@ def _load_all() -> None:
         graph,
         integrity,
         joins,
+        matrixprofile,
         multimodal,
         packing,
         rangejoin,
