@@ -47,6 +47,7 @@ def _load_all() -> None:
         containment,
         curation,
         datacard,
+        decompose,
         decontam,
         dedup,
         diffstats,
