@@ -67,6 +67,7 @@ def _load_all() -> None:
         novelty,
         snapshot,
         split,
+        substrdedup,
         symbolic,
         textstats,
         tokenchunks,
