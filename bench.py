@@ -270,6 +270,19 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("customer_order_distribution", sf_dir)),
             ("doc_bpe_encode",
              lambda: bench_query("doc_bpe_encode", sf_dir)),
+            # round-3 additions
+            ("events_matrix_profile_1d",
+             lambda: bench_query("events_matrix_profile_1d", sf_dir)),
+            ("events_decompose_1d",
+             lambda: bench_query("events_decompose_1d", sf_dir)),
+            ("doc_duplicated_spans",
+             lambda: bench_query("doc_duplicated_spans", sf_dir)),
+            ("national_market_share",
+             lambda: bench_query("national_market_share", sf_dir)),
+            ("sales_opportunity",
+             lambda: bench_query("sales_opportunity", sf_dir)),
+            ("media_decode_real",
+             lambda: bench_query("media_decode_real", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]
@@ -339,6 +352,39 @@ def pick_kernel(probe: dict) -> bool:
     shredded; the probe is a sandbox-robustness guard, not a tuning knob.
     """
     return probe["serial_gb_per_s"] >= 0.5
+
+
+def _spin(_):
+    t0 = time.perf_counter()
+    x = 1
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) % 2147483648
+    return time.perf_counter() - t0
+
+
+def measure_core_speed(low: int, high: int) -> dict:
+    """Pure-CPU per-core speed at ``low``- vs ``high``-way concurrency
+    (process pool of integer-arithmetic spins — no memory traffic, no
+    GIL).  This sandbox VM delivers ~15-20% LOWER per-core throughput
+    when all 32 CPUs are busy than when 8 are (SMT siblings /
+    hypervisor oversubscription — measured 2026-08-19: 3.40 s/task at
+    8-way vs 4.09 s/task at 32-way), which by itself caps single-box
+    8->32 scaling efficiency at ~0.85.  A real N -> 4N CLUSTER adds
+    whole nodes at constant per-core speed, so the scaling session
+    reports pair efficiencies both raw and corrected by this measured
+    slowdown factor."""
+    import multiprocessing as mp
+
+    out = {}
+    for k in (low, high):
+        with mp.Pool(k) as pool:
+            times = pool.map(_spin, range(k))
+        out[k] = sum(times) / len(times)
+    return {
+        f"per_task_sec_{low}way": round(out[low], 3),
+        f"per_task_sec_{high}way": round(out[high], 3),
+        "per_core_slowdown": round(out[high] / out[low], 3),
+    }
 
 
 def measure_bandwidth_ceiling() -> dict:
@@ -439,11 +485,19 @@ def run_scaling(low: int, high: int, *, repeats: int = 2) -> dict:
     thr_low = results[low]["detail"]["iot_extract_rollup"]["docs_per_sec"]
     thr_high = results[high]["detail"]["iot_extract_rollup"]["docs_per_sec"]
     eff = sorted(pair_eff)[len(pair_eff) // 2]
+    core = measure_core_speed(low, high)
+    corrected = [round(e * core["per_core_slowdown"], 3) for e in pair_eff]
     return {
         "metric": "scaling efficiency (docs/s at two parallelism levels)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "pair_efficiencies": pair_eff,
+        # single-box proxy correction: the host's per-core speed DROPS
+        # when all CPUs are busy (see measure_core_speed) — a real
+        # N->4N cluster adds nodes at constant per-core speed, so the
+        # corrected pairs are the cluster-equivalent efficiencies
+        "core_speed_probe": core,
+        "pair_efficiencies_corrected": corrected,
         "best_leg_efficiency": round((thr_high / thr_low) / (high / low), 3),
         "low_cpus": low,
         "high_cpus": high,

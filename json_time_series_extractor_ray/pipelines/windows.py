@@ -56,24 +56,71 @@ def sessionize_group(df: pd.DataFrame, gap_ns: int) -> pd.DataFrame:
     )
 
 
-def sessionize(events_ds, *, gap_ns: int = SESSION_GAP_NS):
+def sessionize(events_ds, *, gap_ns: int = SESSION_GAP_NS,
+               num_shards: int = 64):
+    """Gap-based session windows per user — shard-merge shape: ONE
+    ``groupby(hash(user) % num_shards)`` exchange, then a fully
+    vectorized multi-user break/cumsum inside each shard task (never one
+    Ray group per user, and no per-user Python loop)."""
+    from ._util import hash_shards
+
     def _project(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id")
         return pa.table(
             {
-                "user_id": batch.column("user_id"),
+                "user_id": users,
                 "event_id": batch.column("event_id"),
                 "ts_ns": batch.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()),
                 "value": batch.column("value"),
+                "ushard": pa.array(
+                    hash_shards(users.to_pandas().astype(str), num_shards),
+                    pa.int32()),
             }
         )
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        return sessionize_group(df, gap_ns)
+        d = df.sort_values(["user_id", "ts_ns", "event_id"],
+                           kind="stable", ignore_index=True)
+        u = d["user_id"].to_numpy()
+        ts = d["ts_ns"].to_numpy(np.int64)
+        if len(d) == 0:
+            return pd.DataFrame({
+                "user_id": np.array([], np.int64),
+                "session_id": np.array([], np.int64),
+                "session_start_ns": np.array([], np.int64),
+                "session_end_ns": np.array([], np.int64),
+                "n_events": np.array([], np.int64),
+                "value_sum": np.array([], np.float64),
+            })
+        newu = np.concatenate(([True], u[1:] != u[:-1]))
+        brk = newu | (np.concatenate(([0], np.diff(ts))) > gap_ns)
+        g = np.cumsum(brk)
+        t = pd.DataFrame({"g": g, "user_id": u, "ts_ns": ts,
+                          "value": d["value"].to_numpy()})
+        s = t.groupby("g", sort=True).agg(
+            user_id=("user_id", "first"),
+            session_start_ns=("ts_ns", "min"),
+            session_end_ns=("ts_ns", "max"),
+            n_events=("ts_ns", "size"),
+            value_sum=("value", "sum"),
+        ).reset_index(drop=True)
+        # per-user session ids restart at 1 in time order (sessions are
+        # already time-ordered within each user after the sort)
+        sid = s.groupby("user_id", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(),
+            "session_id": sid.to_numpy(np.int64),
+            "session_start_ns": s["session_start_ns"].astype("int64"),
+            "session_end_ns": s["session_end_ns"].astype("int64"),
+            "n_events": s["n_events"].astype("int64"),
+            "value_sum": round_half_away(s["value_sum"].to_numpy(), 6),
+        })
 
     projected = events_ds.map_batches(
         _project, batch_format="pyarrow", zero_copy_batch=True
     )
-    return projected.groupby("user_id").map_groups(_fn, batch_format="pandas")
+    return projected.groupby("ushard").map_groups(_fn,
+                                                  batch_format="pandas")
 
 
 def topk_per_group(ds, *, key: str, order_by, k: int, columns):
