@@ -1164,3 +1164,59 @@ class TestPQ:
         # matches the brute-force value for the same (query, neighbor)
         merged = got.merge(ref, on=key, suffixes=("_pq", "_bf"))
         assert np.allclose(merged["cosine_pq"], merged["cosine_bf"])
+
+
+class TestAudioFeatures:
+    def test_matches_numpy_reference(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            encode_wav,
+        )
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            MEDIA_SCHEMA,
+            AudioFeatureStage,
+        )
+
+        rng = np.random.default_rng(9)
+        samples = rng.integers(-32768, 32768, size=1000).astype(np.int16)
+        payload = encode_wav(samples, 8000)
+        batch = pa.table({
+            "media_id": pa.array(["a"], pa.string()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([payload], pa.large_binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "sample_rate": pa.array([8000], pa.int32()),
+            "duration_ms": pa.array([125], pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+        out = AudioFeatureStage(frame=256)(batch)
+        x = samples.astype(np.float64) / 32768.0
+        frames = x[:768].reshape(3, 256)
+        rms = np.sqrt((frames ** 2).mean(axis=1)).mean()
+        zc = (np.signbit(frames[:, 1:])
+              != np.signbit(frames[:, :-1])).mean(axis=1).mean()
+        r = out.to_pylist()[0]
+        assert r["n_frames"] == 3
+        assert r["rms_mean"] == pytest.approx(round(rms, 6))
+        assert r["zcr_mean"] == pytest.approx(round(zc, 6))
+        assert r["peak"] == pytest.approx(round(np.abs(x).max(), 6))
+
+    def test_non_wav_rejected(self):
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            MEDIA_SCHEMA,
+            AudioFeatureStage,
+        )
+
+        batch = pa.table({
+            "media_id": pa.array(["x"], pa.string()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([b"\xff\xd8\xff\xe0" + b"\0" * 16],
+                                pa.large_binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "sample_rate": pa.array([0], pa.int32()),
+            "duration_ms": pa.array([0], pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+        with pytest.raises(NotImplementedError, match="WAV"):
+            AudioFeatureStage()(batch)
