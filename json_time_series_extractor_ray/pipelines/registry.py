@@ -72,6 +72,7 @@ def _load_all() -> None:
         textstats,
         tokenchunks,
         tpch,
+        tpch2,
         windows,
         zorder,
     )

@@ -207,6 +207,14 @@ SUBSET = [
     "events_dau_stickiness",
     # funnel time-to-convert latency (member-sharded, user-bounded collect)
     "events_funnel_latency",
+    # the last five TPC-H shapes (correlated min, global-scalar HAVING,
+    # CASE-sum priority split, nested dominant-share IN chain,
+    # EXISTS/NOT-EXISTS sole-late-supplier self-join)
+    "min_cost_supplier",
+    "important_part_values",
+    "late_shipment_priority",
+    "excess_supply_suppliers",
+    "suppliers_kept_waiting",
 ]
 
 
