@@ -33,6 +33,7 @@ from .extractor import (
     ValueKind,
     extract_samples,
 )
+from .functions.jsonio import JsonDepthError, JsonParseOptions
 from .functions.match import MatchRule, make_pointer_filter
 from .functions.pointer import parse_pointer, pointer_to_string
 from .functions.timestamps import TimestampSource
@@ -44,6 +45,8 @@ __all__ = [
     "Sample",
     "ValueKind",
     "extract_samples",
+    "JsonDepthError",
+    "JsonParseOptions",
     "MatchRule",
     "make_pointer_filter",
     "parse_pointer",

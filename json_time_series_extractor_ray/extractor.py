@@ -35,6 +35,7 @@ Timestamps are ``int`` nanoseconds since epoch UTC throughout (see
 from __future__ import annotations
 
 import json
+import numbers
 
 from .functions.jsonio import loads as _json_loads
 from dataclasses import dataclass, field, replace
@@ -402,6 +403,11 @@ def _coerce_value(element):
         return element, ValueKind.STRING
     if isinstance(element, (dict, list)):
         return raw_json_text(element), ValueKind.JSON_TEXT
+    if isinstance(element, numbers.Number):
+        # non-builtin numerics produced by parse_float / parse_int hooks
+        # (e.g. decimal.Decimal) keep the hook's type — coercing to float
+        # would defeat the hook
+        return element, ValueKind.NUMBER
     return None, ValueKind.NULL
 
 
@@ -678,6 +684,7 @@ def extract_samples(
     fallback_now_ns: Optional[int] = None,
     parse_float=None,
     parse_int=None,
+    parse_options=None,
 ) -> "list[Sample]":
     """Extract time-series samples from one JSON document (document-order
     list; materialized, not lazy — documents are small and the hot path
@@ -697,12 +704,21 @@ def extract_samples(
     else:
         plan = ExtractionPlan(options if options is not None else ExtractorOptions())
     if isinstance(document, (str, bytes)):
-        # parse_float / parse_int: number-parse hooks on the string entry,
-        # the engine twin of the reference's JsonSerializerOptions argument
+        # parse_options (or the legacy parse_float / parse_int hooks): the
+        # engine twin of the reference's JsonSerializerOptions argument
         # (``GetSamples(string, ..., JsonSerializerOptions)``,
-        # ``TimeSeriesExtractor.cs:356-359``).
-        document = _json_loads(document, parse_float=parse_float,
-                               parse_int=parse_int)
+        # ``TimeSeriesExtractor.cs:356-359``) — comment handling, trailing
+        # commas, max depth, number hooks (functions/jsonio.py).
+        if parse_options is not None:
+            from .functions.jsonio import loads_with_options
+
+            if parse_float is not None or parse_int is not None:
+                raise ValueError(
+                    "pass number hooks inside parse_options, not alongside it")
+            document = loads_with_options(document, parse_options)
+        else:
+            document = _json_loads(document, parse_float=parse_float,
+                                   parse_int=parse_int)
     if plan.start_at is not None:
         document = evaluate_pointer(document, plan.start_at)
         if document is MISSING:
