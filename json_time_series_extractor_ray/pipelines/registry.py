@@ -51,6 +51,7 @@ def _load_all() -> None:
         decontam,
         dedup,
         diffstats,
+        editdist,
         downsample,
         dtw,
         enrich,
