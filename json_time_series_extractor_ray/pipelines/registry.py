@@ -62,7 +62,9 @@ def _load_all() -> None:
         multimodal,
         packing,
         rangejoin,
+        readability,
         relational,
+        seriesdiag,
         similarity,
         sketches,
         novelty,

@@ -1,0 +1,198 @@
+"""Per-series diagnostics over rollup tiers: max drawdown and a
+mean-shift changepoint.
+
+* ``max_drawdown_tier`` — the classic peak-to-trough measure: the
+  largest ``running_max(mean) - mean`` over a series' windows in time
+  order.  Monitoring reads it as "worst regression from the best level
+  seen so far".
+* ``mean_shift_changepoint`` — the single most likely level-shift point
+  per series: the split ``k`` maximizing the scaled CUSUM statistic
+  ``|mean(prefix) - mean(suffix)| * sqrt(k*(n-k)/n)`` (the two-sample
+  z-numerator; the standard single-changepoint scan statistic).  Ties
+  break to the EARLIEST window on the rounded statistic.
+
+Scale shape (both): the rollup ladder has already collapsed raw samples
+to per-window rows, so each series is a SMALL vector (windows, not
+events).  ONE ``groupby(series_key)`` co-locates a series; the per-group
+pass is a vectorized cummax / cumsum — no per-row Python, no second
+shuffle, nothing driver-side.
+
+Rounding parity: window means are the canonical rounded means
+(``round(round(sum,6)/count,6)``); the drawdown is a difference of those
+exact 1e-6 multiples, and the shift statistic rounds to 6 decimals on
+BOTH engines before the argmax, so the tie-break compares identical
+doubles (same discipline as ``windows.cumulative_tier``).
+
+Reference anchor: extraction-only reference (SURVEY.md §2); extends the
+engine-mandated windowed-aggregate family (§2.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+
+def _tier_means(rollup_ds, tier: str):
+    """Tier rows -> (series_key, window_ns, canonical rounded mean)."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("tier"), tier))
+        s = round_half_away(t.column("sum").to_numpy(zero_copy_only=False), 6)
+        n = t.column("count").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "window_ns": t.column("window_start").cast(pa.int64()),
+            "mean": pa.array(round_half_away(s / n, 6), pa.float64()),
+        })
+
+    return rollup_ds.map_batches(_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def max_drawdown_tier(rollup_ds, *, tier: str = "1m"):
+    """Largest peak-to-trough drop of the per-window mean, per series."""
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = df["mean"].to_numpy()
+        dd = np.maximum.accumulate(m) - m
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_windows": pd.Series([len(m)], dtype="int64"),
+            "max_drawdown": round_half_away(np.array([dd.max()]), 6),
+        })
+
+    return _tier_means(rollup_ds, tier).groupby("series_key").map_groups(
+        _dd, batch_format="pandas")
+
+
+def mean_shift_changepoint(rollup_ds, *, tier: str = "1h"):
+    """Best single level-shift split per series (scaled CUSUM scan)."""
+
+    def _cp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = df["mean"].to_numpy()
+        n = len(m)
+        if n < 2:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "cp_window_ns": pd.Series([], dtype="int64"),
+                "shift_stat": pd.Series([], dtype="float64"),
+                "n_windows": pd.Series([], dtype="int64"),
+            })
+        cs = np.cumsum(m)
+        tot = cs[-1]
+        k = np.arange(1, n, dtype=np.int64)
+        csk = cs[:-1]
+        # identical IEEE tree to the oracle:
+        # abs(cs/k - (tot-cs)/(n-k)) * sqrt((k*(n-k))/n)
+        stat = round_half_away(
+            np.abs(csk / k - (tot - csk) / (n - k))
+            * np.sqrt((k * (n - k)) / n), 6)
+        best = int(np.argmax(stat))  # first max -> earliest window on ties
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "cp_window_ns": pd.Series([df["window_ns"].iloc[best]],
+                                      dtype="int64"),
+            "shift_stat": pd.Series([stat[best]], dtype="float64"),
+            "n_windows": pd.Series([n], dtype="int64"),
+        })
+
+    return _tier_means(rollup_ds, tier).groupby("series_key").map_groups(
+        _cp, batch_format="pandas")
+
+
+def _q_drawdown(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return max_drawdown_tier(extract_and_rollup(corpus, tiers=("1m",)))
+
+
+def _q_changepoint(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return mean_shift_changepoint(extract_and_rollup(corpus, tiers=("1h",)))
+
+
+def _drawdown_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS mean
+        FROM rollup_
+    ),
+    d AS (
+        SELECT series_key,
+               max(mean) OVER w - mean AS dd
+        FROM m
+        WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT series_key, CAST(count(*) AS BIGINT) AS n_windows,
+           round(max(dd), 6) AS max_drawdown
+    FROM d
+    GROUP BY series_key
+    """
+
+
+def _changepoint_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=3_600_000_000_000)
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS mean
+        FROM rollup_
+    ),
+    c0 AS (
+        SELECT series_key, window_ns,
+               sum(mean) OVER w AS cs,
+               row_number() OVER w AS k,
+               count(*) OVER (PARTITION BY series_key) AS n
+        FROM m
+        WINDOW w AS (PARTITION BY series_key ORDER BY window_ns
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        -- tot = the LAST cumulative value, so both engines' totals come
+        -- from the identical sequential summation (not a re-aggregation
+        -- whose association order could differ)
+        SELECT *, last_value(cs) OVER (
+                   PARTITION BY series_key ORDER BY window_ns
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS tot
+        FROM c0
+    ),
+    st AS (
+        SELECT series_key, window_ns,
+               round(abs(cs / k - (tot - cs) / (n - k))
+                     * sqrt((k * (n - k)) / n), 6) AS shift_stat,
+               n
+        FROM c
+        WHERE k < n
+    )
+    SELECT series_key, window_ns AS cp_window_ns, shift_stat,
+           CAST(n AS BIGINT) AS n_windows
+    FROM st
+    QUALIFY row_number() OVER (
+        PARTITION BY series_key
+        ORDER BY shift_stat DESC, window_ns ASC) = 1
+    """
+
+
+register("events_max_drawdown_1m", _q_drawdown, _drawdown_sql())
+register("events_mean_shift_1h", _q_changepoint, _changepoint_sql())

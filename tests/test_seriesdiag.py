@@ -1,0 +1,89 @@
+"""Series diagnostics (max drawdown, mean-shift changepoint) and
+readability scoring — planted-shape unit tests; the oracle parity runs
+through the registered queries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray.pipelines.readability import _scores
+from json_time_series_extractor_ray.pipelines.seriesdiag import (
+    max_drawdown_tier,
+    mean_shift_changepoint,
+)
+
+
+def _rollup_table(series, means, tier="1m"):
+    """Minimal rollup-tier frame: mean arrives as (sum=mean, count=1)."""
+    n = len(means)
+    return pd.DataFrame({
+        "series_key": series,
+        "tier": [tier] * n,
+        "window_start": pd.to_datetime(
+            np.arange(n, dtype=np.int64) * 60_000_000_000),
+        "sum": np.asarray(means, dtype=np.float64),
+        "count": np.ones(n, dtype=np.int64),
+    })
+
+
+def test_max_drawdown_planted(ray_session):
+    import ray
+
+    # peak 10 -> trough 3 (drawdown 7) then recovery; later peak 12 -> 9
+    means = [5, 10, 7, 3, 8, 12, 9]
+    ds = ray.data.from_pandas(_rollup_table(["a"] * 7, means))
+    out = max_drawdown_tier(ds, tier="1m").to_pandas()
+    assert len(out) == 1
+    assert out["max_drawdown"].iloc[0] == 7.0
+    assert out["n_windows"].iloc[0] == 7
+
+
+def test_max_drawdown_monotonic_series_is_zero(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(_rollup_table(["up"] * 5, [1, 2, 3, 4, 5]))
+    out = max_drawdown_tier(ds, tier="1m").to_pandas()
+    assert out["max_drawdown"].iloc[0] == 0.0
+
+
+def test_mean_shift_finds_planted_step(ray_session):
+    import ray
+
+    # level 1.0 for 10 windows, then level 5.0 for 10 windows:
+    # the scan statistic peaks exactly at the 10th window (k=10)
+    means = [1.0] * 10 + [5.0] * 10
+    ds = ray.data.from_pandas(_rollup_table(["s"] * 20, means, tier="1h"))
+    out = mean_shift_changepoint(ds, tier="1h").to_pandas()
+    assert len(out) == 1
+    # cp at the last window of the prefix (index 9)
+    assert out["cp_window_ns"].iloc[0] == 9 * 60_000_000_000
+    want = abs(1.0 - 5.0) * np.sqrt(10 * 10 / 20)
+    assert out["shift_stat"].iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+def test_mean_shift_single_window_series_dropped(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(_rollup_table(["one"], [4.2], tier="1h"))
+    out = mean_shift_changepoint(ds, tier="1h").to_pandas()
+    assert len(out) == 0
+
+
+def test_readability_counts():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "The cat sat. The mat!",   # 5 words, 2 sentences
+            "",                          # empty doc -> NULL flesch
+            "abc def",                   # no punctuation -> 1 sentence floor
+        ]),
+    })
+    out = _scores(t).to_pandas()
+    assert out["n_words"].tolist() == [5, 0, 2]
+    assert out["n_sentences"].tolist() == [2, 0, 0]
+    # vowel groups: 'e','a','a','e','a' = 5 | 0 | 'a','e' = 2
+    assert out["n_syllables"].tolist() == [5, 0, 2]
+    assert np.isnan(out["flesch"].iloc[1])
+    want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert out["flesch"].iloc[0] == pytest.approx(want, abs=1e-6)
