@@ -66,6 +66,7 @@ def _load_all() -> None:
         relational,
         seriesdiag,
         similarity,
+        skewjoin,
         sketches,
         novelty,
         snapshot,
