@@ -56,6 +56,7 @@ def _load_all() -> None:
         dtw,
         enrich,
         graph,
+        imagedups,
         integrity,
         joins,
         matrixprofile,
