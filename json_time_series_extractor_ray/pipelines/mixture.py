@@ -1,0 +1,113 @@
+"""Temperature-based data-mixture weights per source.
+
+The standard multilingual/multi-source LLM sampling scheme (the
+"temperature" / alpha-smoothed mixture of mT5 and XLM-R): source ``i``
+with ``c_i`` documents samples with probability
+``w_i = c_i^alpha / sum_j c_j^alpha``; ``alpha < 1`` up-weights small
+sources.  The report carries the raw share, the smoothed weight, and
+the resulting boost factor — the inputs a mixture-sampling stage
+(``split.mixture_sample``) consumes.
+
+Scale shape: per-block ``value_counts`` partials collapse the corpus to
+(source, count) rows before ONE tiny shuffle; the weight normalization
+needs every source's count in one place, which is a DELIBERATE
+single-task step over #sources rows (sources are a curated handful;
+guarded loudly).
+
+Rounding parity: the repo's ratio discipline — ``c^alpha`` rounds to 6
+decimals FIRST, and the final ratios divide already-rounded inputs, so
+cross-engine ULP noise (pow, summation order) stays far inside the
+round-6 window.
+
+Reference anchor: extraction-only reference (SURVEY.md §2); extends the
+engine-mandated curation/sampling family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .dedup import _read
+from .registry import register
+
+MIXTURE_ALPHA = 0.7
+
+#: The normalization task holds one row per source.
+MAX_SOURCES = 1_000_000
+
+
+def mixture_weights(docs_ds, *, alpha: float = MIXTURE_ALPHA):
+    """Per source: document count, raw share, temperature weight, boost."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column("source"))
+        return pa.table({
+            "source": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    def _weights(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > MAX_SOURCES:
+            raise ValueError(
+                f"mixture_weights saw {len(df)} sources "
+                f"(> MAX_SOURCES={MAX_SOURCES}); a key space this wide "
+                "wants bucketed shares, not per-source weights"
+            )
+        g = df.groupby("source", sort=True)["cnt"].sum()
+        c = g.to_numpy(np.int64)
+        pw = round_half_away(np.power(c.astype(np.float64), alpha), 6)
+        tot_pw = pw.sum()  # summation-order ULP noise absorbed by round-6
+        tot_c = c.sum()
+        return pd.DataFrame({
+            "source": g.index.to_numpy(dtype=object),
+            "n_docs": pd.Series(c, dtype="int64"),
+            "raw_share": round_half_away(c / tot_c, 6),
+            "weight": round_half_away(pw / tot_pw, 6),
+            "boost": round_half_away(
+                round_half_away(pw / tot_pw, 6) / round_half_away(
+                    c / tot_c, 6), 6),
+        })
+
+    partials = docs_ds.map_batches(_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    # constant grouping key -> ONE normalization task over #sources rows
+    withk = partials.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(
+        lambda df: _weights(df.drop(columns="__one")),
+        batch_format="pandas")
+
+
+register(
+    "source_mixture_weights",
+    lambda sf: mixture_weights(_read(sf, "documents", ["doc_id", "source"])
+                               .drop_columns(["doc_id"])),
+    f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    p AS (
+        SELECT source, n_docs,
+               round(pow(n_docs, {MIXTURE_ALPHA}), 6) AS pw
+        FROM c
+    ),
+    t AS (
+        SELECT source, n_docs,
+               round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6)
+                   AS raw_share,
+               round(pw / sum(pw) OVER (), 6) AS weight
+        FROM p
+    )
+    SELECT source, n_docs, raw_share, weight,
+           round(weight / raw_share, 6) AS boost
+    FROM t
+    """,
+)

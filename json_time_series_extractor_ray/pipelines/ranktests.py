@@ -1,0 +1,171 @@
+"""Mann-Whitney U (Wilcoxon rank-sum): nonparametric weekend-vs-weekday
+shift test per series.
+
+Complements ``diffstats.welch_weekend_effect``: Welch's t assumes
+near-normal group means; the rank-sum test is distribution-free.  The
+statistic needs GLOBAL ranks with average-rank tie handling, computed
+here without ranking rows at all: ranks are a function of the per-
+distinct-value counts, so the engine aggregates ``(series, value) ->
+(weekend count, total count)`` partials inside ``map_batches`` and ONE
+``groupby(series)`` hands each series its (merged) distinct-value
+table; a sorted cumulative count then yields every tie group's average
+rank vectorized.
+
+EXACTNESS: average ranks are half-integers and all counts are ints, so
+every term of the rank-sum is an exact binary value and the sum is
+order-independent (magnitudes < 2^53) — the Ray sum and the DuckDB
+window sum agree bit for bit; z then evaluates one identical IEEE
+expression with the standard tie-corrected variance
+``(n1*n0/12) * ((n+1) - sum(t^3-t)/(n*(n-1)))``.
+
+Scale shape: the shuffle carries per-BLOCK DISTINCT (series, value)
+partials, not rows.  One task holds one series' distinct-value table —
+loudly guarded by ``MAX_DISTINCT_VALUES`` (the remedy for
+billions-of-distinct-values series is the two-pass distributed
+prefix-rank used by ``relational.customer_spend_gini``).
+
+Reference anchor: extraction-only reference (SURVEY.md §2); extends the
+engine-mandated analytics family (§2.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+from .registry import register
+
+_DAY_NS = 86_400_000_000_000
+
+#: One task holds one series' distinct values — bound it loudly.
+MAX_DISTINCT_VALUES = 5_000_000
+
+
+def mannwhitney_weekend(samples_ds, *, round_digits: int = 6):
+    """Per series: U and tie-corrected z for weekend vs weekday values."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value_num").is_valid())
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = ((ts // _DAY_NS) + 4) % 7  # DuckDB dayofweek: 0 = Sunday
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+            "nw": wk,
+            "tc": np.ones(t.num_rows, dtype=np.int64),
+        })
+        g = df.groupby(["series_key", "v"], sort=False).agg(
+            nw=("nw", "sum"), tc=("tc", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _test(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", sort=True).agg(
+            nw=("nw", "sum"), tc=("tc", "sum"))
+        if len(g) > MAX_DISTINCT_VALUES:
+            raise ValueError(
+                f"series {df['series_key'].iloc[0]!r} has {len(g)} distinct "
+                f"values (> MAX_DISTINCT_VALUES={MAX_DISTINCT_VALUES}); "
+                "use a two-pass distributed prefix-rank (see "
+                "customer_spend_gini) for continuous ultra-high-cardinality "
+                "series"
+            )
+        nw = g["nw"].to_numpy(np.int64)
+        tc = g["tc"].to_numpy(np.int64)
+        prefix = np.cumsum(tc) - tc
+        # average rank of a tie group: prefix + (tc+1)/2 — half-integers,
+        # so the weighted sum below is EXACT (order-independent)
+        rw = float(np.sum(nw * (prefix + (tc + 1) / 2.0)))
+        n1 = int(nw.sum())
+        n = int(tc.sum())
+        n0 = n - n1
+        tie = int(np.sum(tc ** 3 - tc))
+        if n1 < 1 or n0 < 1:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "n_weekday": pd.Series([], dtype="int64"),
+                "n_weekend": pd.Series([], dtype="int64"),
+                "u_stat": pd.Series([], dtype="float64"),
+                "z_stat": pd.Series([], dtype="float64"),
+            })
+        u = rw - n1 * (n1 + 1) / 2.0
+        var = (n1 * n0 / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+        if not var > 0:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "n_weekday": pd.Series([], dtype="int64"),
+                "n_weekend": pd.Series([], dtype="int64"),
+                "u_stat": pd.Series([], dtype="float64"),
+                "z_stat": pd.Series([], dtype="float64"),
+            })
+        z = (u - n1 * n0 / 2.0) / np.sqrt(var)
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_weekday": pd.Series([n0], dtype="int64"),
+            "n_weekend": pd.Series([n1], dtype="int64"),
+            "u_stat": round_half_away(np.array([u]), round_digits),
+            "z_stat": round_half_away(np.array([z]), round_digits),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key").map_groups(_test, batch_format="pandas")
+    )
+
+
+def _q_mannwhitney(sf_dir: str):
+    from .diffstats import _numeric_samples
+
+    return mannwhitney_weekend(_numeric_samples(sf_dir))
+
+
+def _mw_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH m AS (
+        SELECT series_key,
+               CASE WHEN dayofweek(to_timestamp(ts_ns / 1000000000))
+                         IN (0, 6) THEN 1 ELSE 0 END AS wk,
+               value_num AS v, CAST(count(*) AS BIGINT) AS n
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT series_key, v,
+               sum(CASE WHEN wk = 1 THEN n ELSE 0 END) AS nw,
+               sum(n) AS tc
+        FROM m GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT series_key, v, nw, tc,
+               sum(tc) OVER (PARTITION BY series_key ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) - tc AS prefix
+        FROM c
+    ),
+    agg AS (
+        SELECT series_key,
+               sum(nw * (prefix + (tc + 1) / 2.0)) AS rw,
+               sum(nw) AS n1, sum(tc) AS n,
+               sum(tc * tc * tc - tc) AS tie
+        FROM r GROUP BY 1
+    )
+    SELECT series_key,
+           CAST(n - n1 AS BIGINT) AS n_weekday,
+           CAST(n1 AS BIGINT) AS n_weekend,
+           round(rw - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+           round((rw - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+                 / sqrt((n1 * (n - n1) / 12.0)
+                        * ((n + 1) - tie / (n * (n - 1.0)))), 6) AS z_stat
+    FROM agg
+    WHERE n1 >= 1 AND n - n1 >= 1
+      AND (n1 * (n - n1) / 12.0)
+          * ((n + 1) - tie / (n * (n - 1.0))) > 0
+    """
+
+
+register("events_weekend_mannwhitney", _q_mannwhitney, _mw_sql())

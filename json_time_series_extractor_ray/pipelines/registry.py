@@ -60,9 +60,11 @@ def _load_all() -> None:
         integrity,
         joins,
         matrixprofile,
+        mixture,
         multimodal,
         packing,
         rangejoin,
+        ranktests,
         readability,
         relational,
         seriesdiag,

@@ -108,6 +108,57 @@ def mean_shift_changepoint(rollup_ds, *, tier: str = "1h"):
         _cp, batch_format="pandas")
 
 
+def detect_peaks(rollup_ds, *, tier: str = "1h"):
+    """Strict local maxima of the per-window mean, per series: windows
+    whose mean exceeds BOTH observed neighbors (ROWS semantics — gaps
+    don't disqualify; endpoints have no two neighbors and never peak).
+    Exact: canonical rounded means compare as identical doubles."""
+
+    def _peaks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = df["mean"].to_numpy()
+        if len(m) < 3:
+            keep = np.zeros(len(m), dtype=bool)
+        else:
+            keep = np.zeros(len(m), dtype=bool)
+            keep[1:-1] = (m[1:-1] > m[:-2]) & (m[1:-1] > m[2:])
+        out = df.loc[keep, ["series_key", "window_ns", "mean"]]
+        return out.reset_index(drop=True)
+
+    return _tier_means(rollup_ds, tier).groupby("series_key").map_groups(
+        _peaks, batch_format="pandas")
+
+
+def _q_peaks(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return detect_peaks(extract_and_rollup(corpus, tiers=("1h",)))
+
+
+def _peaks_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=3_600_000_000_000)
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS mean
+        FROM rollup_
+    )
+    SELECT series_key, window_ns, mean
+    FROM m
+    QUALIFY mean > lag(mean) OVER (PARTITION BY series_key
+                                   ORDER BY window_ns)
+        AND mean > lead(mean) OVER (PARTITION BY series_key
+                                    ORDER BY window_ns)
+    """
+
+
+register("events_peaks_1h", _q_peaks, _peaks_sql())
+
+
 def _q_drawdown(sf_dir: str):
     from .timeseries import events_corpus_dataset, extract_and_rollup
 

@@ -1,0 +1,91 @@
+"""Mann-Whitney U, peak detection, and mixture weights — planted-value
+unit tests (oracle parity runs through the registered queries)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray.pipelines.mixture import mixture_weights
+from json_time_series_extractor_ray.pipelines.ranktests import (
+    mannwhitney_weekend,
+)
+from json_time_series_extractor_ray.pipelines.seriesdiag import detect_peaks
+
+_DAY_NS = 86_400_000_000_000
+# 1970-01-03 was a Saturday (weekend), 1970-01-05 a Monday (weekday)
+_SAT = pd.Timestamp("1970-01-03")
+_MON = pd.Timestamp("1970-01-05")
+
+
+def _samples(values_weekend, values_weekday):
+    rows = ([("s", _SAT, v) for v in values_weekend]
+            + [("s", _MON, v) for v in values_weekday])
+    df = pd.DataFrame(rows, columns=["series_key", "ts", "value_num"])
+    df["ts"] = df["ts"].astype("datetime64[ns]")
+    return df
+
+
+def test_mannwhitney_hand_computed(ray_session):
+    import ray
+
+    # weekend {1, 2, 3}, weekday {4, 5}: all weekend ranks below ->
+    # R_wk = 1+2+3 = 6, U = 6 - 3*4/2 = 0; mu = 3; var = 3*2/12 * 6 = 3
+    ds = ray.data.from_pandas(_samples([1, 2, 3], [4, 5]))
+    out = mannwhitney_weekend(ds).to_pandas()
+    assert len(out) == 1
+    assert out["n_weekend"].iloc[0] == 3
+    assert out["n_weekday"].iloc[0] == 2
+    assert out["u_stat"].iloc[0] == 0.0
+    assert out["z_stat"].iloc[0] == pytest.approx(-3 / np.sqrt(3), abs=1e-6)
+
+
+def test_mannwhitney_ties_average_ranks(ray_session):
+    import ray
+
+    # weekend {2, 2}, weekday {2, 4}: three 2s share avg rank 2,
+    # R_wk = 4, U = 4 - 3 = 1; tie term = 3^3-3 = 24, n = 4
+    ds = ray.data.from_pandas(_samples([2, 2], [2, 4]))
+    out = mannwhitney_weekend(ds).to_pandas()
+    assert out["u_stat"].iloc[0] == 1.0
+    var = (2 * 2 / 12.0) * ((4 + 1) - 24 / (4 * 3.0))
+    assert out["z_stat"].iloc[0] == pytest.approx(
+        (1 - 2) / np.sqrt(var), abs=1e-6)
+
+
+def test_mannwhitney_all_tied_dropped(ray_session):
+    import ray
+
+    ds = ray.data.from_pandas(_samples([7, 7], [7, 7]))
+    out = mannwhitney_weekend(ds).to_pandas()
+    assert len(out) == 0
+
+
+def test_detect_peaks_planted(ray_session):
+    import ray
+
+    n = 7
+    means = [1, 5, 2, 2, 9, 3, 4]  # peaks at index 1 (5) and 4 (9)
+    df = pd.DataFrame({
+        "series_key": ["a"] * n,
+        "tier": ["1h"] * n,
+        "window_start": pd.to_datetime(
+            np.arange(n, dtype=np.int64) * 3_600_000_000_000),
+        "sum": np.asarray(means, dtype=np.float64),
+        "count": np.ones(n, dtype=np.int64),
+    })
+    out = detect_peaks(ray.data.from_pandas(df), tier="1h").to_pandas()
+    assert sorted(out["mean"]) == [5.0, 9.0]
+
+
+def test_mixture_weights_planted(ray_session):
+    import ray
+
+    docs = pd.DataFrame({"source": ["big"] * 900 + ["small"] * 100})
+    out = mixture_weights(ray.data.from_pandas(docs)).to_pandas()
+    out = out.set_index("source")
+    assert out.loc["big", "n_docs"] == 900
+    # alpha=0.7 compresses: small's weight share beats its raw share
+    assert out.loc["small", "weight"] > out.loc["small", "raw_share"]
+    assert out.loc["small", "boost"] > 1.0 > out.loc["big", "boost"]
+    assert out["weight"].sum() == pytest.approx(1.0, abs=1e-5)
