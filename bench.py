@@ -283,6 +283,19 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("sales_opportunity", sf_dir)),
             ("media_decode_real",
              lambda: bench_query("media_decode_real", sf_dir)),
+            ("part_name_near_pairs",
+             lambda: bench_query("part_name_near_pairs", sf_dir)),
+            ("doc_readability",
+             lambda: bench_query("doc_readability", sf_dir)),
+            ("events_customer_nation_skewjoin",
+             lambda: bench_query("events_customer_nation_skewjoin",
+                                 sf_dir)),
+            ("media_image_dhash_dups",
+             lambda: bench_query("media_image_dhash_dups", sf_dir)),
+            ("events_weekend_mannwhitney",
+             lambda: bench_query("events_weekend_mannwhitney", sf_dir)),
+            ("events_max_drawdown_1m",
+             lambda: bench_query("events_max_drawdown_1m", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

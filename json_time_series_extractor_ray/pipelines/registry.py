@@ -63,6 +63,7 @@ def _load_all() -> None:
         mixture,
         multimodal,
         packing,
+        psidrift,
         rangejoin,
         ranktests,
         readability,

@@ -1,0 +1,78 @@
+"""PSI drift: weighted-quantile bit-parity with DuckDB quantile_cont,
+planted drift / no-drift shapes, and the half split."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from json_time_series_extractor_ray.pipelines.psidrift import (
+    _weighted_quantiles,
+    psi_drift,
+)
+
+
+def test_weighted_quantiles_match_duckdb():
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        vals = np.round(rng.normal(0, 10, rng.integers(2, 400)), 2)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"x": vals}))
+        qs = [0.1, 0.25, 0.5, 0.9]
+        want = con.execute(f"SELECT quantile_cont(x, {qs}) FROM t") \
+            .fetchone()[0]
+        uv, uc = np.unique(vals, return_counts=True)
+        got = _weighted_quantiles(uv, uc.astype(np.int64), qs)
+        assert [float(w) for w in want] == got.tolist()
+
+
+def _samples(series, ts_ns, values):
+    return pd.DataFrame({
+        "series_key": series,
+        "ts": pd.to_datetime(np.asarray(ts_ns, dtype=np.int64)),
+        "value_num": np.asarray(values, dtype=np.float64),
+    })
+
+
+def test_identical_halves_score_near_zero(ray_session):
+    import ray
+
+    vals = list(range(100))
+    df = _samples(["s"] * 200, list(range(200)), vals + vals)
+    out = psi_drift(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    assert out["n_first"].iloc[0] == 100  # midpoint ts 99.5 -> ts<=99
+    assert out["n_second"].iloc[0] == 100
+    assert abs(out["psi"].iloc[0]) < 0.01
+
+
+def test_shifted_second_half_drifts(ray_session):
+    import ray
+
+    rng = np.random.default_rng(9)
+    first = rng.normal(0, 1, 500)
+    second = rng.normal(3, 1, 500)  # large mean shift
+    df = _samples(["s"] * 1000, list(range(1000)),
+                  np.concatenate([first, second]))
+    out = psi_drift(ray.data.from_pandas(df)).to_pandas()
+    assert out["psi"].iloc[0] > 1.0  # way past the 0.25 drift alarm
+
+
+def test_single_first_half_value_dropped(ray_session):
+    import ray
+
+    df = _samples(["s"] * 2, [0, 100], [1.0, 2.0])
+    out = psi_drift(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 0  # n_first == 1 < 2
+
+
+def test_psi_is_asymmetric_but_finite_on_empty_buckets(ray_session):
+    import ray
+
+    # second half entirely above the first half's range: all mass in the
+    # top bucket; smoothing keeps every term finite
+    df = _samples(["s"] * 40, list(range(40)),
+                  list(np.linspace(0, 1, 20)) + [50.0] * 20)
+    out = psi_drift(ray.data.from_pandas(df)).to_pandas()
+    assert np.isfinite(out["psi"].iloc[0])
+    assert out["psi"].iloc[0] > 1.0
