@@ -917,7 +917,7 @@ def national_market_share(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    from .joins import join_output_schema, parquet_schema, shuffle_join
+    from .joins import parquet_schema, shuffle_join
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     nk = dict(zip(nation.column("n_name").to_pylist(),
@@ -968,6 +968,19 @@ def national_market_share(sf_dir: str):
         filter=(pads.field("o_orderdate") >= lo)
         & (pads.field("o_orderdate") < hi),
     )
+    # The type-pruned lineitem side is selective, so its orderkeys make
+    # a fixed-size bloom that prunes the orders exchange BEFORE the one
+    # shuffle (FPs fall out in the exact join — value-identical, same
+    # composition as lineitem_orders_bloom_join).
+    from .sketches import bloom_build, bloom_filter_out
+
+    li_keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
+        filter=pads.field("l_partkey").isin(sorted(type_parts)),
+    )
+    orders = bloom_filter_out(orders, bloom_build(li_keys,
+                                                  column="l_orderkey"),
+                              column="o_orderkey", keep="member")
 
     def _year(batch: pa.Table) -> pa.Table:
         year = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
@@ -989,31 +1002,34 @@ def national_market_share(sf_dir: str):
          parquet_schema(op, ["o_custkey"]).field("o_custkey").type),
         ("o_year", pa.int64()),
     ])
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
-        filter=pads.field("c_nationkey").isin(market_nations),
-    )
-    cust_schema = parquet_schema(f"{sf_dir}/customer.parquet",
-                                 ["c_custkey"])
-    supp = ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    supp_schema = parquet_schema(f"{sf_dir}/supplier.parquet",
-                                 ["s_suppkey", "s_nationkey"])
+    # region membership is an existence test over a REGION-PRUNED
+    # customer key set (1/5 of custkeys), and supplier is a true
+    # dimension — both broadcast (loud _key_set/_dim_map guards), so the
+    # whole tree pays exactly ONE shuffle (lineitem ⋈ orders).  Same
+    # rewrite that cut Q5 from three chained exchanges.
+    from .enrich import broadcast_join
+    from .relational import _dim_map
+
+    cust_keys = _key_set(f"{sf_dir}/customer.parquet", "c_custkey",
+                         pads.field("c_nationkey").isin(market_nations))
+    supp_map = _dim_map(f"{sf_dir}/supplier.parquet", "s_suppkey",
+                        "s_nationkey", None)
+    s_nk_type = parquet_schema(f"{sf_dir}/supplier.parquet",
+                               ["s_nationkey"]).field("s_nationkey").type
 
     j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                       left_schema=li_schema, right_schema=orders_schema)
-    j1_schema = join_output_schema(li_schema, orders_schema,
-                                   on="l_orderkey", right_on="o_orderkey")
-    # region membership is an existence test: semi join ships only the
-    # customer KEY column, never a payload
-    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey",
-                      how="semi", left_schema=j1_schema,
-                      right_schema=cust_schema)
-    j2_schema = join_output_schema(j1_schema, cust_schema,
-                                   on="o_custkey", right_on="c_custkey",
-                                   how="semi")
-    j3 = shuffle_join(j2, supp, on="l_suppkey", right_on="s_suppkey",
-                      left_schema=j2_schema, right_schema=supp_schema)
+
+    keys_ref = ray.put(pa.array(sorted(cust_keys)))  # one object-store copy
+
+    def _in_market(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("o_custkey"),
+                                     value_set=ray.get(keys_ref)))
+
+    j2 = j1.map_batches(_in_market, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j3 = broadcast_join(j2, supp_map, key="l_suppkey",
+                        value_name="s_nationkey", value_type=s_nk_type)
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
