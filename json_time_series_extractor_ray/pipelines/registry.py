@@ -59,6 +59,7 @@ def _load_all() -> None:
         imagedups,
         integrity,
         joins,
+        keyness,
         matrixprofile,
         mixture,
         multimodal,
