@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .dedup import _read
 from .registry import register
@@ -180,6 +181,114 @@ def edit_distance_pairs(parts_ds, *, name_col: str = "p_name",
     return pairs.groupby(["name_a", "name_b"]).map_groups(
         lambda df: df.iloc[:1], batch_format="pandas"
     )
+
+
+#: Driver-side union-find over the near-pair edges (the SMALL blocked
+#: output, same bound rationale as dedup.near_dup_clusters).
+MAX_EDGES = 5_000_000
+
+
+def entity_clusters(parts_ds, *, name_col: str = "p_name",
+                    d: int = EDIT_DIST_MAX, max_edges: int = MAX_EDGES):
+    """Entity resolution over names: connected components of the
+    edit-distance near-pair graph.  One row per cluster with the
+    representative (minimum) name, member-name count, and total part
+    count — the record-linkage composition of ``edit_distance_pairs``.
+
+    Scale shape: the pair list is the sparse BLOCKED join output
+    (collected under a loud ``max_edges`` guard and union-found
+    driver-side, exactly the ``dedup.near_dup_clusters`` contract); the
+    label map broadcasts once and the distinct-name table streams
+    through assignment + ONE cluster groupby.
+    """
+    import ray
+
+    try:
+        pairs = edit_distance_pairs(parts_ds, name_col=name_col, d=d) \
+            .select_columns(["name_a", "name_b"]).take_all(limit=max_edges)
+    except ValueError as exc:
+        raise ValueError(
+            f"entity_clusters saw > {max_edges} near-pair edges; tighten "
+            "the distance threshold or deepen the blocking before "
+            "collecting the pair graph") from exc
+    # union-find with the min-root convention, over string names
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs:
+        ra, rb = find(r["name_a"]), find(r["name_b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = {x: find(x) for x in list(parent)}
+    labels_ref = ray.put(labels)
+
+    names = (
+        parts_ds.groupby(name_col).count()
+        .map_batches(
+            lambda t: t.rename_columns(["name", "n_parts"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(labels_ref)
+        roots = [table.get(n, n) for n in batch.column("name").to_pylist()]
+        return batch.append_column("cluster_rep",
+                                   pa.array(roots, pa.string()))
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cluster_rep": df["cluster_rep"].iloc[:1],
+            "n_names": pd.Series([len(df)], dtype="int64"),
+            "n_parts": pd.Series([int(df["n_parts"].sum())],
+                                 dtype="int64"),
+        })
+
+    return (
+        names.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("cluster_rep").map_groups(_agg, batch_format="pandas")
+    )
+
+
+register(
+    "part_name_entity_clusters",
+    lambda sf: entity_clusters(
+        _read(sf, "part", ["p_partkey", "p_name"])
+        .drop_columns(["p_partkey"])),
+    f"""
+    WITH RECURSIVE
+    d AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1
+    ),
+    e AS (
+        SELECT a.name AS na, b.name AS nb
+        FROM d a JOIN d b ON a.name <> b.name
+        WHERE abs(length(a.name) - length(b.name)) <= {EDIT_DIST_MAX}
+          AND levenshtein(a.name, b.name) <= {EDIT_DIST_MAX}
+    ),
+    reach(name, root) AS (
+        SELECT name, name FROM d
+        UNION
+        SELECT e.nb, r.root FROM reach r JOIN e ON e.na = r.name
+    ),
+    lab AS (SELECT name, min(root) AS root FROM reach GROUP BY 1)
+    SELECT lab.root AS cluster_rep,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(d.n_parts) AS BIGINT) AS n_parts
+    FROM lab JOIN d USING (name)
+    GROUP BY 1
+    """,
+)
 
 
 register(

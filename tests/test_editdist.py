@@ -110,3 +110,38 @@ def test_pipeline_matches_bruteforce(ray_session):
             if dd <= EDIT_DIST_MAX:
                 want.add((uniq[i], uniq[j], dd, cnt[uniq[i]], cnt[uniq[j]]))
     assert got_pairs == want and len(want) > 0
+
+
+def test_entity_clusters_transitive(ray_session):
+    import pandas as pd
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.editdist import (
+        entity_clusters,
+    )
+
+    # chain: "aaaa" -1- "aaab" -1- "aabb": one transitive cluster even
+    # though lev("aaaa","aabb") = 2 <= d links them directly too;
+    # "zzzz" is a singleton
+    names = ["aaaa", "aaab", "aabb", "aaaa", "zzzz"]
+    ds = ray.data.from_pandas(pd.DataFrame({"p_name": names}))
+    out = entity_clusters(ds).to_pandas().set_index("cluster_rep")
+    assert len(out) == 2
+    assert out.loc["aaaa", "n_names"] == 3
+    assert out.loc["aaaa", "n_parts"] == 4  # "aaaa" appears twice
+    assert out.loc["zzzz", "n_names"] == 1
+
+
+def test_entity_clusters_edge_guard(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.editdist import (
+        entity_clusters,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"p_name": [f"aa{i}" for i in range(10)]}))
+    with pytest.raises(ValueError, match="near-pair edges"):
+        entity_clusters(ds, max_edges=3)
