@@ -1392,3 +1392,118 @@ register(
     FROM l
     """,
 )
+
+
+def ordered_funnel(events_ds, *, member: str = "user_id", ts: str = "ts",
+                   steps=("view", "click", "purchase"),
+                   num_shards: int = 64) -> pd.DataFrame:
+    """K-step ordered funnel: per user, step i counts only if its FIRST
+    qualifying event is at-or-after the user's step-(i-1) time — the
+    general form of the two-step ``funnel_latency`` chain.
+
+    Scale shape: events project to (member, step index, ts) and flow
+    through ONE member-sharded shuffle; each shard task runs K-1
+    vectorized merge+groupby-min passes over ITS users (sequential in K,
+    parallel across shards) and emits a single partial count row, so
+    the driver folds #shards rows regardless of corpus size.  Counts
+    are exact ints; conversion rates divide them (round 6)."""
+    import ray  # noqa: F401
+
+    from ._util import hash_shards
+
+    step_ids = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(list(steps)))
+        t = batch.filter(keep)
+        mem = t.column(member).to_numpy(zero_copy_only=False)
+        step = pd.Series(
+            t.column("event_type").to_pandas()).map(step_ids)
+        return pa.table({
+            member: pa.array(mem),
+            "step": pa.array(step.to_numpy(np.int8), pa.int8()),
+            "ts_ns": t.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "shard": pa.array(
+                hash_shards(pd.Series(mem).astype(str), num_shards),
+                pa.int32()),
+        })
+
+    def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        t_prev = (df.loc[df["step"] == 0].groupby(member, sort=False)
+                  ["ts_ns"].min().rename("t_prev"))
+        counts = [len(t_prev)]
+        for i in range(1, k):
+            b = df.loc[df["step"] == i, [member, "ts_ns"]].merge(
+                t_prev.reset_index(), on=member, how="inner")
+            b = b[b["ts_ns"] >= b["t_prev"]]
+            t_prev = (b.groupby(member, sort=False)["ts_ns"].min()
+                      .rename("t_prev"))
+            counts.append(len(t_prev))
+        return pd.DataFrame({f"n{i}": pd.Series([c], dtype="int64")
+                             for i, c in enumerate(counts)})
+
+    partials = (
+        events_ds.map_batches(_project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_partial_counts,
+                                     batch_format="pandas")
+    )
+    sums = partials.sum([f"n{i}" for i in range(k)])
+    n = [int(sums[f"sum(n{i})"] or 0) for i in range(k)]
+    out = {f"n_{s}": pd.Series([n[i]], dtype="int64")
+           for i, s in enumerate(steps)}
+    for i in range(1, k):
+        out[f"conv_{steps[i - 1]}_{steps[i]}"] = [
+            round_half_away(np.float64(n[i] / n[i - 1]), 6)
+            if n[i - 1] else np.nan]
+    out["conv_overall"] = [
+        round_half_away(np.float64(n[-1] / n[0]), 6) if n[0] else np.nan]
+    return pd.DataFrame(out)
+
+
+def _q_funnel_3step(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    return ordered_funnel(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"]))
+
+
+register(
+    "events_funnel_3step",
+    _q_funnel_3step,
+    """
+    WITH s0 AS (
+        SELECT user_id, min(epoch_ns(ts)) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t1
+        FROM events e JOIN s0 USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t0
+        GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t1
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM s0) AS c0,
+               (SELECT count(*) FROM s1) AS c1,
+               (SELECT count(*) FROM s2) AS c2
+    )
+    SELECT CAST(c0 AS BIGINT) AS n_view,
+           CAST(c1 AS BIGINT) AS n_click,
+           CAST(c2 AS BIGINT) AS n_purchase,
+           round(c1 / CAST(c0 AS DOUBLE), 6) AS conv_view_click,
+           round(c2 / CAST(c1 AS DOUBLE), 6) AS conv_click_purchase,
+           round(c2 / CAST(c0 AS DOUBLE), 6) AS conv_overall
+    FROM c
+    """,
+)

@@ -89,3 +89,29 @@ def test_mixture_weights_planted(ray_session):
     assert out.loc["small", "weight"] > out.loc["small", "raw_share"]
     assert out.loc["small", "boost"] > 1.0 > out.loc["big", "boost"]
     assert out["weight"].sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ordered_funnel_planted(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.windows import (
+        ordered_funnel,
+    )
+
+    rows = [
+        # u1 completes in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2 clicks BEFORE viewing: click doesn't qualify
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 20),
+        # u3 views only
+        (3, "view", 1),
+        # u4 purchase before click: stops at click
+        (4, "view", 1), (4, "purchase", 2), (4, "click", 3),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    out = ordered_funnel(ray.data.from_pandas(df))
+    assert out["n_view"].iloc[0] == 4
+    assert out["n_click"].iloc[0] == 2   # u1 and u4
+    assert out["n_purchase"].iloc[0] == 1  # only u1
+    assert out["conv_overall"].iloc[0] == 0.25
