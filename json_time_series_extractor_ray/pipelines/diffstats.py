@@ -1159,3 +1159,148 @@ register(
     WHERE lag1.mae_naive <> 0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (level + trend + seasonality) over window means
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.5    # exact binary fractions, same rationale as HOLT_ALPHA:
+HW_BETA = 0.25    # the recursion is then the identical IEEE op sequence
+HW_GAMMA = 0.25   # in the numpy loop and in the SQL recursive CTE
+HW_PERIOD = 24    # 1h windows -> daily seasonality
+
+
+def holt_winters_smooth(samples_ds, *, window_ns: int,
+                        period: int = HW_PERIOD, alpha: float = HW_ALPHA,
+                        beta: float = HW_BETA, gamma: float = HW_GAMMA,
+                        round_digits: int = 6, num_shards: int = _SHARDS):
+    """Per-series additive Holt-Winters over window means — the seasonal
+    extension of ``holt_smooth``:
+
+        l_t = a*(y_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+        s_t = G*(y_t - l_t) + (1-G)*s_{t-m}
+
+    Zero-seasonal init (l_1 = y_1, b_1 = 0, s_<=0 = 0): deterministic,
+    convention-free, and mirrored bit-for-bit by the oracle's recursive
+    CTE, which carries the rolling m-slot seasonal state as a LIST
+    column (``seasons[2:] || [s_new]``) — the same exact-binary-
+    coefficient discipline that lets ``events_holt_1h`` hash with no
+    intermediate rounding.
+
+    Scale shape: identical to ``holt_smooth`` — per-block (n, sum)
+    window combiners, ONE series-sharded shuffle, sequential O(windows)
+    recursion per series task bounded by retention, never by samples.
+    ``forecast_next`` is the one-step-ahead ``l_t + b_t + s_{t+1-m}``.
+    """
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _smooth(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        out_l = np.empty(len(g))
+        out_b = np.empty(len(g))
+        out_s = np.empty(len(g))
+        out_f = np.empty(len(g))
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            l = y[lo]
+            b = 0.0
+            seasons = [0.0] * period  # seasons[0] == s_{t-m}
+            out_l[lo], out_b[lo], out_s[lo] = l, b, 0.0
+            out_f[lo] = l + b + seasons[1 % period]
+            for i in range(lo + 1, hi):
+                s_old = seasons[0]
+                l_new = alpha * (y[i] - s_old) + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                s_new = gamma * (y[i] - l_new) + (1 - gamma) * s_old
+                l = l_new
+                seasons = seasons[1:] + [s_new]
+                out_l[i], out_b[i], out_s[i] = l, b, s_new
+                out_f[i] = l + b + seasons[0]
+        return pd.DataFrame({
+            "series_key": series,
+            "window_ns": g["window_ns"].to_numpy(np.int64),
+            "y": y,
+            "level": round_half_away(out_l, round_digits),
+            "trend": round_half_away(out_b, round_digits),
+            "seasonal": round_half_away(out_s, round_digits),
+            "forecast_next": round_half_away(out_f, round_digits),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_smooth, batch_format="pandas")
+    )
+
+
+def _q_holt_winters(sf_dir: str):
+    return holt_winters_smooth(_numeric_samples(sf_dir), window_ns=_H)
+
+
+def _hw_sql() -> str:
+    m = HW_PERIOD
+    # the l_new expression, inlined everywhere the recursion needs it
+    # (deterministic IEEE: recomputation is bit-identical)
+    lnew = "(0.5 * (r.y - h.seasons[1]) + 0.5 * (h.l + h.b))"
+    snew = f"(0.25 * (r.y - {lnew}) + 0.75 * h.seasons[1])"
+    zeros = "[" + ", ".join(["CAST(0.0 AS DOUBLE)"] * m) + "]"
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY series_key ORDER BY window_ns) AS rn
+        FROM m
+    ),
+    h(series_key, rn, window_ns, y, l, b, s, seasons) AS (
+        SELECT series_key, rn, window_ns, y, y, CAST(0.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE), {zeros}
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.series_key, r.rn, r.window_ns, r.y,
+               {lnew},
+               0.25 * ({lnew} - h.l) + 0.75 * h.b,
+               {snew},
+               h.seasons[2:] || [{snew}]
+        FROM h JOIN r
+          ON r.series_key = h.series_key AND r.rn = h.rn + 1
+    )
+    SELECT series_key, window_ns, y,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(s, 6) AS seasonal,
+           round(l + b + seasons[1], 6) AS forecast_next
+    FROM h
+    """
+
+
+register("events_holt_winters_1h", _q_holt_winters, _hw_sql())

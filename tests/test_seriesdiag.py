@@ -87,3 +87,32 @@ def test_readability_counts():
     assert np.isnan(out["flesch"].iloc[1])
     want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
     assert out["flesch"].iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+def test_holt_winters_learns_planted_seasonality(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        holt_winters_smooth,
+    )
+
+    # strong period-24 pattern: value = 10 + 5*(hour == 0)
+    n = 24 * 10
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    vals = 10.0 + 5.0 * (np.arange(n) % 24 == 0)
+    df = pd.DataFrame({
+        "series_key": ["s"] * n, "ts": ts, "value_num": vals})
+    out = holt_winters_smooth(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas().sort_values("window_ns")
+    assert len(out) == n
+    # after several periods, the seasonal term at the spiking hour
+    # dominates the seasonal terms elsewhere
+    late = out.tail(24)
+    spike = late.loc[late["y"] == 15.0, "seasonal"].iloc[0]
+    flat = late.loc[late["y"] == 10.0, "seasonal"].abs().max()
+    assert spike > 2.0 and spike > flat + 2.0
+    # init conventions: first row is level=y1, trend=0, seasonal=0
+    first = out.iloc[0]
+    assert first["level"] == first["y"]
+    assert first["trend"] == 0.0 and first["seasonal"] == 0.0
