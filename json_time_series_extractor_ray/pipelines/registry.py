@@ -59,6 +59,7 @@ def _load_all() -> None:
         imagedups,
         integrity,
         joins,
+        kanon,
         keyness,
         matrixprofile,
         mixture,

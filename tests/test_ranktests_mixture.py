@@ -115,3 +115,22 @@ def test_ordered_funnel_planted(ray_session):
     assert out["n_click"].iloc[0] == 2   # u1 and u4
     assert out["n_purchase"].iloc[0] == 1  # only u1
     assert out["conv_overall"].iloc[0] == 0.25
+
+
+def test_k_anonymity_planted(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.kanon import k_anonymity
+
+    # class A: 10 members (safe at k=5); class B: 2 (unsafe); C: 1 (unsafe)
+    df = pd.DataFrame({
+        "qi1": ["A"] * 10 + ["B"] * 2 + ["C"],
+        "qi2": [1] * 13,
+    })
+    out = k_anonymity(ray.data.from_pandas(df),
+                      qi_cols=("qi1", "qi2"), k=5).to_pandas()
+    assert out["n_classes"].iloc[0] == 3
+    assert out["n_unsafe_classes"].iloc[0] == 2
+    assert out["n_unsafe_rows"].iloc[0] == 3
+    assert out["min_class_size"].iloc[0] == 1
+    assert out["unsafe_row_share"].iloc[0] == pytest.approx(3 / 13, abs=1e-6)
