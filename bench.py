@@ -296,6 +296,18 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("events_weekend_mannwhitney", sf_dir)),
             ("events_max_drawdown_1m",
              lambda: bench_query("events_max_drawdown_1m", sf_dir)),
+            ("events_psi_drift",
+             lambda: bench_query("events_psi_drift", sf_dir)),
+            ("events_holt_winters_1h",
+             lambda: bench_query("events_holt_winters_1h", sf_dir)),
+            ("events_funnel_3step",
+             lambda: bench_query("events_funnel_3step", sf_dir)),
+            ("source_keyness",
+             lambda: bench_query("source_keyness", sf_dir)),
+            ("part_name_entity_clusters",
+             lambda: bench_query("part_name_entity_clusters", sf_dir)),
+            ("customer_k_anonymity",
+             lambda: bench_query("customer_k_anonymity", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

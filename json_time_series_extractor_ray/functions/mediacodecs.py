@@ -174,7 +174,9 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'unknown' from magic bytes."""
+    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'mjbm' | 'unknown' from magic."""
+    if payload[:4] == b"MJBM":
+        return "mjbm"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -184,3 +186,49 @@ def sniff_format(payload: bytes) -> str:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# MJBM: length-prefixed BMP-frame video container (uncompressed)
+# ---------------------------------------------------------------------------
+#
+# The simplest parseable stand-in for a video file in a container with no
+# codec libraries: magic b'MJBM', uint32-LE frame count, then per frame a
+# uint32-LE byte length followed by a complete BMP payload (the motion-
+# JPEG idea with BMP frames).  Real enough that frame sampling DECODES
+# real pixels; honest about being a bespoke container.
+
+_MJBM_MAGIC = b"MJBM"
+
+
+def encode_mjbm(frames) -> bytes:
+    """Concatenate BMP-encoded frames into one MJBM payload."""
+    import struct
+
+    blobs = [f if isinstance(f, (bytes, bytearray)) else encode_bmp(f)
+             for f in frames]
+    out = [_MJBM_MAGIC, struct.pack("<I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack("<I", len(b)))
+        out.append(bytes(b))
+    return b"".join(out)
+
+
+def decode_mjbm(payload: bytes) -> "list[bytes]":
+    """MJBM payload -> list of BMP frame payloads (zero-copy slices)."""
+    import struct
+
+    if payload[:4] != _MJBM_MAGIC:
+        raise ValueError("not an MJBM payload (magic mismatch)")
+    n = struct.unpack_from("<I", payload, 4)[0]
+    frames = []
+    pos = 8
+    for _ in range(n):
+        size = struct.unpack_from("<I", payload, pos)[0]
+        pos += 4
+        frames.append(payload[pos:pos + size])
+        pos += size
+    if pos != len(payload):
+        raise ValueError(
+            f"MJBM payload has {len(payload) - pos} trailing bytes")
+    return frames

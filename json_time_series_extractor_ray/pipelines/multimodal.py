@@ -6,8 +6,11 @@ uncompressed container formats parseable without codec libraries — BMP
 (24-bit BI_RGB), binary PPM/PGM, 16-bit PCM WAV
 (``functions/mediacodecs.py``) — selected per payload by magic-byte
 sniffing; compressed formats (JPEG/PNG/MP3/H.264) raise
-``NotImplementedError`` at decode time (explicit environment stub), and
-video frame sampling stays fully stubbed behind ``fake=True``.
+``NotImplementedError`` at decode time (explicit environment stub).
+Video frame sampling is REAL for the MJBM container (length-prefixed
+BMP frames, ``functions.mediacodecs.encode_mjbm``); compressed video
+containers raise, and ``fake=True`` keeps the container-free
+pseudo-frame slicer.
 
 * :class:`DecodeStage` decodes real payloads (or, with ``fake=True``,
   runs :func:`fake_decode` — a deterministic stand-in used by the
@@ -370,17 +373,17 @@ register(
 class FrameSampleStage:
     """Video frame-sampling stage: one media row -> ``n_frames`` rows.
 
-    The fake path slices the payload into equal-length "frames" and emits
-    every k-th one — the real row-expansion plumbing (one input row fans
-    out to N output rows with frame indexes) without a video codec.
+    The REAL path (``fake=False``) parses MJBM container payloads
+    (length-prefixed BMP frames — ``functions.mediacodecs.encode_mjbm``)
+    and emits every k-th stored frame as its complete BMP payload;
+    compressed video containers (MP4/H.264) raise ``NotImplementedError``
+    exactly like the compressed-image path of :class:`DecodeStage`.
+    The fake path slices the payload into equal-length pseudo-frames —
+    the row-expansion plumbing without any container.
     """
 
     def __init__(self, n_frames: int, every_k: int = 1, *, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "Frame sampling requires a video decoder; construct "
-                "FrameSampleStage(..., fake=True)."
-            )
+        self.fake = fake
         self.n_frames = n_frames
         self.every_k = max(1, every_k)
 
@@ -391,12 +394,31 @@ class FrameSampleStage:
             batch.column("kind").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            size = max(1, len(payload) // self.n_frames)
-            for fi in range(0, self.n_frames, self.every_k):
+            if self.fake:
+                size = max(1, len(payload) // self.n_frames)
+                for fi in range(0, self.n_frames, self.every_k):
+                    ids.append(media_id)
+                    kinds.append(kind)
+                    indexes.append(fi)
+                    frames.append(payload[fi * size : (fi + 1) * size])
+                continue
+            if sniff_format(payload) != "mjbm":
+                raise NotImplementedError(
+                    "no decoder for this video container: compressed "
+                    "formats (MP4/H.264/VP9) are not present in this "
+                    "environment — decodable container is MJBM "
+                    "(length-prefixed BMP frames), or use "
+                    "FrameSampleStage(..., fake=True)"
+                )
+            from ..functions.mediacodecs import decode_mjbm
+
+            stored = decode_mjbm(payload)
+            for fi in range(0, min(self.n_frames, len(stored)),
+                            self.every_k):
                 ids.append(media_id)
                 kinds.append(kind)
                 indexes.append(fi)
-                frames.append(payload[fi * size : (fi + 1) * size])
+                frames.append(stored[fi])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
@@ -647,3 +669,109 @@ def _media_audio_features(sf_dir: str):
 
 
 register("media_audio_features", _media_audio_features)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# REAL frame sampling through the driver gate (MJBM container)
+# ---------------------------------------------------------------------------
+
+_REAL_FRAMES, _REAL_EVERY_K = 4, 2
+
+
+def synthesize_mjbm_table(doc_ids, seed: int = 13) -> pa.Table:
+    """Deterministic MJBM videos: doc ``d`` stores ``1 + d % 5`` BMP
+    frames; frame ``f`` is a square of side ``8 + (d + f) % 3`` — both
+    rules (and the BMP size formula ``54 + s*(3s + pad)``) are
+    SQL-expressible, so REAL container parsing + frame decode oracles
+    exactly."""
+    from ..functions.mediacodecs import encode_mjbm
+
+    ids, payloads = [], []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        stable = int.from_bytes(
+            hashlib.blake2b(str(d).encode(), digest_size=4).digest(), "big")
+        rng = np.random.default_rng([seed, stable])
+        frames = []
+        for f in range(1 + d % 5):
+            s = 8 + (d + f) % 3
+            frames.append(rng.integers(0, 256, size=(s, s, 3),
+                                       dtype=np.uint8))
+        ids.append(str(d))
+        payloads.append(encode_mjbm(frames))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "kind": pa.array(["video"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+
+
+def _media_frame_sample_real(sf_dir: str):
+    """REAL frame sampling: MJBM payloads through the production
+    ``FrameSampleStage()`` (no fake flag), each sampled frame decoded to
+    pin its true dimensions against the synthesis rule."""
+    import ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_mjbm_table(batch.column("doc_id").to_pylist())
+
+    frames = docs.map_batches(_synth, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(n_frames=_REAL_FRAMES,
+                                       every_k=_REAL_EVERY_K),
+            batch_size=media_batch_size(4096),
+            concurrency=(1, 2),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _dims(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws, hs = [], []
+        for blob in batch.column("frame").to_pylist():
+            px = decode_bmp(blob)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_index": batch.column("frame_index"),
+            "frame_w": pa.array(ws, pa.int32()),
+            "frame_h": pa.array(hs, pa.int32()),
+            "frame_bytes": pc.binary_length(batch.column("frame"))
+                .cast(pa.int64()),
+        })
+
+    return frames.map_batches(_dims, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "media_frame_sample_real",
+    _media_frame_sample_real,
+    f"""
+    WITH f AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               unnest(generate_series(0, {_REAL_FRAMES - 1},
+                                      {_REAL_EVERY_K})) AS fi,
+               doc_id
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+               CAST(8 + (doc_id + fi) % 3 AS INTEGER) AS side
+        FROM f
+        WHERE fi < LEAST({_REAL_FRAMES}, 1 + doc_id % 5)
+    )
+    SELECT media_id, frame_index,
+           side AS frame_w, side AS frame_h,
+           CAST(54 + side * (3 * side + ((4 - (3 * side) % 4) % 4))
+                AS BIGINT) AS frame_bytes
+    FROM s
+    """,
+)

@@ -58,3 +58,50 @@ def test_cluster_pipeline_planted_groups(ray_session):
     assert sorted(out["cluster_size"]) == [20] * 5
     assert sorted(out["rep_doc"]) == [0, 2, 4, 6, 8]
     assert isinstance(tbl, pa.Table)
+
+
+def test_mjbm_frame_sample_real(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from json_time_series_extractor_ray.functions.mediacodecs import (
+        decode_bmp,
+        encode_mjbm,
+    )
+    from json_time_series_extractor_ray.pipelines.multimodal import (
+        FrameSampleStage,
+    )
+
+    frames = [np.full((8 + f, 8 + f, 3), f, np.uint8) for f in range(5)]
+    media = pa.table({
+        "media_id": pa.array(["v1"], pa.string()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([encode_mjbm(frames)], pa.large_binary()),
+    })
+    out = (ray.data.from_arrow(media)
+           .map_batches(FrameSampleStage,
+                        fn_constructor_kwargs=dict(n_frames=4, every_k=2),
+                        concurrency=1, batch_format="pyarrow")
+           .to_pandas())
+    # every 2nd of the first 4 stored frames: indexes 0 and 2
+    assert out["frame_index"].tolist() == [0, 2]
+    sizes = [decode_bmp(b).shape for b in out["frame"]]
+    assert sizes == [(8, 8, 3), (10, 10, 3)]
+
+
+def test_frame_sample_unknown_container_raises(ray_session):
+    from json_time_series_extractor_ray.pipelines.multimodal import (
+        FrameSampleStage,
+    )
+    import pyarrow as pa
+    import pytest
+
+    stage = FrameSampleStage(n_frames=2)
+    batch = pa.table({
+        "media_id": pa.array(["x"], pa.string()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([b"\x00\x01\x02\x03garbage"],
+                            pa.large_binary()),
+    })
+    with pytest.raises(NotImplementedError, match="MJBM"):
+        stage(batch)
