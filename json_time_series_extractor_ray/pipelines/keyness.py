@@ -209,3 +209,131 @@ register(
                               .drop_columns(["doc_id"])),
     _keyness_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per source (log-log OLS over the top-N token ranks)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 50
+
+
+def zipf_slope(docs_ds, *, top_n: int = ZIPF_TOP_N):
+    """Per source: the OLS slope of ``ln(freq)`` on ``ln(rank)`` over the
+    source's ``top_n`` most frequent words (natural language sits near
+    -1; synthetic/templated text drifts off) plus the fit's r².
+
+    Rank ties break by word (ascending) on EXACT integer counts, so both
+    engines rank identically; the regression inputs are ``ln`` of exact
+    ints and the closed-form slope/r² is one identical IEEE expression,
+    rounded to 6.
+
+    Scale shape: per-block (source, word) count partials -> ONE
+    vocab-keyed shuffle -> per-block top-n candidates (exact global
+    top-n lives in their union) -> one tiny per-source regression task.
+    """
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        words, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_words = np.diff(offsets)
+        src = np.repeat(batch.column("source")
+                        .to_numpy(zero_copy_only=False), n_words)
+        df = pd.DataFrame({"source": src, "word": words.to_pandas()})
+        g = df.groupby(["source", "word"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["source", "word"]].copy()
+        out["cnt"] = np.int64(df["cnt"].sum())
+        return out
+
+    def _block_topn(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["source", "cnt", "word"],
+                               ascending=[True, False, True])
+                .groupby("source", sort=False).head(top_n))
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cnt", "word"],
+                            ascending=[False, True]).head(top_n)
+        n = len(df)
+        if n < 3:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_ranks": pd.Series([], dtype="int64"),
+                "zipf_slope": pd.Series([], dtype="float64"),
+                "r2": pd.Series([], dtype="float64"),
+            })
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(df["cnt"].to_numpy(np.int64).astype(np.float64))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+        # slope = (n*sxy - sx*sy) / (n*sxx - sx*sx); r2 = slope^2 * varx/vary
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy) / denom
+              if denom > 0 else np.nan)
+        return pd.DataFrame({
+            "source": [df["source"].iloc[0]],
+            "n_ranks": pd.Series([n], dtype="int64"),
+            "zipf_slope": round_half_away(np.array([slope]), 6),
+            "r2": round_half_away(np.array([r2]), 6),
+        })
+
+    counts = (
+        docs_ds.map_batches(_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["source", "word"]).map_groups(_merge,
+                                                batch_format="pandas")
+    )
+    return (
+        counts.map_batches(_block_topn, batch_format="pandas")
+        .groupby("source").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _zipf_sql() -> str:
+    from .dedup import _WS
+
+    return rf"""
+    WITH w AS (
+        SELECT source,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               )) AS word
+        FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+    r AS (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, word) AS rnk
+        FROM c QUALIFY rnk <= {ZIPF_TOP_N}
+    ),
+    m AS (
+        SELECT source,
+               count(*) AS n,
+               sum(ln(rnk)) AS sx, sum(ln(cnt)) AS sy,
+               sum(ln(rnk) * ln(rnk)) AS sxx,
+               sum(ln(rnk) * ln(cnt)) AS sxy,
+               sum(ln(cnt) * ln(cnt)) AS syy
+        FROM r GROUP BY 1
+        HAVING count(*) >= 3
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                           6)
+           END AS r2
+    FROM m
+    """
+
+
+register(
+    "source_zipf_slope",
+    lambda sf: zipf_slope(_read_documents(sf, ["text", "source"])),
+    _zipf_sql(),
+)

@@ -247,3 +247,91 @@ def _changepoint_sql() -> str:
 
 register("events_max_drawdown_1m", _q_drawdown, _drawdown_sql())
 register("events_mean_shift_1h", _q_changepoint, _changepoint_sql())
+
+
+SPECTRUM_PERIOD = 24  # 1h windows -> the daily cycle
+
+
+def daily_spectrum(rollup_ds, *, tier: str = "1h",
+                   period: int = SPECTRUM_PERIOD):
+    """Single-bin DFT power at the daily frequency, per series: with
+    hourly means ``m_t`` (t = 0.. in window order),
+
+        C = sum m_t * cos(2*pi*t/24),  S = sum m_t * sin(2*pi*t/24)
+        amplitude = 2 * sqrt(C^2 + S^2) / n
+
+    — "how strong is the 24h cycle" as one number, plus the mean level
+    for scale.  DIRECT dot products, deliberately NOT the Goertzel
+    recursion: a recursion would amplify the one-ULP cos/sin differences
+    between numpy's SIMD kernels and DuckDB's libm across hundreds of
+    steps, while here those differences stay ~1e-16 relative and vanish
+    under the round-6 output (sums are identical expression trees over
+    near-identical terms).
+
+    Scale shape: same as the other diagnostics — windows per series are
+    retention-bounded, ONE groupby co-locates a series, the per-group
+    pass is one vectorized dot product.
+    """
+
+    def _spec(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = df["mean"].to_numpy()
+        n = len(m)
+        t = np.arange(n, dtype=np.float64)
+        w = 2 * np.pi * t / period
+        c = float(np.sum(m * np.cos(w)))
+        s = float(np.sum(m * np.sin(w)))
+        amp = 2.0 * np.sqrt(c * c + s * s) / n
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_windows": pd.Series([n], dtype="int64"),
+            "daily_amplitude": round_half_away(np.array([amp]), 6),
+            "mean_level": round_half_away(np.array([m.sum() / n]), 6),
+        })
+
+    return _tier_means(rollup_ds, tier).groupby("series_key").map_groups(
+        _spec, batch_format="pandas")
+
+
+def _q_spectrum(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return daily_spectrum(extract_and_rollup(corpus, tiers=("1h",)))
+
+
+def _spectrum_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=3_600_000_000_000)
+    p = SPECTRUM_PERIOD
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS mean
+        FROM rollup_
+    ),
+    r AS (
+        SELECT series_key, mean,
+               CAST(row_number() OVER (PARTITION BY series_key
+                                       ORDER BY window_ns) - 1
+                    AS DOUBLE) AS t
+        FROM m
+    ),
+    agg AS (
+        SELECT series_key,
+               count(*) AS n,
+               sum(mean * cos(2 * pi() * t / {p})) AS c,
+               sum(mean * sin(2 * pi() * t / {p})) AS s,
+               sum(mean) AS total
+        FROM r GROUP BY 1
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows,
+           round(2.0 * sqrt(c * c + s * s) / n, 6) AS daily_amplitude,
+           round(total / n, 6) AS mean_level
+    FROM agg
+    """
+
+
+register("events_daily_spectrum_1h", _q_spectrum, _spectrum_sql())

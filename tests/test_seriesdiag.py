@@ -116,3 +116,29 @@ def test_holt_winters_learns_planted_seasonality(ray_session):
     first = out.iloc[0]
     assert first["level"] == first["y"]
     assert first["trend"] == 0.0 and first["seasonal"] == 0.0
+
+
+def test_daily_spectrum_planted_cycle(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.seriesdiag import (
+        daily_spectrum,
+    )
+
+    n = 24 * 8
+    # pure 24h cosine with amplitude 3 around level 10
+    means = 10.0 + 3.0 * np.cos(2 * np.pi * np.arange(n) / 24)
+    flat = np.full(n, 10.0)
+    df = pd.DataFrame({
+        "series_key": ["cyc"] * n + ["flat"] * n,
+        "tier": ["1h"] * (2 * n),
+        "window_start": pd.to_datetime(
+            np.tile(np.arange(n, dtype=np.int64), 2) * 3_600_000_000_000),
+        "sum": np.concatenate([means, flat]),
+        "count": np.ones(2 * n, dtype=np.int64),
+    })
+    out = daily_spectrum(ray.data.from_pandas(df), tier="1h") \
+        .to_pandas().set_index("series_key")
+    assert out.loc["cyc", "daily_amplitude"] == pytest.approx(3.0, abs=1e-3)
+    assert out.loc["flat", "daily_amplitude"] < 1e-6
+    assert out.loc["cyc", "mean_level"] == pytest.approx(10.0, abs=1e-6)
