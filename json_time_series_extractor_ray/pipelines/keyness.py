@@ -337,3 +337,165 @@ register(
     lambda sf: zipf_slope(_read_documents(sf, ["text", "source"])),
     _zipf_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta: stylometric distance between every source pair
+# ---------------------------------------------------------------------------
+
+DELTA_TOP_N = 30
+
+#: The pairwise stage holds #sources x top_n z-scores in one task.
+MAX_DELTA_SOURCES = 10_000
+
+
+def burrows_delta(docs_ds, *, top_n: int = DELTA_TOP_N):
+    """Burrows' Delta between all source pairs: for the corpus' ``top_n``
+    words overall, z-score each source's RELATIVE frequency across
+    sources, then ``delta(a, b) = mean |z_a - z_b|`` — the standard
+    authorship-attribution distance (Burrows 2002).
+
+    Exactness: relative frequencies are rounded ratios of exact ints
+    (round-8 for headroom: they are ~1e-2-scale), the per-word
+    mean/std across sources aggregate a FIXED small vector (one value
+    per source), and the final mean-of-absolute-differences rounds to 6
+    on both engines.
+
+    Scale shape: two count shuffles ((source, word) partials; corpus
+    word totals for the top-n pick are per-block top-n candidates like
+    ``zipf_slope``) — then the z/pair stage runs in ONE task over a
+    (sources x top_n) matrix, loudly bounded by ``MAX_DELTA_SOURCES``
+    (pairwise output is quadratic in sources BY DEFINITION; a wide
+    source space wants blocking on metadata first).
+    """
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        words, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_words = np.diff(offsets)
+        src = np.repeat(batch.column("source")
+                        .to_numpy(zero_copy_only=False), n_words)
+        df = pd.DataFrame({"source": src, "word": words.to_pandas()})
+        g = df.groupby(["source", "word"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["source", "word"]].copy()
+        out["cnt"] = np.int64(df["cnt"].sum())
+        return out
+
+    counts = (
+        docs_ds.map_batches(_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["source", "word"]).map_groups(_merge,
+                                                batch_format="pandas")
+    ).materialize()  # (source, word) table: reused for top-n AND the z stage
+
+    def _word_totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["cnt"].sum().rename("tot") \
+            .reset_index()
+        return g.sort_values(["tot", "word"],
+                             ascending=[False, True]).head(top_n)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__one")
+        # exact global top-n words (ties: word asc)
+        totals = df.groupby("word", sort=False)["cnt"].sum() \
+            .rename("tot").reset_index()
+        top = totals.sort_values(["tot", "word"],
+                                 ascending=[False, True]).head(top_n)
+        words = top["word"].tolist()
+        sources = sorted(df["source"].unique())
+        if len(sources) > MAX_DELTA_SOURCES:
+            raise ValueError(
+                f"burrows_delta saw {len(sources)} sources "
+                f"(> MAX_DELTA_SOURCES={MAX_DELTA_SOURCES}); pairwise "
+                "output is quadratic in sources — block on metadata "
+                "first")
+        src_tot = df.groupby("source", sort=False)["cnt"].sum()
+        mat = df.pivot_table(index="source", columns="word",
+                             values="cnt", aggfunc="sum", fill_value=0) \
+            .reindex(index=sources, columns=words, fill_value=0)
+        rel = round_half_away(
+            mat.to_numpy(np.float64)
+            / src_tot.reindex(sources).to_numpy(np.int64)[:, None], 8)
+        ns = len(sources)
+        mu = rel.sum(axis=0) / ns
+        sd = np.sqrt(((rel - mu) ** 2).sum(axis=0) / (ns - 1))
+        ok = sd > 0
+        z = np.zeros_like(rel)
+        z[:, ok] = (rel[:, ok] - mu[ok]) / sd[ok]
+        out_a, out_b, out_d = [], [], []
+        for i in range(ns):
+            for j in range(i + 1, ns):
+                out_a.append(sources[i])
+                out_b.append(sources[j])
+                out_d.append(np.abs(z[i] - z[j]).sum() / len(words))
+        return pd.DataFrame({
+            "source_a": pd.Series(out_a, dtype=object),
+            "source_b": pd.Series(out_b, dtype=object),
+            "delta": round_half_away(np.asarray(out_d), 6),
+        })
+
+    withk = counts.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(_pairs,
+                                             batch_format="pandas")
+
+
+def _delta_sql() -> str:
+    from .dedup import _WS
+
+    return rf"""
+    WITH w AS (
+        SELECT source,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               )) AS word
+        FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+    st AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY 1),
+    topw AS (
+        SELECT word FROM (
+            SELECT word, sum(cnt) AS wt FROM c GROUP BY 1
+        ) ORDER BY wt DESC, word LIMIT {DELTA_TOP_N}
+    ),
+    grid AS (SELECT s.source, t.word FROM st s CROSS JOIN topw t),
+    rel AS (
+        SELECT g.source, g.word,
+               round(COALESCE(c.cnt, 0) / CAST(st.tot AS DOUBLE), 8) AS r
+        FROM grid g
+        LEFT JOIN c ON c.source = g.source AND c.word = g.word
+        JOIN st ON st.source = g.source
+    ),
+    stats AS (
+        SELECT word, sum(r) / count(*) AS mu, count(*) AS ns
+        FROM rel GROUP BY 1
+    ),
+    var_ AS (
+        SELECT rel.word,
+               sum((r - mu) * (r - mu)) / (ns - 1) AS v
+        FROM rel JOIN stats USING (word)
+        GROUP BY rel.word, ns
+    ),
+    z AS (
+        SELECT rel.source, rel.word,
+               CASE WHEN v > 0 THEN (r - mu) / sqrt(v)
+                    ELSE 0.0 END AS z
+        FROM rel JOIN stats USING (word) JOIN var_ USING (word)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(sum(abs(a.z - b.z)) / count(*), 6) AS delta
+    FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+register(
+    "source_burrows_delta",
+    lambda sf: burrows_delta(_read_documents(sf, ["text", "source"])),
+    _delta_sql(),
+)

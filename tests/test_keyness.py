@@ -68,3 +68,27 @@ def test_single_source_raises(ray_session):
         "source": ["only"], "text": ["x"]}))
     with pytest.raises(ValueError, match="two sources"):
         source_keyness(ds)
+
+
+def test_burrows_delta_symmetric_styles(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.keyness import (
+        burrows_delta,
+    )
+
+    # A and B share style; C over-uses 'zzz' heavily
+    rows = []
+    for i in range(30):
+        rows.append(("A", "the quick fox jumps"))
+        rows.append(("B", "the quick fox runs"))
+        rows.append(("C", "zzz zzz zzz the"))
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    out = burrows_delta(ray.data.from_pandas(df), top_n=6).to_pandas()
+    d = {(r.source_a, r.source_b): r.delta for r in out.itertuples()}
+    assert set(d) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # the odd-one-out is farther from both A and B than they are from
+    # each other
+    assert d[("A", "C")] > d[("A", "B")]
+    assert d[("B", "C")] > d[("A", "B")]
+    assert all(v >= 0 for v in d.values())
