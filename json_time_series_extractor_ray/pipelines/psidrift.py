@@ -246,3 +246,143 @@ def _psi_sql() -> str:
 
 
 register("events_psi_drift", _q_psi, _psi_sql())
+
+
+def wasserstein_drift(samples_ds, *, round_digits: int = 6):
+    """Wasserstein-1 (earth mover's) distance between each series' first
+    and second time-half value distributions — PSI's exact companion
+    (no buckets, no smoothing):
+
+        W1 = integral |F_a(x) - F_b(x)| dx
+
+    computed EXACTLY over the merged distinct-value support: both CDFs
+    are step functions, so the integral is a finite sum of
+    ``|F_a - F_b| * (x_{i+1} - x_i)`` terms.  CDF values are exact
+    int/int ratios, both engines sum the same terms, and the result
+    rounds to 6.
+
+    Scale shape: identical to ``psi_drift`` — broadcast midpoints, ONE
+    distinct-value-partial shuffle, vectorized per-series task under the
+    same ``MAX_DISTINCT_VALUES`` guard.
+    """
+    mids = _series_midpoints(samples_ds)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value_num").is_valid())
+        sk = t.column("series_key").to_pandas()
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mid = sk.map(mids).to_numpy(dtype=np.int64)
+        df = pd.DataFrame({
+            "series_key": sk,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+            "half": (ts > mid).astype(np.int8),
+            "cnt": np.ones(t.num_rows, dtype=np.int64),
+        })
+        g = df.groupby(["series_key", "v", "half"], sort=False)["cnt"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _w1(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "series_key": pd.Series([], dtype=object),
+            "n_first": pd.Series([], dtype="int64"),
+            "n_second": pd.Series([], dtype="int64"),
+            "w1": pd.Series([], dtype="float64"),
+        })
+        g = df.groupby(["v", "half"], sort=True)["cnt"].sum().reset_index()
+        if g["v"].nunique() > MAX_DISTINCT_VALUES:
+            raise ValueError(
+                f"series {df['series_key'].iloc[0]!r} has "
+                f"{g['v'].nunique()} distinct values (> "
+                f"MAX_DISTINCT_VALUES={MAX_DISTINCT_VALUES}); use "
+                "pre-binned histograms for continuous ultra-high-"
+                "cardinality series"
+            )
+        wide = g.pivot_table(index="v", columns="half", values="cnt",
+                             aggfunc="sum", fill_value=0) \
+            .reindex(columns=[0, 1], fill_value=0).sort_index()
+        ca = wide[0].to_numpy(np.int64).cumsum()
+        cb = wide[1].to_numpy(np.int64).cumsum()
+        n0, n1 = int(ca[-1]), int(cb[-1])
+        if n0 < 1 or n1 < 1:
+            return empty
+        x = wide.index.to_numpy(np.float64)
+        if len(x) < 2:
+            w1 = 0.0
+        else:
+            fa = ca[:-1] / n0
+            fb = cb[:-1] / n1
+            w1 = float(np.sum(np.abs(fa - fb) * (x[1:] - x[:-1])))
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_first": pd.Series([n0], dtype="int64"),
+            "n_second": pd.Series([n1], dtype="int64"),
+            "w1": round_half_away(np.array([w1]), round_digits),
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key").map_groups(_w1, batch_format="pandas")
+    )
+
+
+def _q_w1(sf_dir: str):
+    from .diffstats import _numeric_samples
+
+    return wasserstein_drift(_numeric_samples(sf_dir))
+
+
+def _w1_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH v AS (
+        SELECT series_key, ts_ns, value_num AS x
+        FROM ({EVENTS_NUMERIC_SQL})
+    ),
+    mid AS (
+        SELECT series_key, (min(ts_ns) + max(ts_ns)) // 2 AS m
+        FROM v GROUP BY 1
+    ),
+    h AS (
+        SELECT v.series_key, x,
+               CASE WHEN ts_ns > m THEN 1 ELSE 0 END AS half
+        FROM v JOIN mid USING (series_key)
+    ),
+    c AS (
+        SELECT series_key, x,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+        FROM h GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT series_key, CAST(sum(a) AS BIGINT) AS n_first,
+               CAST(sum(b) AS BIGINT) AS n_second
+        FROM c GROUP BY 1
+    ),
+    cdf AS (
+        SELECT series_key, x,
+               sum(a) OVER w AS ca, sum(b) OVER w AS cb,
+               lead(x) OVER (PARTITION BY series_key ORDER BY x) AS nx
+        FROM c
+        WINDOW w AS (PARTITION BY series_key ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT cdf.series_key,
+               abs(ca / CAST(n_first AS DOUBLE)
+                   - cb / CAST(n_second AS DOUBLE)) * (nx - x) AS t
+        FROM cdf JOIN sizes USING (series_key)
+        WHERE nx IS NOT NULL
+    )
+    SELECT s.series_key, s.n_first, s.n_second,
+           round(COALESCE(sum(t.t), 0.0), 6) AS w1
+    FROM sizes s LEFT JOIN terms t USING (series_key)
+    WHERE s.n_first >= 1 AND s.n_second >= 1
+    GROUP BY 1, 2, 3
+    """
+
+
+register("events_wasserstein_drift", _q_w1, _w1_sql())

@@ -76,3 +76,23 @@ def test_psi_is_asymmetric_but_finite_on_empty_buckets(ray_session):
     out = psi_drift(ray.data.from_pandas(df)).to_pandas()
     assert np.isfinite(out["psi"].iloc[0])
     assert out["psi"].iloc[0] > 1.0
+
+
+def test_wasserstein_planted_shift(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.psidrift import (
+        wasserstein_drift,
+    )
+
+    # identical halves -> W1 = 0; constant +2 shift -> W1 = 2 exactly
+    vals = np.linspace(0, 10, 50)
+    same = _samples(["same"] * 100, list(range(100)),
+                    np.concatenate([vals, vals]))
+    shifted = _samples(["shift"] * 100, list(range(100)),
+                       np.concatenate([vals, vals + 2.0]))
+    df = pd.concat([same, shifted], ignore_index=True)
+    out = wasserstein_drift(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("series_key")
+    assert out.loc["same", "w1"] == 0.0
+    assert out.loc["shift", "w1"] == pytest.approx(2.0, abs=1e-6)
