@@ -499,3 +499,122 @@ register(
     lambda sf: burrows_delta(_read_documents(sf, ["text", "source"])),
     _delta_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus conditional entropy H(next word | word) + perplexity
+# ---------------------------------------------------------------------------
+
+def word_conditional_entropy(docs_ds):
+    """Corpus-level conditional entropy of the next word given the
+    current word (within-document adjacency):
+
+        H(Y|X) = -sum_{x,y} (c_xy / N) * ln(c_xy / c_x)
+
+    plus ``perplexity = exp(H)`` — the classic "how predictable is the
+    corpus under a bigram model" number (nats).
+
+    Scale shape: per-block bigram count partials -> ONE (w1, w2)
+    shuffle; ``c_x`` needs no join — a second groupby on ``w1`` hands
+    each task all of one predecessor's bigrams, which is exactly where
+    the per-group entropy terms are computable; N broadcasts as one
+    scalar.  Entropy terms are ratios of exact ints; the sum rounds
+    to 6 (ULP summation noise ~1e-13 against O(1) entropy).
+    """
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        words, offsets, _ = _words_and_offsets(batch.column("text"))
+        w = words.to_pandas().to_numpy(dtype=object)
+        n_words = np.diff(offsets)
+        # adjacency WITHIN a document: drop the last word of each doc
+        keep = np.ones(len(w), dtype=bool)
+        ends = offsets[1:][n_words > 0] - 1
+        keep[ends] = False
+        w1 = w[keep]
+        nxt = np.ones(len(w), dtype=bool)
+        starts = offsets[:-1][n_words > 0]
+        nxt[starts] = False
+        w2 = w[nxt]
+        df = pd.DataFrame({"w1": w1, "w2": w2})
+        g = df.groupby(["w1", "w2"], sort=False).size().rename("cnt") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["w1", "w2"]].copy()
+        out["cnt"] = np.int64(df["cnt"].sum())
+        return out
+
+    bigrams = (
+        docs_ds.map_batches(_bigrams, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["w1", "w2"]).map_groups(_merge, batch_format="pandas")
+    ).materialize()  # bigram-vocab-sized; reused for N and the terms
+    n_total = int(bigrams.sum("cnt"))
+
+    def _terms(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        cx = int(c.sum())
+        contrib = float(np.sum(-(c / n_total) * np.log(c / cx)))
+        return pd.DataFrame({
+            "contrib": pd.Series([contrib], dtype="float64"),
+            "n_x": pd.Series([1], dtype="int64"),
+        })
+
+    partials = bigrams.groupby("w1").map_groups(_terms,
+                                                batch_format="pandas")
+    sums = partials.sum(["contrib", "n_x"])
+    h = float(sums["sum(contrib)"] or 0.0)
+    h_r = float(round_half_away(np.float64(h), 6))
+    return pd.DataFrame({
+        "n_bigrams": pd.Series([n_total], dtype="int64"),
+        "vocab_x": pd.Series([int(sums["sum(n_x)"] or 0)], dtype="int64"),
+        "cond_entropy": [h_r],
+        "perplexity": [float(round_half_away(np.float64(np.exp(h_r)), 6))],
+    })
+
+
+def _cond_entropy_sql() -> str:
+    from .dedup import _WS
+
+    return rf"""
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               ) AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(words) AS word,
+               generate_subscripts(words, 1) AS i
+        FROM w
+    ),
+    bg AS (
+        SELECT word AS w1, lead(word) OVER win AS w2
+        FROM pos
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(word) OVER win IS NOT NULL
+    ),
+    c AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    cx AS (SELECT w1, sum(cnt) AS cxt FROM c GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS n FROM c),
+    h AS (
+        SELECT round(-sum((cnt / CAST(n AS DOUBLE))
+                          * ln(cnt / CAST(cxt AS DOUBLE))), 6) AS hh,
+               CAST(max(n) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT c.w1) AS BIGINT) AS vocab_x
+        FROM c JOIN cx USING (w1), tot
+    )
+    SELECT n_bigrams, vocab_x, hh AS cond_entropy,
+           round(exp(hh), 6) AS perplexity
+    FROM h
+    """
+
+
+register(
+    "corpus_word_cond_entropy",
+    lambda sf: word_conditional_entropy(
+        _read_documents(sf, ["doc_id", "text"])),
+    _cond_entropy_sql(),
+)
