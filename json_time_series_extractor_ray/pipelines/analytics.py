@@ -1642,3 +1642,117 @@ _register_drift(
     FROM c
     """,
 )
+
+
+def _q_user_balance_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation between a user's event count and their
+    customer account balance — the cross-TABLE alignment shape (events
+    keyed by user_id, customer by c_custkey).
+
+    Scale shape: events collapse to per-user counts via per-block
+    ``value_counts`` partials + ONE small shuffle over distinct users;
+    the (small) per-user table broadcast-joins the customer balance
+    (loud ``MAX_BROADCAST_DIM_ROWS`` via ``relational._dim_map``); the
+    correlation folds per-block moment partials.  Moment sums round to
+    6 on both engines, then one identical IEEE expression.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ._util import round_half_away
+    from .enrich import broadcast_join
+    from .relational import _dim_map
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("user_id"))
+        return pa.table({
+            "user_id": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].iloc[:1],
+            "cnt": pd.Series([int(df["cnt"].sum())], dtype="int64"),
+        })
+
+    per_user = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id"])
+        .map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id").map_groups(_merge, batch_format="pandas")
+    )
+    bal = _dim_map(f"{sf_dir}/customer.parquet", "c_custkey", "c_acctbal",
+                   None)
+    joined = broadcast_join(per_user, bal, key="user_id",
+                            value_name="acctbal",
+                            value_type=pa.float64())
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = batch.column("acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sy": pa.array([float(y.sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            "syy": pa.array([float((y * y).sum())], pa.float64()),
+        })
+
+    m = joined.map_batches(_moments, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sum(["n", "sx", "sy", "sxx", "sxy", "syy"])
+    n = int(m["sum(n)"] or 0)
+    if n < 2:
+        return pd.DataFrame({
+            "n_users": pd.Series([n], dtype="int64"),
+            "corr": [np.nan],
+        })
+    sx = round_half_away(np.float64(m["sum(sx)"]), 6)
+    sy = round_half_away(np.float64(m["sum(sy)"]), 6)
+    sxx = round_half_away(np.float64(m["sum(sxx)"]), 6)
+    sxy = round_half_away(np.float64(m["sum(sxy)"]), 6)
+    syy = round_half_away(np.float64(m["sum(syy)"]), 6)
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = ((n * sxy - sx * sy) / np.sqrt(denom) if denom > 0
+            else np.nan)
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype="int64"),
+        "corr": [float(round_half_away(np.float64(corr), 6))],
+    })
+
+
+from .registry import register as _register_xcorr  # noqa: E402
+
+_register_xcorr(
+    "user_activity_balance_corr",
+    _q_user_balance_corr,
+    """
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    j AS (
+        SELECT x, c_acctbal AS y
+        FROM u JOIN customer ON user_id = c_custkey
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+               round(sum(x * x), 6) AS sxx,
+               round(sum(x * y), 6) AS sxy,
+               round(sum(y * y), 6) AS syy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS corr
+    FROM m
+    WHERE n >= 2
+    """,
+)
