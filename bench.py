@@ -308,6 +308,16 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("part_name_entity_clusters", sf_dir)),
             ("customer_k_anonymity",
              lambda: bench_query("customer_k_anonymity", sf_dir)),
+            ("events_wasserstein_drift",
+             lambda: bench_query("events_wasserstein_drift", sf_dir)),
+            ("corpus_word_cond_entropy",
+             lambda: bench_query("corpus_word_cond_entropy", sf_dir)),
+            ("source_burrows_delta",
+             lambda: bench_query("source_burrows_delta", sf_dir)),
+            ("media_frame_sample_real",
+             lambda: bench_query("media_frame_sample_real", sf_dir)),
+            ("events_daily_spectrum_1h",
+             lambda: bench_query("events_daily_spectrum_1h", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

@@ -614,17 +614,26 @@ class TestMultimodalStages:
         assert out["frame_index"].tolist() == [0, 3, 6, 9]
         assert (out["frame"].apply(len) == 100).all()
 
-    def test_video_frame_sampling_still_stubbed(self):
-        """Frame sampling needs a video codec (none decodable here):
-        real mode raises; images/audio now have REAL paths instead."""
+    def test_video_frame_sampling_compressed_still_stubbed(self):
+        """Real frame sampling decodes the MJBM container; COMPRESSED
+        video (no codec libs here) still raises — at call time, per
+        payload, exactly like DecodeStage's compressed-image path."""
+        import pyarrow as pa
         import pytest
 
         from json_time_series_extractor_ray.pipelines.multimodal import (
             FrameSampleStage,
         )
 
-        with pytest.raises(NotImplementedError):
-            FrameSampleStage(4)
+        stage = FrameSampleStage(4)  # constructs fine: MJBM is real
+        batch = pa.table({
+            "media_id": pa.array(["x"], pa.string()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([b"\x00\x00\x00\x18ftypmp42 fake"],
+                                pa.large_binary()),
+        })
+        with pytest.raises(NotImplementedError, match="MJBM"):
+            stage(batch)
 
     def test_resize_real_rejects_compressed(self):
         import pytest
