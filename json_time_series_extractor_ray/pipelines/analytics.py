@@ -1756,3 +1756,165 @@ _register_xcorr(
     WHERE n >= 2
     """,
 )
+
+
+SPEARMAN_M1 = ("1996-01-01", "1996-02-01")
+SPEARMAN_M2 = ("1996-02-01", "1996-03-01")
+
+#: One task ranks one month's part-revenue table (dimension-bounded).
+MAX_RANK_ROWS = 50_000_000
+
+
+def _q_part_rank_stability(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation of per-part revenue between two
+    adjacent months — "do the same parts sell well month over month".
+
+    Exactness: monthly revenues round to cents (the repo's revenue
+    rule) so both engines rank IDENTICAL doubles; average-of-ties ranks
+    are half-integers (exact); the final Pearson-on-ranks folds rounded
+    moment sums through one identical IEEE expression.
+
+    Scale shape: per-block (part, month) revenue partials -> ONE
+    part-keyed shuffle; each month's ranking runs in one
+    dimension-bounded task (loud ``MAX_RANK_ROWS``; the remedy for a
+    fact-scale key is the distributed prefix-rank of
+    ``customer_spend_gini``); only parts present in BOTH months enter
+    the correlation.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from ._util import round_half_away
+
+    lo = _dt.datetime.fromisoformat(SPEARMAN_M1[0])
+    hi = _dt.datetime.fromisoformat(SPEARMAN_M2[1])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+    # numpy datetime64 arithmetic: timezone-free (datetime.timestamp()
+    # would silently apply the host zone to the naive boundary)
+    split_ns = int(np.datetime64(SPEARMAN_M2[0]).astype("datetime64[ns]")
+                   .astype(np.int64))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.timestamp("ns")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rev = (batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+               * (1.0 - batch.column("l_discount")
+                  .to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({
+            "pk": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            "mo": (ts >= split_ns).astype(np.int8),
+            "rev": rev,
+        })
+        g = df.groupby(["pk", "mo"], sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _rank_month(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > MAX_RANK_ROWS:
+            raise ValueError(
+                f"rank task holds {len(df)} rows (> MAX_RANK_ROWS="
+                f"{MAX_RANK_ROWS}); use a distributed prefix-rank (see "
+                "customer_spend_gini) for fact-scale keys")
+        g = df.groupby("pk", sort=False)["rev"].sum()
+        rev = round_half_away(g.to_numpy(), 2)
+        s = pd.Series(rev)
+        # average rank with ties, over the ROUNDED revenue
+        rank = s.rank(method="average").to_numpy()
+        return pd.DataFrame({
+            "pk": g.index.to_numpy(np.int64),
+            "mo": np.repeat(df["mo"].iloc[0], len(g)).astype(np.int8),
+            "rank": rank,
+        })
+
+    ranked = (
+        li.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("mo").map_groups(_rank_month, batch_format="pandas")
+    )
+
+    def _pair(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index="pk", columns="mo", values="rank",
+                              aggfunc="first").dropna()
+        x = wide[0].to_numpy(np.float64)
+        y = wide[1].to_numpy(np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame({
+                "n_parts": pd.Series([n], dtype="int64"),
+                "spearman_rho": [np.nan],
+            })
+        sx = round_half_away(np.float64(x.sum()), 6)
+        sy = round_half_away(np.float64(y.sum()), 6)
+        sxx = round_half_away(np.float64((x * x).sum()), 6)
+        sxy = round_half_away(np.float64((x * y).sum()), 6)
+        syy = round_half_away(np.float64((y * y).sum()), 6)
+        denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        rho = ((n * sxy - sx * sy) / np.sqrt(denom) if denom > 0
+               else np.nan)
+        return pd.DataFrame({
+            "n_parts": pd.Series([n], dtype="int64"),
+            "spearman_rho": [float(round_half_away(np.float64(rho), 6))],
+        })
+
+    withk = ranked.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = withk.groupby("__one").map_groups(
+        lambda df: _pair(df.drop(columns="__one")),
+        batch_format="pandas")
+    return out.to_pandas()
+
+
+from .registry import register as _register_spearman  # noqa: E402
+
+_register_spearman(
+    "parts_rank_stability",
+    _q_part_rank_stability,
+    f"""
+    WITH m AS (
+        SELECT l_partkey AS pk,
+               CASE WHEN l_shipdate >= TIMESTAMP '{SPEARMAN_M2[0]} 00:00:00'
+                    THEN 1 ELSE 0 END AS mo,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{SPEARMAN_M1[0]} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{SPEARMAN_M2[1]} 00:00:00'
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT pk, mo,
+               (rank() OVER (PARTITION BY mo ORDER BY rev)
+                + (count(*) OVER (PARTITION BY mo, rev) - 1) / 2.0)
+                   AS rnk
+        FROM m
+    ),
+    j AS (
+        SELECT a.rnk AS x, b.rnk AS y
+        FROM r a JOIN r b ON a.pk = b.pk AND a.mo = 0 AND b.mo = 1
+    ),
+    mm AS (
+        SELECT count(*) AS n,
+               round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+               round(sum(x * x), 6) AS sxx,
+               round(sum(x * y), 6) AS sxy,
+               round(sum(y * y), 6) AS syy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS spearman_rho
+    FROM mm
+    WHERE n >= 2
+    """,
+)
