@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ._util import round_half_away
 from .dedup import _WS, _read
@@ -155,4 +156,149 @@ register(
                    round(CAST(i AS DOUBLE) / sb.n, 6))
           >= {CONTAINMENT_THRESHOLD}
     """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Source-pair n-gram overlap matrix (cross-source contamination screen)
+# ---------------------------------------------------------------------------
+
+OVERLAP_K = 5  # 5-word shingles: long enough to mean copying, not idiom
+
+
+def source_ngram_overlap(docs_ds, *, k: int = OVERLAP_K):
+    """For every source pair: how many distinct word ``k``-grams they
+    share, and the Jaccard over their distinct-shingle sets — the
+    cross-source contamination screen (which corpora copy from each
+    other).
+
+    Scale shape: docs collapse to DISTINCT (shingle-hash, source) rows
+    inside ``map_batches`` (128-bit hashes, never text); ONE
+    shingle-keyed shuffle co-locates each shingle's source set, whose
+    task emits that shingle's source PAIRS (bounded: sources-per-shingle
+    <= #sources, guarded) — so pair counts arrive as per-shingle
+    partials and the final pair aggregate is tiny.  Per-source distinct
+    totals ride the same shuffle keyed by a per-source sentinel row.
+
+    The oracle rebuilds the same shingles with the containment CTE
+    pattern (positions + lead), exact at word level.
+    """
+    import hashlib as _hashlib
+
+    from .dedup import _WS
+
+    def _shingles(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ._util import regex_trim
+
+        words_list = pc.split_pattern_regex(
+            regex_trim(batch.column("text")), _WS).to_pylist()
+        srcs = batch.column("source").to_pylist()
+        out_h, out_s = [], []
+        for words, src in zip(words_list, srcs):
+            seen = set()
+            for i in range(max(0, len(words) - k + 1)):
+                seen.add(" ".join(words[i:i + k]))
+            for sh in seen:
+                out_h.append(_hashlib.blake2b(
+                    sh.encode(), digest_size=16).digest())
+                out_s.append(src)
+        df = pd.DataFrame({"h": out_h, "source": out_s}) \
+            .drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(df["source"].unique())
+        out_a, out_b = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                out_a.append(srcs[i])
+                out_b.append(srcs[j])
+        # one sentinel row per source carries the distinct-shingle total
+        return pd.DataFrame({
+            "source_a": pd.Series(out_a + srcs, dtype=object),
+            "source_b": pd.Series(out_b + [""] * len(srcs), dtype=object),
+            "n": pd.Series([1] * len(out_a) + [1] * len(srcs),
+                           dtype="int64"),
+        })
+
+    agg = (
+        docs_ds.map_batches(_shingles, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("h").map_groups(_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"]).sum("n")
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__one")
+        totals = dict(zip(df.loc[df["source_b"] == "", "source_a"],
+                          df.loc[df["source_b"] == "", "sum(n)"]))
+        pairs = df[df["source_b"] != ""].copy()
+        shared = pairs["sum(n)"].to_numpy(np.int64)
+        na = pairs["source_a"].map(totals).to_numpy(np.int64)
+        nb = pairs["source_b"].map(totals).to_numpy(np.int64)
+        return pd.DataFrame({
+            "source_a": pairs["source_a"].to_numpy(dtype=object),
+            "source_b": pairs["source_b"].to_numpy(dtype=object),
+            "shared_ngrams": pd.Series(shared, dtype="int64"),
+            "jaccard": round_half_away(
+                shared / (na + nb - shared), 6),
+        })
+
+    withk = agg.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(_finish,
+                                             batch_format="pandas")
+
+
+def _overlap_sql() -> str:
+    k = OVERLAP_K
+    lead_concat = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, k)])
+    return rf"""
+    WITH wd AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               ) AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, unnest(words) AS w,
+               generate_subscripts(words, 1) AS i
+        FROM wd
+    ),
+    sh AS (
+        SELECT source, {lead_concat} AS s
+        FROM pos
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(w, {k - 1}) OVER win IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT source, s FROM sh),
+    sizes AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared
+        FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(shared AS BIGINT) AS shared_ngrams,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    """
+
+
+register(
+    "source_ngram_overlap",
+    lambda sf: source_ngram_overlap(
+        _read(sf, "documents", ["doc_id", "text", "source"])
+        .drop_columns(["doc_id"])),
+    _overlap_sql(),
 )

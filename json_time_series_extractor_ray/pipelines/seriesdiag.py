@@ -335,3 +335,89 @@ def _spectrum_sql() -> str:
 
 
 register("events_daily_spectrum_1h", _q_spectrum, _spectrum_sql())
+
+
+CANDIDATE_PERIODS = (6, 12, 24, 168)  # hours: quarter/half/day/week
+
+
+def dominant_period(rollup_ds, *, tier: str = "1h",
+                    periods=CANDIDATE_PERIODS):
+    """Which candidate cycle dominates each series: the single-bin DFT
+    amplitude (``daily_spectrum``'s statistic) evaluated at several
+    periods; the report keeps the argmax (ties -> SHORTEST period on the
+    rounded amplitudes, so both engines pick identical rows)."""
+
+    def _dom(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("window_ns", ignore_index=True)
+        m = df["mean"].to_numpy()
+        n = len(m)
+        t = np.arange(n, dtype=np.float64)
+        best_p, best_a = None, -1.0
+        for p in sorted(periods):
+            w = 2 * np.pi * t / p
+            c = float(np.sum(m * np.cos(w)))
+            s = float(np.sum(m * np.sin(w)))
+            amp = float(round_half_away(
+                np.float64(2.0 * np.sqrt(c * c + s * s) / n), 6))
+            if amp > best_a:
+                best_p, best_a = p, amp
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_windows": pd.Series([n], dtype="int64"),
+            "dominant_period_h": pd.Series([best_p], dtype="int64"),
+            "amplitude": pd.Series([best_a], dtype="float64"),
+        })
+
+    return _tier_means(rollup_ds, tier).groupby("series_key").map_groups(
+        _dom, batch_format="pandas")
+
+
+def _q_dominant_period(sf_dir: str):
+    from .timeseries import events_corpus_dataset, extract_and_rollup
+
+    corpus = events_corpus_dataset(sf_dir)
+    return dominant_period(extract_and_rollup(corpus, tiers=("1h",)))
+
+
+def _dominant_period_sql() -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=3_600_000_000_000)
+    plist = ", ".join(f"({p})" for p in sorted(CANDIDATE_PERIODS))
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS mean
+        FROM rollup_
+    ),
+    r AS (
+        SELECT series_key, mean,
+               CAST(row_number() OVER (PARTITION BY series_key
+                                       ORDER BY window_ns) - 1
+                    AS DOUBLE) AS t
+        FROM m
+    ),
+    agg AS (
+        SELECT series_key, p.per,
+               count(*) AS n,
+               sum(mean * cos(2 * pi() * t / p.per)) AS c,
+               sum(mean * sin(2 * pi() * t / p.per)) AS s
+        FROM r CROSS JOIN (VALUES {plist}) p(per)
+        GROUP BY 1, 2
+    ),
+    amp AS (
+        SELECT series_key, per, n,
+               round(2.0 * sqrt(c * c + s * s) / n, 6) AS amplitude
+        FROM agg
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows,
+           CAST(per AS BIGINT) AS dominant_period_h, amplitude
+    FROM amp
+    QUALIFY row_number() OVER (PARTITION BY series_key
+                               ORDER BY amplitude DESC, per ASC) = 1
+    """
+
+
+register("events_dominant_period_1h", _q_dominant_period,
+         _dominant_period_sql())

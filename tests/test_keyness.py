@@ -92,3 +92,23 @@ def test_burrows_delta_symmetric_styles(ray_session):
     assert d[("A", "C")] > d[("A", "B")]
     assert d[("B", "C")] > d[("A", "B")]
     assert all(v >= 0 for v in d.values())
+
+
+def test_source_ngram_overlap_planted(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.containment import (
+        source_ngram_overlap,
+    )
+
+    shared = "alpha beta gamma delta epsilon"          # one 5-gram
+    rows = [("A", shared + " zeta"), ("B", shared + " eta"),
+            ("C", "totally different words here now")]
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    out = source_ngram_overlap(ray.data.from_pandas(df)).to_pandas()
+    d = {(r.source_a, r.source_b): (r.shared_ngrams, r.jaccard)
+         for r in out.itertuples()}
+    # A and B share exactly the one leading 5-gram (their tails differ)
+    assert d[("A", "B")][0] == 1
+    assert d[("A", "B")][1] == pytest.approx(1 / 3, abs=1e-6)
+    assert ("A", "C") not in d and ("B", "C") not in d  # zero overlap

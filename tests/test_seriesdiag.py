@@ -142,3 +142,22 @@ def test_daily_spectrum_planted_cycle(ray_session):
     assert out.loc["cyc", "daily_amplitude"] == pytest.approx(3.0, abs=1e-3)
     assert out.loc["flat", "daily_amplitude"] < 1e-6
     assert out.loc["cyc", "mean_level"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_dominant_period_picks_planted_cycle(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.seriesdiag import (
+        dominant_period,
+    )
+
+    n = 24 * 14  # two weeks of hours
+    means = 10.0 + 4.0 * np.cos(2 * np.pi * np.arange(n) / 12)  # 12h cycle
+    df = pd.DataFrame({
+        "series_key": ["s"] * n, "tier": ["1h"] * n,
+        "window_start": pd.to_datetime(
+            np.arange(n, dtype=np.int64) * 3_600_000_000_000),
+        "sum": means, "count": np.ones(n, dtype=np.int64)})
+    out = dominant_period(ray.data.from_pandas(df), tier="1h").to_pandas()
+    assert out["dominant_period_h"].iloc[0] == 12
+    assert out["amplitude"].iloc[0] == pytest.approx(4.0, abs=1e-3)
