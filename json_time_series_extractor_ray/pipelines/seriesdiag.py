@@ -421,3 +421,106 @@ def _dominant_period_sql() -> str:
 
 register("events_dominant_period_1h", _q_dominant_period,
          _dominant_period_sql())
+
+
+HILL_K = 100
+
+
+def hill_tail_index(samples_ds, *, k: int = HILL_K):
+    """Hill estimator of the upper-tail index per series:
+
+        H = (1/(k-1)) * sum_{i<k} ln(x_(i) / x_(k))
+
+    over the k largest POSITIVE values (x_(1) >= ... >= x_(k)); the
+    heavier the tail, the larger H (tail exponent alpha ~= 1/H).
+
+    Exactness: the top-k VALUE MULTISET is deterministic regardless of
+    how either engine breaks ties among equal values, so both sides sum
+    identical ``ln`` ratios; round-6 absorbs log ULP noise.
+
+    Scale shape: NO global sort — every block emits its per-series
+    top-k candidates (the global top-k lives in their union), ONE
+    series groupby merges the bounded candidate sets.
+    """
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value_num").is_valid())
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        df = df[df["v"] > 0]
+        top = (df.sort_values(["series_key", "v"],
+                              ascending=[True, False])
+               .groupby("series_key", sort=False).head(k))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def _hill(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["v"].to_numpy(np.float64))[::-1][:k]
+        if len(v) < k:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "k": pd.Series([], dtype="int64"),
+                "hill": pd.Series([], dtype="float64"),
+                "tail_alpha": pd.Series([], dtype="float64"),
+            })
+        xk = v[-1]
+        h = float(np.sum(np.log(v[:-1] / xk)) / (k - 1))
+        h_r = float(round_half_away(np.float64(h), 6))
+        alpha = (float(round_half_away(np.float64(1.0 / h_r), 6))
+                 if h_r > 0 else np.nan)
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "k": pd.Series([k], dtype="int64"),
+            "hill": pd.Series([h_r], dtype="float64"),
+            "tail_alpha": pd.Series([alpha], dtype="float64"),
+        })
+
+    return (
+        samples_ds.map_batches(_block_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key").map_groups(_hill, batch_format="pandas")
+    )
+
+
+def _q_hill(sf_dir: str):
+    from .diffstats import _numeric_samples
+
+    return hill_tail_index(_numeric_samples(sf_dir))
+
+
+def _hill_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    k = HILL_K
+    return f"""
+    WITH v AS (
+        SELECT series_key, value_num AS x
+        FROM ({EVENTS_NUMERIC_SQL})
+        WHERE value_num > 0
+    ),
+    r AS (
+        SELECT series_key, x,
+               row_number() OVER (PARTITION BY series_key
+                                  ORDER BY x DESC) AS rn
+        FROM v
+    ),
+    kk AS (
+        SELECT series_key, max(CASE WHEN rn = {k} THEN x END) AS xk,
+               count(*) AS n
+        FROM r WHERE rn <= {k} GROUP BY 1
+    ),
+    h AS (
+        SELECT r.series_key,
+               round(sum(ln(r.x / kk.xk)) / ({k} - 1), 6) AS hill
+        FROM r JOIN kk USING (series_key)
+        WHERE r.rn < {k} AND kk.n = {k}
+        GROUP BY 1
+    )
+    SELECT series_key, CAST({k} AS BIGINT) AS k, hill,
+           CASE WHEN hill > 0 THEN round(1.0 / hill, 6) END AS tail_alpha
+    FROM h
+    """
+
+
+register("events_tail_index", _q_hill, _hill_sql())
