@@ -1595,3 +1595,129 @@ register(
     ORDER BY t.trunc_dim, t.query_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette per label (centroid-based cluster quality)
+# ---------------------------------------------------------------------------
+
+def embedding_silhouette(emb_ds):
+    """Simplified silhouette score per label: for each vector,
+    ``a`` = euclidean distance to its OWN label centroid, ``b`` = the
+    minimum distance to any OTHER label's centroid, and
+    ``s = (b - a) / max(a, b)``; the report is the per-label mean of the
+    per-vector scores (rounded per vector, then re-rounded — so both
+    engines aggregate identical 1e-6 multiples).
+
+    Scale shape: centroids come from per-block (label, dim-sum, count)
+    partials folded on the driver (labels x dims is tiny) and broadcast
+    ONCE; the per-vector pass is one matmul against the centroid matrix;
+    ONE label groupby folds the means.
+    """
+    import ray
+
+    def _partial_sums(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        rows = []
+        for lb in np.unique(lab):
+            m = emb[lab == lb]
+            rows.append((int(lb), m.sum(axis=0).tolist(), len(m)))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows],
+                          pa.list_(pa.float64())),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = emb_ds.map_batches(_partial_sums, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    sums: dict = {}
+    counts: dict = {}
+    for r in parts:
+        lb = int(r["label"])
+        v = np.asarray(r["s"], np.float64)
+        sums[lb] = sums.get(lb, 0) + v
+        counts[lb] = counts.get(lb, 0) + int(r["n"])
+    labels = sorted(sums)
+    cent = np.stack([sums[lb] / counts[lb] for lb in labels])
+    cent_ref = ray.put((np.asarray(labels, np.int64), cent))
+
+    def _scores(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(cent_ref)
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        # squared distances to every centroid, then exact sqrt
+        d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d = np.sqrt(d2)
+        own_idx = np.searchsorted(labs, lab)
+        a = d[np.arange(len(emb)), own_idx]
+        d_other = d.copy()
+        d_other[np.arange(len(emb)), own_idx] = np.inf
+        b = d_other.min(axis=1)
+        s = round_half_away((b - a) / np.maximum(a, b), 6)
+        return pa.table({
+            "label": pa.array(lab.astype(np.int64), pa.int64()),
+            "s": pa.array(s, pa.float64()),
+        })
+
+    def _mean(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["s"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "label": pd.Series([int(df["label"].iloc[0])], dtype="int64"),
+            "n_vectors": pd.Series([len(v)], dtype="int64"),
+            "silhouette": round_half_away(
+                np.array([round_half_away(np.float64(v.sum()), 6)
+                          / len(v)]), 6),
+        })
+
+    return (
+        emb_ds.map_batches(_scores, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("label").map_groups(_mean, batch_format="pandas")
+    )
+
+
+def _silhouette_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clab, i, sum(CAST(x AS DOUBLE)) / count(*) AS c
+        FROM e GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.label, cent.clab,
+               sum((CAST(e.x AS DOUBLE) - cent.c)
+                   * (CAST(e.x AS DOUBLE) - cent.c)) AS dd
+        FROM e JOIN cent USING (i)
+        GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN label = clab THEN sqrt(dd) END) AS a,
+               min(CASE WHEN label <> clab THEN sqrt(dd) END) AS b
+        FROM d2 GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT label,
+               round((b - a) / greatest(a, b), 6) AS sv
+        FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(round(sum(sv), 6) / count(*), 6) AS silhouette
+    FROM s GROUP BY 1
+    """
+
+
+register(
+    "embedding_silhouette",
+    lambda sf: embedding_silhouette(_read_embeddings(sf)),
+    _silhouette_sql(),
+)
