@@ -618,3 +618,105 @@ register(
         _read_documents(sf, ["doc_id", "text"])),
     _cond_entropy_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary concentration: corpus share covered by the top-k words
+# ---------------------------------------------------------------------------
+
+VOCAB_KS = (10, 100, 1000)
+
+
+def vocab_topk_share(docs_ds, *, ks=VOCAB_KS):
+    """How head-heavy is the vocabulary: for each k, the fraction of all
+    word occurrences covered by the k most frequent words (ranked by
+    count desc, word asc — fully deterministic).  Exact integer
+    arithmetic until the final rounded share.
+
+    Scale shape: (word) count partials -> ONE vocab shuffle -> per-block
+    top-max(k) candidates -> one tiny task computes every k's share;
+    the total occurrence count folds from the same materialized table.
+    """
+    kmax = max(ks)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        words, _, _ = _words_and_offsets(batch.column("text"))
+        df = pd.DataFrame({"word": words.to_pandas()})
+        g = df.groupby("word", sort=False).size().rename("cnt") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["word"]].copy()
+        out["cnt"] = np.int64(df["cnt"].sum())
+        return out
+
+    counts = (
+        docs_ds.map_batches(_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("word").map_groups(_merge, batch_format="pandas")
+    ).materialize()
+    total = int(counts.sum("cnt"))
+
+    def _block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "word"],
+                              ascending=[False, True]).head(kmax)
+
+    def _shares(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__one").sort_values(
+            ["cnt", "word"], ascending=[False, True], ignore_index=True)
+        c = df["cnt"].to_numpy(np.int64)
+        rows = []
+        for k in sorted(ks):
+            covered = int(c[:k].sum())
+            rows.append((k, covered,
+                         float(round_half_away(
+                             np.float64(covered / total), 6))))
+        return pd.DataFrame({
+            "k": pd.Series([r[0] for r in rows], dtype="int64"),
+            "covered": pd.Series([r[1] for r in rows], dtype="int64"),
+            "share": pd.Series([r[2] for r in rows], dtype="float64"),
+        })
+
+    withk = counts.map_batches(_block_topk, batch_format="pandas") \
+        .map_batches(
+            lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                        pa.int32())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(_shares,
+                                             batch_format="pandas")
+
+
+def _topk_share_sql() -> str:
+    from .dedup import _WS
+
+    ks = ", ".join(f"({k})" for k in sorted(VOCAB_KS))
+    return rf"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               )) AS word
+        FROM documents
+    ),
+    c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+    r AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM c
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM c)
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(COALESCE(sum(r.cnt) FILTER (r.rnk <= k.k), 0) AS BIGINT)
+               AS covered,
+           round(COALESCE(sum(r.cnt) FILTER (r.rnk <= k.k), 0)
+                 / CAST(tot.n AS DOUBLE), 6) AS share
+    FROM (VALUES {ks}) k(k), r, tot
+    GROUP BY k.k, tot.n
+    """
+
+
+register(
+    "corpus_vocab_topk_share",
+    lambda sf: vocab_topk_share(_read_documents(sf, ["doc_id", "text"])
+                                .drop_columns(["doc_id"])),
+    _topk_share_sql(),
+)

@@ -111,3 +111,78 @@ register(
     FROM t
     """,
 )
+
+
+TOKEN_BUDGET = 1_000_000  # planning target (chars as the token proxy)
+
+
+def token_budget_plan(docs_ds, *, budget: int = TOKEN_BUDGET,
+                      alpha: float = MIXTURE_ALPHA):
+    """Mixture planning one level deeper than ``mixture_weights``: given
+    a total token budget, how many tokens each source contributes under
+    the temperature weights, and how many EPOCHS of that source this
+    implies (> 1 = the source up-samples / repeats).  ``n_chars`` is the
+    deterministic token proxy the fixtures carry.
+
+    Same scale shape as ``mixture_weights`` (per-block partials, one
+    tiny normalization task); all ratios divide already-rounded inputs.
+    """
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_chars", "size"),
+            n_tokens=("n_chars", "sum")).reset_index()
+        return g
+
+    def _plan(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=True).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        c = g["n_docs"].to_numpy(np.int64)
+        tok = g["n_tokens"].to_numpy(np.int64)
+        pw = round_half_away(np.power(c.astype(np.float64), alpha), 6)
+        w = round_half_away(pw / pw.sum(), 6)
+        planned = round_half_away(w * budget, 2)
+        return pd.DataFrame({
+            "source": g.index.to_numpy(dtype=object),
+            "n_docs": pd.Series(c, dtype="int64"),
+            "available_tokens": pd.Series(tok, dtype="int64"),
+            "weight": w,
+            "planned_tokens": planned,
+            "epochs": round_half_away(planned / tok, 6),
+        })
+
+    partials = docs_ds.map_batches(_partial, batch_format="pandas")
+    withk = partials.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(
+        lambda df: _plan(df.drop(columns="__one")),
+        batch_format="pandas")
+
+
+register(
+    "source_token_budget",
+    lambda sf: token_budget_plan(
+        _read(sf, "documents", ["source", "n_chars"])),
+    f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY 1
+    ),
+    p AS (
+        SELECT *, round(pow(n_docs, {MIXTURE_ALPHA}), 6) AS pw FROM c
+    ),
+    t AS (
+        SELECT source, n_docs, available_tokens,
+               round(pw / sum(pw) OVER (), 6) AS weight
+        FROM p
+    )
+    SELECT source, n_docs, available_tokens, weight,
+           round(weight * {TOKEN_BUDGET}, 2) AS planned_tokens,
+           round(round(weight * {TOKEN_BUDGET}, 2)
+                 / CAST(available_tokens AS DOUBLE), 6) AS epochs
+    FROM t
+    """,
+)
