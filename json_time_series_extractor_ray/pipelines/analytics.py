@@ -1918,3 +1918,81 @@ _register_spearman(
     WHERE n >= 2
     """,
 )
+
+
+def _q_orders_lognormal(sf_dir: str):
+    """Log-normal fit of order totals per priority: MLE mu/sigma of
+    ``ln(o_totalprice)`` (the standard heavy-tailed-spend model) with the
+    implied median ``exp(mu)``.
+
+    Scale shape: per-block (priority, n, sum, sumsq of ln) moment
+    partials -> ONE tiny groupby merge; the rounded-moments rule makes
+    the sigma expression identical on both engines.
+    """
+    import ray
+
+    from ._util import round_half_away
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority").to_pandas()
+        lx = np.log(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"pri": pr, "lx": lx, "lx2": lx * lx})
+        g = df.groupby("pri", sort=False).agg(
+            n=("lx", "size"), s=("lx", "sum"), ss=("lx2", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        if n < 2:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64"),
+                "mu": pd.Series([], dtype="float64"),
+                "sigma": pd.Series([], dtype="float64"),
+                "median_price": pd.Series([], dtype="float64"),
+            })
+        s = float(round_half_away(np.float64(df["s"].sum()), 6))
+        ss = float(round_half_away(np.float64(df["ss"].sum()), 6))
+        mu = float(round_half_away(np.float64(s / n), 6))
+        var = (ss - s * s / n) / (n - 1)
+        sigma = float(round_half_away(
+            np.float64(np.sqrt(max(var, 0.0))), 6))
+        return pd.DataFrame({
+            "o_orderpriority": df["pri"].iloc[:1],
+            "n_orders": pd.Series([n], dtype="int64"),
+            "mu": pd.Series([mu], dtype="float64"),
+            "sigma": pd.Series([sigma], dtype="float64"),
+            "median_price": round_half_away(np.array([np.exp(mu)]), 2),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"])
+    return ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("pri").map_groups(_fit, batch_format="pandas")
+
+
+from .registry import register as _register_lognorm  # noqa: E402
+
+_register_lognorm(
+    "orders_lognormal_fit",
+    _q_orders_lognormal,
+    """
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(ln(o_totalprice)), 6) AS s,
+               round(sum(ln(o_totalprice) * ln(o_totalprice)), 6) AS ss
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n AS n_orders,
+           round(s / n, 6) AS mu,
+           round(sqrt(greatest((ss - s * s / n) / (n - 1), 0)), 6)
+               AS sigma,
+           round(exp(round(s / n, 6)), 2) AS median_price
+    FROM m WHERE n >= 2
+    """,
+)
