@@ -169,3 +169,144 @@ def _mw_sql() -> str:
 
 
 register("events_weekend_mannwhitney", _q_mannwhitney, _mw_sql())
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: is the series' above/below-median sequence
+# random, or does it trend/cluster?
+# ---------------------------------------------------------------------------
+
+def runs_test(samples_ds):
+    """Per series: the number of RUNS of consecutive above/below-median
+    values in time order versus the count expected under randomness,
+
+        mu_R = 2*n1*n2/(n1+n2) + 1
+        var_R = 2*n1*n2*(2*n1*n2 - n1 - n2)
+                / ((n1+n2)^2 * (n1+n2-1))
+        z = (R - mu_R) / sqrt(var_R)
+
+    (n1/n2 = counts strictly above/below the series median; exact-median
+    ties are EXCLUDED, the standard convention).  Fewer runs than
+    expected (z << 0) means trending/clustering; more means
+    oscillation.
+
+    Exactness: the median comes from the bit-exact weighted
+    ``quantile_cont`` lerp (``psidrift._weighted_quantiles``), runs and
+    counts are exact ints ordered by the same total order
+    ``(ts, doc_id, ordinal)`` both engines use, and z is one identical
+    IEEE expression rounded to 6.
+
+    Scale shape: like the other per-series diagnostics, the one
+    ``groupby(series_key)`` task holds a series' rows — the operator is
+    ORDER-dependent, so its inherent frontier is the per-series row
+    count (bounded by retention); the loud remedy for unbounded series
+    is windowed runs over the rollup tiers.
+    """
+    from .psidrift import _weighted_quantiles
+
+    def _project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value_num").is_valid())
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "ts_ns": t.column("ts").cast(pa.timestamp("ns"))
+            .cast(pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "ordinal": t.column("sample_ordinal").cast(pa.int64()),
+            "v": t.column("value_num"),
+        })
+
+    def _runs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "series_key": pd.Series([], dtype=object),
+            "n_above": pd.Series([], dtype="int64"),
+            "n_below": pd.Series([], dtype="int64"),
+            "n_runs": pd.Series([], dtype="int64"),
+            "z_stat": pd.Series([], dtype="float64"),
+        })
+        df = df.sort_values(["ts_ns", "doc_id", "ordinal"],
+                            ignore_index=True)
+        v = df["v"].to_numpy(np.float64)
+        uv, uc = np.unique(v, return_counts=True)
+        med = _weighted_quantiles(uv, uc.astype(np.int64), [0.5])[0]
+        sign = np.where(v > med, 1, np.where(v < med, -1, 0))
+        sign = sign[sign != 0]
+        n1 = int((sign > 0).sum())
+        n2 = int((sign < 0).sum())
+        if n1 < 1 or n2 < 1:
+            return empty
+        runs = int(1 + (sign[1:] != sign[:-1]).sum())
+        n = n1 + n2
+        mu = 2.0 * n1 * n2 / n + 1
+        var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+               / (n * n * (n - 1.0)))
+        if not var > 0:
+            return empty
+        z = (runs - mu) / np.sqrt(var)
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_above": pd.Series([n1], dtype="int64"),
+            "n_below": pd.Series([n2], dtype="int64"),
+            "n_runs": pd.Series([runs], dtype="int64"),
+            "z_stat": round_half_away(np.array([z]), 6),
+        })
+
+    return (
+        samples_ds.map_batches(_project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key").map_groups(_runs, batch_format="pandas")
+    )
+
+
+def _q_runs(sf_dir: str):
+    from .diffstats import _numeric_samples
+
+    return runs_test(_numeric_samples(sf_dir))
+
+
+def _runs_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH v AS (
+        SELECT series_key, ts_ns, doc_id, ordinal, value_num AS x
+        FROM ({EVENTS_NUMERIC_SQL})
+    ),
+    med AS (
+        SELECT series_key, quantile_cont(x, 0.5) AS m
+        FROM v GROUP BY 1
+    ),
+    s AS (
+        SELECT v.series_key, ts_ns, doc_id, ordinal,
+               CASE WHEN x > m THEN 1 ELSE -1 END AS sgn
+        FROM v JOIN med USING (series_key)
+        WHERE x <> m
+    ),
+    r AS (
+        SELECT series_key, sgn,
+               lag(sgn) OVER (PARTITION BY series_key
+                              ORDER BY ts_ns, doc_id, ordinal) AS prev
+        FROM s
+    ),
+    agg AS (
+        SELECT series_key,
+               sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2,
+               1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                            THEN 1 ELSE 0 END) AS runs
+        FROM r GROUP BY 1
+    )
+    SELECT series_key,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+               AS z_stat
+    FROM agg
+    WHERE n1 >= 1 AND n2 >= 1
+      AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) > 0
+    """
+
+
+register("events_runs_test", _q_runs, _runs_sql())

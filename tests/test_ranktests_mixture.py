@@ -134,3 +134,33 @@ def test_k_anonymity_planted(ray_session):
     assert out["n_unsafe_rows"].iloc[0] == 3
     assert out["min_class_size"].iloc[0] == 1
     assert out["unsafe_row_share"].iloc[0] == pytest.approx(3 / 13, abs=1e-6)
+
+
+def test_runs_test_planted(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.ranktests import runs_test
+
+    def _mk(key, vals):
+        df = pd.DataFrame({
+            "series_key": [key] * len(vals),
+            "ts": pd.to_datetime(np.arange(len(vals), dtype=np.int64),
+                                 unit="s"),
+            "doc_id": [f"d{i:04d}" for i in range(len(vals))],
+            "sample_ordinal": np.zeros(len(vals), dtype=np.int32),
+            "value_num": np.asarray(vals, dtype=np.float64),
+        })
+        df["ts"] = df["ts"].astype("datetime64[ns]")
+        return df
+
+    # perfectly alternating around the median: maximal runs, z >> 0
+    alt = _mk("alt", [1, 9] * 20)
+    # perfectly sorted: exactly 2 runs, z << 0
+    trend = _mk("trend", list(range(40)))
+    out = runs_test(ray.data.from_pandas(pd.concat([alt, trend],
+                                                   ignore_index=True))) \
+        .to_pandas().set_index("series_key")
+    assert out.loc["alt", "n_runs"] == 40
+    assert out.loc["alt", "z_stat"] > 3
+    assert out.loc["trend", "n_runs"] == 2
+    assert out.loc["trend", "z_stat"] < -3
