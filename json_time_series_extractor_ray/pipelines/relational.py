@@ -2228,3 +2228,133 @@ register(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary terciles)
+# ---------------------------------------------------------------------------
+
+def _q_customer_rfm(sf_dir: str):
+    """Classic RFM: per customer, days since last order (R), order count
+    (F), total spend (M); each metric terciled over customers (edges
+    from the bit-exact weighted ``quantile_cont`` lerp —
+    ``psidrift._weighted_quantiles``), customers labeled with the
+    3-digit segment code ``R*100 + F*10 + M`` (bucket 2 = top third),
+    and the report counts customers per segment.
+
+    Scale shape: per-block (custkey, last, n, spend) partials -> ONE
+    custkey shuffle; the tercile edges need each metric's distinct-value
+    counts in one place (customer-dimension bounded, the ranktests
+    guard); the bucket+count pass is vectorized and the output is <= 27
+    rows.
+    """
+    import ray
+
+    from ._util import round_half_away
+    from .psidrift import _weighted_quantiles
+
+    day_ns = 86_400_000_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.timestamp("ns")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "ck": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+            "d": ts // day_ns,
+            "p": batch.column("o_totalprice")
+            .to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("ck", sort=False).agg(
+            last_d=("d", "max"), n=("d", "size"), spend=("p", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ck": df["ck"].iloc[:1],
+            "last_d": pd.Series([int(df["last_d"].max())], dtype="int64"),
+            "n": pd.Series([int(df["n"].sum())], dtype="int64"),
+            "spend": pd.Series([float(df["spend"].sum())],
+                               dtype="float64"),
+        })
+
+    per_cust = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate",
+                                       "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("ck").map_groups(_merge, batch_format="pandas")
+    )
+
+    def _segments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__one")
+        max_d = int(df["last_d"].max())
+        r = (max_d - df["last_d"].to_numpy(np.int64)).astype(np.float64)
+        f = df["n"].to_numpy(np.int64).astype(np.float64)
+        m = round_half_away(df["spend"].to_numpy(np.float64), 2)
+        qs = [1 / 3, 2 / 3]
+        seg = np.zeros(len(df), dtype=np.int64)
+        for w, metric in ((100, r), (10, f), (1, m)):
+            uv, uc = np.unique(metric, return_counts=True)
+            edges = _weighted_quantiles(uv, uc.astype(np.int64), qs)
+            b = ((metric > edges[0]).astype(np.int64)
+                 + (metric > edges[1]).astype(np.int64))
+            seg += w * b
+        out = pd.DataFrame({"segment": seg}).groupby("segment") \
+            .size().rename("n_customers").reset_index()
+        return pd.DataFrame({
+            "segment": out["segment"].astype(np.int64),
+            "n_customers": out["n_customers"].astype(np.int64),
+        })
+
+    withk = per_cust.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(_segments,
+                                             batch_format="pandas")
+
+
+from .registry import register as _register_rfm  # noqa: E402
+
+_register_rfm(
+    "customer_rfm_segments",
+    _q_customer_rfm,
+    """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(max(epoch_ns(o_orderdate) // 86400000000000)
+                    AS BIGINT) AS last_d,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(last_d) AS max_d FROM pc),
+    v AS (
+        SELECT o_custkey,
+               CAST(max_d - last_d AS DOUBLE) AS r,
+               CAST(n AS DOUBLE) AS f,
+               spend AS m
+        FROM pc, mx
+    ),
+    e AS (
+        SELECT quantile_cont(r, [1.0/3, 2.0/3]) AS er,
+               quantile_cont(f, [1.0/3, 2.0/3]) AS ef,
+               quantile_cont(m, [1.0/3, 2.0/3]) AS em
+        FROM v
+    ),
+    s AS (
+        SELECT 100 * ((CASE WHEN r > er[1] THEN 1 ELSE 0 END)
+                      + (CASE WHEN r > er[2] THEN 1 ELSE 0 END))
+               + 10 * ((CASE WHEN f > ef[1] THEN 1 ELSE 0 END)
+                       + (CASE WHEN f > ef[2] THEN 1 ELSE 0 END))
+               + ((CASE WHEN m > em[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN m > em[2] THEN 1 ELSE 0 END)) AS segment
+        FROM v, e
+    )
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM s GROUP BY 1
+    """,
+)
