@@ -310,3 +310,98 @@ def _runs_sql() -> str:
 
 
 register("events_runs_test", _q_runs, _runs_sql())
+
+
+def longest_streak(samples_ds):
+    """Per series: the longest run of consecutive above-median values in
+    time order (the monitoring "how long did it stay hot" number) plus
+    the median used.  Same total order, median, and scale shape as
+    ``runs_test``; the streak length is an exact int (gaps-and-islands
+    in the oracle)."""
+    from .psidrift import _weighted_quantiles
+
+    def _project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value_num").is_valid())
+        return pa.table({
+            "series_key": t.column("series_key"),
+            "ts_ns": t.column("ts").cast(pa.timestamp("ns"))
+            .cast(pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "ordinal": t.column("sample_ordinal").cast(pa.int64()),
+            "v": t.column("value_num"),
+        })
+
+    def _streak(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_ns", "doc_id", "ordinal"],
+                            ignore_index=True)
+        v = df["v"].to_numpy(np.float64)
+        uv, uc = np.unique(v, return_counts=True)
+        med = _weighted_quantiles(uv, uc.astype(np.int64), [0.5])[0]
+        above = v > med
+        best = cur = 0
+        for a in above:  # series-length loop, bounded by retention
+            cur = cur + 1 if a else 0
+            if cur > best:
+                best = cur
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "median_v": round_half_away(np.array([med]), 6),
+            "longest_streak": pd.Series([best], dtype="int64"),
+        })
+
+    return (
+        samples_ds.map_batches(_project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key").map_groups(_streak, batch_format="pandas")
+    )
+
+
+def _q_streak(sf_dir: str):
+    from .diffstats import _numeric_samples
+
+    return longest_streak(_numeric_samples(sf_dir))
+
+
+def _streak_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH v AS (
+        SELECT series_key, ts_ns, doc_id, ordinal, value_num AS x
+        FROM ({EVENTS_NUMERIC_SQL})
+    ),
+    med AS (
+        SELECT series_key, quantile_cont(x, 0.5) AS m
+        FROM v GROUP BY 1
+    ),
+    s AS (
+        SELECT v.series_key,
+               CASE WHEN x > m THEN 1 ELSE 0 END AS ab,
+               row_number() OVER (PARTITION BY v.series_key
+                                  ORDER BY ts_ns, doc_id, ordinal) AS rn,
+               m
+        FROM v JOIN med USING (series_key)
+    ),
+    isl AS (
+        -- gaps-and-islands: rn minus the running count of 'above' rows
+        -- is constant within one above-streak
+        SELECT series_key, ab, m,
+               rn - sum(ab) OVER (PARTITION BY series_key ORDER BY rn
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+        FROM s
+    ),
+    runs AS (
+        SELECT series_key, m, count(*) AS len
+        FROM isl WHERE ab = 1 GROUP BY series_key, m, grp
+    )
+    SELECT v.series_key,
+           round(any_value(med.m), 6) AS median_v,
+           CAST(COALESCE(max(runs.len), 0) AS BIGINT) AS longest_streak
+    FROM (SELECT DISTINCT series_key FROM v) v
+    JOIN med USING (series_key)
+    LEFT JOIN runs USING (series_key)
+    GROUP BY v.series_key
+    """
+
+
+register("events_longest_streak", _q_streak, _streak_sql())
