@@ -1507,3 +1507,153 @@ register(
     FROM c
     """,
 )
+
+
+def kaplan_meier(events_ds, *, member: str = "user_id", ts: str = "ts",
+                 step_a: str = "view", step_b: str = "purchase",
+                 num_shards: int = 64) -> pd.DataFrame:
+    """Kaplan-Meier survival curve for time-to-convert: users enter at
+    their FIRST ``step_a``, the event is the first ``step_b`` at-or-
+    after it (duration in whole days), and non-converters are CENSORED
+    at the corpus horizon (global max event time).  Output: one row per
+    distinct event time with the at-risk count, event count, and the
+    product-limit survival estimate
+
+        S(t) = prod_{s <= t} (1 - d_s / n_s)
+
+    evaluated as ``exp(cumsum(ln(1 - d/n)))`` on BOTH engines (the SQL
+    window form), so the expression trees match; survival rounds to 6.
+
+    Scale shape: ONE member-sharded shuffle computes per-user durations
+    vectorized (the ``ordered_funnel`` merge pattern); durations then
+    collapse to per-DAY (d, total) counts — the KM table is bounded by
+    the horizon in days, never by users — and one tiny task finishes
+    the suffix-sum + product-limit pass.
+    """
+    import pyarrow.compute as pc
+    import ray  # noqa: F401
+
+    from ._util import hash_shards
+
+    day_ns = 86_400_000_000_000
+    t_max = int(pd.Timestamp(events_ds.max(ts)).value)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, pa.scalar(step_a)),
+                      pc.equal(et, pa.scalar(step_b)))
+        t = batch.filter(keep)
+        mem = t.column(member).to_numpy(zero_copy_only=False)
+        return pa.table({
+            member: pa.array(mem),
+            "is_b": pc.equal(t.column("event_type"), pa.scalar(step_b)),
+            "ts_ns": t.column(ts).cast(pa.timestamp("ns")).cast(pa.int64()),
+            "shard": pa.array(
+                hash_shards(pd.Series(mem).astype(str), num_shards),
+                pa.int32()),
+        })
+
+    def _durations(df: pd.DataFrame) -> pd.DataFrame:
+        t0 = (df.loc[~df["is_b"]].groupby(member, sort=False)["ts_ns"]
+              .min().rename("t0"))
+        b = df.loc[df["is_b"], [member, "ts_ns"]].merge(
+            t0.reset_index(), on=member, how="inner")
+        b = b[b["ts_ns"] >= b["t0"]]
+        tp = b.groupby(member, sort=False)["ts_ns"].min().rename("tp")
+        u = t0.reset_index().merge(tp.reset_index(), on=member,
+                                   how="left")
+        ev = u["tp"].notna().to_numpy()
+        end = np.where(ev, u["tp"].to_numpy(np.float64),
+                       float(t_max)).astype(np.int64)
+        t_days = (end - u["t0"].to_numpy(np.int64)) // day_ns
+        g = pd.DataFrame({"t": t_days, "d": ev.astype(np.int64),
+                          "tot": np.ones(len(u), dtype=np.int64)})
+        return g.groupby("t", sort=False)[["d", "tot"]].sum().reset_index()
+
+    counts = (
+        events_ds.map_batches(_project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("shard").map_groups(_durations, batch_format="pandas")
+        .groupby("t").sum(["d", "tot"])
+    ).take_all()  # one row per distinct DAY: horizon-bounded, tiny
+    tbl = pd.DataFrame(counts).rename(
+        columns={"sum(d)": "d", "sum(tot)": "tot"}).sort_values(
+        "t", ignore_index=True)
+    # suffix sums: n(t) = # users whose duration-or-censor time >= t
+    n_at_risk = tbl["tot"].to_numpy(np.int64)[::-1].cumsum()[::-1]
+    ev_mask = tbl["d"].to_numpy(np.int64) > 0
+    t_ev = tbl["t"].to_numpy(np.int64)[ev_mask]
+    d_ev = tbl["d"].to_numpy(np.int64)[ev_mask]
+    n_ev = n_at_risk[ev_mask]
+    # d == n (everyone remaining converts) drives survival to EXACT 0;
+    # ln(0) is guarded on both engines with the same flag+zero-term form
+    zero = d_ev == n_ev
+    terms = np.where(zero, 0.0, np.log(1.0 - d_ev / n_ev))
+    surv = np.where(np.cumsum(zero.astype(np.int64)) > 0, 0.0,
+                    np.exp(np.cumsum(terms)))
+    return pd.DataFrame({
+        "duration_days": pd.Series(t_ev, dtype="int64"),
+        "n_at_risk": pd.Series(n_ev, dtype="int64"),
+        "n_events": pd.Series(d_ev, dtype="int64"),
+        "survival": round_half_away(surv, 6),
+    })
+
+
+def _q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    return kaplan_meier(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"]))
+
+
+register(
+    "events_kaplan_meier",
+    _q_kaplan_meier,
+    """
+    WITH tmax AS (SELECT max(epoch_ns(ts)) AS tm FROM events),
+    v AS (
+        SELECT user_id, min(epoch_ns(ts)) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_ns(e.ts)) AS tp
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.t0
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT v.user_id,
+               CASE WHEN p.tp IS NOT NULL
+                    THEN (p.tp - v.t0) // 86400000000000
+                    ELSE (tmax.tm - v.t0) // 86400000000000
+               END AS t,
+               (p.tp IS NOT NULL) AS ev
+        FROM v LEFT JOIN p USING (user_id), tmax
+    ),
+    c AS (
+        SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+               count(*) AS tot
+        FROM u GROUP BY 1
+    ),
+    km AS (
+        SELECT t, d,
+               sum(tot) OVER (ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM c
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN sum(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+                     OVER w > 0 THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d = n_at_risk THEN 0.0
+                                        ELSE ln(1 - d / CAST(n_at_risk
+                                                             AS DOUBLE))
+                                   END) OVER w), 6)
+           END AS survival
+    FROM km
+    WHERE d > 0
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """,
+)

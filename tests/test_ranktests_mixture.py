@@ -164,3 +164,27 @@ def test_runs_test_planted(ray_session):
     assert out.loc["alt", "z_stat"] > 3
     assert out.loc["trend", "n_runs"] == 2
     assert out.loc["trend", "z_stat"] < -3
+
+
+def test_kaplan_meier_planted(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.windows import (
+        kaplan_meier,
+    )
+
+    day = 86_400
+    rows = []
+    # u1: converts after 1 day; u2: after 2 days; u3: never (censored)
+    rows += [(1, "view", 0), (1, "purchase", 1 * day)]
+    rows += [(2, "view", 0), (2, "purchase", 2 * day)]
+    rows += [(3, "view", 0)]
+    rows += [(9, "error", 3 * day)]  # horizon marker, not in the funnel
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    out = kaplan_meier(ray.data.from_pandas(df))
+    # events at day 1 (n=3) and day 2 (n=2): S = 2/3, then 1/3
+    assert out["duration_days"].tolist() == [1, 2]
+    assert out["n_at_risk"].tolist() == [3, 2]
+    assert out["survival"].iloc[0] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["survival"].iloc[1] == pytest.approx(1 / 3, abs=1e-6)
