@@ -2358,3 +2358,104 @@ _register_rfm(
     FROM s GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) inventory classes over part revenue
+# ---------------------------------------------------------------------------
+
+ABC_A, ABC_B = 0.8, 0.95  # cumulative-revenue-share cut points
+
+
+def _q_parts_abc(sf_dir: str):
+    """ABC analysis: rank parts by revenue (desc, partkey tiebreak),
+    take the cumulative revenue share, and classify A (first 80% of
+    revenue), B (to 95%), C (rest); report per-class part counts and
+    revenue.  Revenue rounds to cents BEFORE ranking, and the
+    cumulative share divides rounded running sums of exact 1e-2
+    multiples, so class boundaries are identical on both engines.
+
+    Scale shape: per-block (part, revenue) partials -> ONE part shuffle;
+    the classification needs the GLOBAL revenue ordering, which runs in
+    one part-dimension-bounded task (ranktests guard rationale); output
+    is 3 rows.
+    """
+    import ray
+
+    from ._util import round_half_away
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = (batch.column("l_extendedprice")
+               .to_numpy(zero_copy_only=False)
+               * (1.0 - batch.column("l_discount")
+                  .to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({
+            "pk": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            "rev": rev,
+        })
+        g = df.groupby("pk", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__one")
+        g = df.groupby("pk", sort=False)["rev"].sum()
+        rev = round_half_away(g.to_numpy(np.float64), 2)
+        order = np.lexsort((g.index.to_numpy(np.int64), -rev))
+        rev_o = rev[order]
+        cum = np.cumsum(rev_o)  # exact 1e-2 multiples: order-stable
+        total = round_half_away(np.float64(cum[-1]), 2)
+        share = round_half_away(cum / total, 6)
+        cls = np.where(share <= ABC_A, "A",
+                       np.where(share <= ABC_B, "B", "C"))
+        out = pd.DataFrame({"cls": cls, "rev": rev_o}).groupby("cls") \
+            .agg(n_parts=("rev", "size"), revenue=("rev", "sum")) \
+            .reset_index()
+        return pd.DataFrame({
+            "abc_class": out["cls"].to_numpy(dtype=object),
+            "n_parts": out["n_parts"].astype(np.int64),
+            "revenue": round_half_away(out["revenue"].to_numpy(), 2),
+        })
+
+    per_part = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_extendedprice",
+                                       "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    withk = per_part.map_batches(
+        lambda t: t.append_column("__one", pa.array([0] * t.num_rows,
+                                                    pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return withk.groupby("__one").map_groups(_classify,
+                                             batch_format="pandas")
+
+
+_register_rfm(
+    "parts_abc_classes",
+    _q_parts_abc,
+    f"""
+    WITH pr AS (
+        SELECT l_partkey AS pk,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT pk, rev,
+               sum(rev) OVER (ORDER BY rev DESC, pk
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               round(sum(rev) OVER (), 2) AS total
+        FROM pr
+    ),
+    c AS (
+        SELECT rev,
+               CASE WHEN round(cum / total, 6) <= {ABC_A} THEN 'A'
+                    WHEN round(cum / total, 6) <= {ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 2) AS revenue
+    FROM c GROUP BY 1
+    """,
+)
