@@ -2385,35 +2385,43 @@ def _q_parts_abc(sf_dir: str):
     from ._util import round_half_away
 
     def _partial(batch: pa.Table) -> pa.Table:
-        rev = (batch.column("l_extendedprice")
-               .to_numpy(zero_copy_only=False)
-               * (1.0 - batch.column("l_discount")
-                  .to_numpy(zero_copy_only=False)))
+        # EXACT integer revenue units (1e-4 dollars), the Q9 trick:
+        # price has 2dp and discount 2dp, so round(p*100) and
+        # round(d*100) recover exact ints and the product is exact —
+        # per-part cent rounding of FLOAT sums would flip on the many
+        # genuine .xx5 decimal midpoints this product produces.
+        price_c = np.rint(batch.column("l_extendedprice")
+                          .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc_c = np.rint(batch.column("l_discount")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
         df = pd.DataFrame({
             "pk": batch.column("l_partkey").to_numpy(zero_copy_only=False),
-            "rev": rev,
+            "units": price_c * (100 - disc_c),
         })
-        g = df.groupby("pk", sort=False)["rev"].sum().reset_index()
+        g = df.groupby("pk", sort=False)["units"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def _classify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns="__one")
-        g = df.groupby("pk", sort=False)["rev"].sum()
-        rev = round_half_away(g.to_numpy(np.float64), 2)
-        order = np.lexsort((g.index.to_numpy(np.int64), -rev))
-        rev_o = rev[order]
-        cum = np.cumsum(rev_o)  # exact 1e-2 multiples: order-stable
-        total = round_half_away(np.float64(cum[-1]), 2)
+        g = df.groupby("pk", sort=False)["units"].sum()
+        units = g.to_numpy(np.int64)
+        order = np.lexsort((g.index.to_numpy(np.int64), -units))
+        units_o = units[order]
+        cum = np.cumsum(units_o)          # exact int64
+        total = int(cum[-1])
         share = round_half_away(cum / total, 6)
         cls = np.where(share <= ABC_A, "A",
                        np.where(share <= ABC_B, "B", "C"))
-        out = pd.DataFrame({"cls": cls, "rev": rev_o}).groupby("cls") \
-            .agg(n_parts=("rev", "size"), revenue=("rev", "sum")) \
+        out = pd.DataFrame({"cls": cls, "units": units_o}).groupby("cls") \
+            .agg(n_parts=("units", "size"), units=("units", "sum")) \
             .reset_index()
         return pd.DataFrame({
             "abc_class": out["cls"].to_numpy(dtype=object),
             "n_parts": out["n_parts"].astype(np.int64),
-            "revenue": round_half_away(out["revenue"].to_numpy(), 2),
+            "revenue": ((out["units"].to_numpy(np.int64) + 50) // 100)
+            .astype(np.float64) / 100.0,
         })
 
     per_part = (
@@ -2437,25 +2445,29 @@ _register_rfm(
     f"""
     WITH pr AS (
         SELECT l_partkey AS pk,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS units
         FROM lineitem GROUP BY 1
     ),
     r AS (
-        SELECT pk, rev,
-               sum(rev) OVER (ORDER BY rev DESC, pk
-                              ROWS UNBOUNDED PRECEDING) AS cum,
-               round(sum(rev) OVER (), 2) AS total
+        SELECT pk, units,
+               sum(units) OVER (ORDER BY units DESC, pk
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(units) OVER () AS total
         FROM pr
     ),
     c AS (
-        SELECT rev,
-               CASE WHEN round(cum / total, 6) <= {ABC_A} THEN 'A'
-                    WHEN round(cum / total, 6) <= {ABC_B} THEN 'B'
+        SELECT units,
+               CASE WHEN round(cum / CAST(total AS DOUBLE), 6) <= {ABC_A}
+                         THEN 'A'
+                    WHEN round(cum / CAST(total AS DOUBLE), 6) <= {ABC_B}
+                         THEN 'B'
                     ELSE 'C' END AS abc_class
         FROM r
     )
     SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(rev), 2) AS revenue
+           CAST((sum(units) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
     FROM c GROUP BY 1
     """,
 )
