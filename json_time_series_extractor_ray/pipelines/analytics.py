@@ -1996,3 +1996,88 @@ _register_lognorm(
     FROM m WHERE n >= 2
     """,
 )
+
+
+def _q_brand_disc_qty_corr(sf_dir: str):
+    """Per part brand: Pearson correlation between line-item discount
+    and quantity — the "do discounts move volume" screen.  The brand
+    arrives via a broadcast part->brand map (never a shuffle); per-block
+    (brand, moments) partials fold through ONE tiny groupby; rounded
+    moment sums feed one identical IEEE expression.
+    """
+    import ray
+
+    from ._util import round_half_away
+    from .enrich import broadcast_join
+    from .relational import _dim_map
+
+    brand = _dim_map(f"{sf_dir}/part.parquet", "p_partkey", "p_brand",
+                     None)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_discount", "l_quantity"])
+    j = broadcast_join(li, brand, key="l_partkey", value_name="brand",
+                       value_type=pa.string())
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        y = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "brand": batch.column("brand").to_pandas(),
+            "n": np.ones(len(x), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y, "syy": y * y,
+        })
+        g = df.groupby("brand", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _corr(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx = round_half_away(np.float64(df["sx"].sum()), 6)
+        sy = round_half_away(np.float64(df["sy"].sum()), 6)
+        sxx = round_half_away(np.float64(df["sxx"].sum()), 6)
+        sxy = round_half_away(np.float64(df["sxy"].sum()), 6)
+        syy = round_half_away(np.float64(df["syy"].sum()), 6)
+        denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if not (n >= 2 and denom > 0):
+            return pd.DataFrame({
+                "brand": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype="int64"),
+                "corr": pd.Series([], dtype="float64"),
+            })
+        corr = (n * sxy - sx * sy) / np.sqrt(denom)
+        return pd.DataFrame({
+            "brand": df["brand"].iloc[:1],
+            "n_items": pd.Series([n], dtype="int64"),
+            "corr": round_half_away(np.array([corr]), 6),
+        })
+
+    return (
+        j.map_batches(_moments, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .groupby("brand").map_groups(_corr, batch_format="pandas")
+    )
+
+
+_register_xcorr(
+    "brand_discount_quantity_corr",
+    _q_brand_disc_qty_corr,
+    """
+    WITH m AS (
+        SELECT p.p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_discount), 6) AS sx,
+               round(sum(l_quantity), 6) AS sy,
+               round(sum(l_discount * l_discount), 6) AS sxx,
+               round(sum(l_discount * l_quantity), 6) AS sxy,
+               round(sum(l_quantity * l_quantity), 6) AS syy
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    )
+    SELECT brand, n AS n_items,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr
+    FROM m
+    WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    """,
+)
