@@ -1591,11 +1591,14 @@ def kaplan_meier(events_ds, *, member: str = "user_id", ts: str = "ts",
     terms = np.where(zero, 0.0, np.log(1.0 - d_ev / n_ev))
     surv = np.where(np.cumsum(zero.astype(np.int64)) > 0, 0.0,
                     np.exp(np.cumsum(terms)))
+    # Nelson-Aalen cumulative hazard: running sum of exact d/n ratios
+    hazard = np.cumsum(d_ev / n_ev)
     return pd.DataFrame({
         "duration_days": pd.Series(t_ev, dtype="int64"),
         "n_at_risk": pd.Series(n_ev, dtype="int64"),
         "n_events": pd.Series(d_ev, dtype="int64"),
         "survival": round_half_away(surv, 6),
+        "cum_hazard": round_half_away(hazard, 6),
     })
 
 
@@ -1651,9 +1654,99 @@ register(
                                         ELSE ln(1 - d / CAST(n_at_risk
                                                              AS DOUBLE))
                                    END) OVER w), 6)
-           END AS survival
+           END AS survival,
+           round(sum(d / CAST(n_at_risk AS DOUBLE)) OVER w, 6)
+               AS cum_hazard
     FROM km
     WHERE d > 0
     WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """,
+)
+
+
+WILSON_Z = 1.96  # 95% interval
+
+
+def funnel_wilson(events_ds, *, step_a: str = "view",
+                  step_b: str = "click") -> pd.DataFrame:
+    """One funnel step's conversion rate with its Wilson 95% interval —
+    the right CI for proportions (never leaves [0, 1], sane at small n):
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p*(1-p)/n + z^2/(4n^2)) / (1 + z^2/n)
+
+    Counts come from the same one-shuffle ``ordered_funnel`` machinery;
+    p is an exact int ratio and the interval is one identical IEEE
+    expression on both engines, rounded to 6.
+    """
+    counts = ordered_funnel(events_ds, steps=(step_a, step_b))
+    n = int(counts[f"n_{step_a}"].iloc[0])
+    x = int(counts[f"n_{step_b}"].iloc[0])
+    if n == 0:
+        return pd.DataFrame({
+            "n_base": pd.array([0], dtype="int64"),
+            "n_converted": pd.array([0], dtype="int64"),
+            "rate": [np.nan], "wilson_lo": [np.nan], "wilson_hi": [np.nan],
+        })
+    z = WILSON_Z
+    p = x / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)) / denom
+    return pd.DataFrame({
+        "n_base": pd.array([n], dtype="int64"),
+        "n_converted": pd.array([x], dtype="int64"),
+        "rate": [float(round_half_away(np.float64(p), 6))],
+        "wilson_lo": [float(round_half_away(np.float64(center - half), 6))],
+        "wilson_hi": [float(round_half_away(np.float64(center + half), 6))],
+    })
+
+
+def _q_funnel_wilson(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    return funnel_wilson(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"]))
+
+
+register(
+    "events_funnel_wilson",
+    _q_funnel_wilson,
+    f"""
+    WITH s0 AS (
+        SELECT user_id, min(epoch_ns(ts)) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+        SELECT e.user_id
+        FROM events e JOIN s0 USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t0
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM s0) AS n,
+               (SELECT count(*) FROM s1) AS x
+    ),
+    w AS (
+        SELECT n, x,
+               x / CAST(n AS DOUBLE) AS p,
+               1 + {WILSON_Z} * {WILSON_Z} / n AS denom
+        FROM c WHERE n > 0
+    )
+    SELECT CAST(n AS BIGINT) AS n_base,
+           CAST(x AS BIGINT) AS n_converted,
+           round(p, 6) AS rate,
+           round((p + {WILSON_Z} * {WILSON_Z} / (2 * n)) / denom
+                 - {WILSON_Z} * sqrt(p * (1 - p) / n
+                                     + {WILSON_Z} * {WILSON_Z}
+                                       / (4.0 * n * n)) / denom, 6)
+               AS wilson_lo,
+           round((p + {WILSON_Z} * {WILSON_Z} / (2 * n)) / denom
+                 + {WILSON_Z} * sqrt(p * (1 - p) / n
+                                     + {WILSON_Z} * {WILSON_Z}
+                                       / (4.0 * n * n)) / denom, 6)
+               AS wilson_hi
+    FROM w
     """,
 )
