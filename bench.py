@@ -318,6 +318,22 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("media_frame_sample_real", sf_dir)),
             ("events_daily_spectrum_1h",
              lambda: bench_query("events_daily_spectrum_1h", sf_dir)),
+            ("events_kaplan_meier",
+             lambda: bench_query("events_kaplan_meier", sf_dir)),
+            ("events_runs_test",
+             lambda: bench_query("events_runs_test", sf_dir)),
+            ("customer_rfm_segments",
+             lambda: bench_query("customer_rfm_segments", sf_dir)),
+            ("parts_abc_classes",
+             lambda: bench_query("parts_abc_classes", sf_dir)),
+            ("parts_rank_stability",
+             lambda: bench_query("parts_rank_stability", sf_dir)),
+            ("source_ngram_overlap",
+             lambda: bench_query("source_ngram_overlap", sf_dir)),
+            ("events_tail_index",
+             lambda: bench_query("events_tail_index", sf_dir)),
+            ("embedding_silhouette",
+             lambda: bench_query("embedding_silhouette", sf_dir)),
         ):
             r = fn()
             queries[name] = r["sec"]

@@ -720,3 +720,89 @@ register(
                                 .drop_columns(["doc_id"])),
     _topk_share_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena rate per source (lexical richness)
+# ---------------------------------------------------------------------------
+
+def hapax_rate(docs_ds):
+    """Per source: vocabulary size, hapax count (words occurring exactly
+    once IN THAT SOURCE), the hapax share of the vocabulary, and the
+    type-token ratio — the classic lexical-richness panel.  Exact
+    integer counts; the two ratios round to 6.
+
+    Scale shape: per-block (source, word) partials -> ONE shuffle ->
+    per-(source, word) totals collapse to per-source counters in the
+    same pass (a second tiny groupby folds the partials)."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        words, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_words = np.diff(offsets)
+        src = np.repeat(batch.column("source")
+                        .to_numpy(zero_copy_only=False), n_words)
+        df = pd.DataFrame({"source": src, "word": words.to_pandas()})
+        g = df.groupby(["source", "word"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _word_total(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["source"]].copy()
+        cnt = int(df["cnt"].sum())
+        out["vocab"] = np.int64(1)
+        out["hapax"] = np.int64(1 if cnt == 1 else 0)
+        out["tokens"] = np.int64(cnt)
+        return out
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = int(df["vocab"].sum())
+        hapax = int(df["hapax"].sum())
+        tokens = int(df["tokens"].sum())
+        return pd.DataFrame({
+            "source": df["source"].iloc[:1],
+            "vocab": pd.Series([vocab], dtype="int64"),
+            "hapax": pd.Series([hapax], dtype="int64"),
+            "tokens": pd.Series([tokens], dtype="int64"),
+            "hapax_share": round_half_away(
+                np.array([hapax / vocab]), 6),
+            "ttr": round_half_away(np.array([vocab / tokens]), 6),
+        })
+
+    return (
+        docs_ds.map_batches(_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["source", "word"]).map_groups(_word_total,
+                                                batch_format="pandas")
+        .groupby("source").map_groups(_fold, batch_format="pandas")
+    )
+
+
+def _hapax_sql() -> str:
+    from .dedup import _WS
+
+    return rf"""
+    WITH w AS (
+        SELECT source,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               )) AS word
+        FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           CAST(sum(cnt) AS BIGINT) AS tokens,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
+           round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr
+    FROM c GROUP BY 1
+    """
+
+
+register(
+    "source_hapax_rate",
+    lambda sf: hapax_rate(_read_documents(sf, ["text", "source"])),
+    _hapax_sql(),
+)
