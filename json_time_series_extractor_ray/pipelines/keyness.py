@@ -806,3 +806,93 @@ register(
     lambda sf: hapax_rate(_read_documents(sf, ["text", "source"])),
     _hapax_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary Gini per source: inequality of word usage
+# ---------------------------------------------------------------------------
+
+def vocab_gini(docs_ds):
+    """Per source: the Gini coefficient of its word-frequency
+    distribution — 0 = every word equally common, near 1 = a few words
+    dominate.  Computed with the exact rank-weighted integer sum
+
+        G = sum_i (2i - n - 1) * c_(i) / (n * sum_i c_i)
+
+    over counts sorted ascending (ties commute, so tie order is
+    irrelevant); everything is int64 until the final rounded division.
+
+    Scale shape: the usual (source, word) partial shuffle; each source's
+    Gini runs in one vocab-bounded task (vectorized sort + dot)."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        words, offsets, _ = _words_and_offsets(batch.column("text"))
+        n_words = np.diff(offsets)
+        src = np.repeat(batch.column("source")
+                        .to_numpy(zero_copy_only=False), n_words)
+        df = pd.DataFrame({"source": src, "word": words.to_pandas()})
+        g = df.groupby(["source", "word"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["source", "word"]].copy()
+        out["cnt"] = np.int64(df["cnt"].sum())
+        return out
+
+    def _gini(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(df["cnt"].to_numpy(np.int64))
+        n = len(c)
+        tot = int(c.sum())
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(np.sum((2 * i - n - 1) * c))
+        return pd.DataFrame({
+            "source": df["source"].iloc[:1],
+            "vocab": pd.Series([n], dtype="int64"),
+            "tokens": pd.Series([tot], dtype="int64"),
+            "gini": round_half_away(np.array([num / (n * tot)]), 6),
+        })
+
+    return (
+        docs_ds.map_batches(_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["source", "word"]).map_groups(_merge,
+                                                batch_format="pandas")
+        .groupby("source").map_groups(_gini, batch_format="pandas")
+    )
+
+
+def _vocab_gini_sql() -> str:
+    from .dedup import _WS
+
+    return rf"""
+    WITH w AS (
+        SELECT source,
+               unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}'
+               )) AS word
+        FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+    r AS (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt, word) AS i,
+               count(*) OVER (PARTITION BY source) AS n,
+               sum(cnt) OVER (PARTITION BY source) AS tot
+        FROM c
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS vocab,
+           CAST(max(tot) AS BIGINT) AS tokens,
+           round(sum((2 * i - n - 1) * cnt)
+                 / CAST(max(n) * max(tot) AS DOUBLE), 6) AS gini
+    FROM r GROUP BY 1
+    """
+
+
+register(
+    "source_vocab_gini",
+    lambda sf: vocab_gini(_read_documents(sf, ["text", "source"])),
+    _vocab_gini_sql(),
+)
