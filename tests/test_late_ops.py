@@ -170,3 +170,23 @@ def test_abc_classes_planted(ray_session):
     # A holds ~80% of revenue by construction
     share_a = by.loc["A", "revenue"] / df["revenue"].sum()
     assert 0.75 < share_a <= 0.81
+
+
+def test_vocab_gini_extremes(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.keyness import vocab_gini
+
+    # uniform usage -> Gini 0; one dominant word -> high Gini
+    df = _docs([
+        ("flat", "a b c d"),                      # every count = 1
+        ("skew", " ".join(["z"] * 97 + ["a", "b", "c"])),
+    ])
+    out = vocab_gini(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("source")
+    assert out.loc["flat", "gini"] == 0.0
+    # exact: counts (1,1,1,97), n=4, tot=100 ->
+    # (-3*1 + -1*1 + 1*1 + 3*97) / 400 = 288/400 = 0.72
+    assert out.loc["skew", "gini"] == pytest.approx(0.72, abs=1e-6)
+    assert out.loc["skew", "vocab"] == 4
+    assert out.loc["skew", "tokens"] == 100
