@@ -190,3 +190,57 @@ def test_vocab_gini_extremes(ray_session):
     assert out.loc["skew", "gini"] == pytest.approx(0.72, abs=1e-6)
     assert out.loc["skew", "vocab"] == 4
     assert out.loc["skew", "tokens"] == 100
+
+
+def test_word_cond_entropy_deterministic_text(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.keyness import (
+        word_conditional_entropy,
+    )
+
+    # fully deterministic bigrams: every word decides its successor
+    # -> H(Y|X) = 0, perplexity 1
+    det = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]})
+    out = word_conditional_entropy(ray.data.from_pandas(det))
+    assert out["cond_entropy"].iloc[0] == 0.0
+    assert out["perplexity"].iloc[0] == 1.0
+    assert out["n_bigrams"].iloc[0] == 4  # 2 docs x 2 adjacencies
+
+    # 'a' followed by b or c equally often -> H = ln(2)
+    mixed = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a c"]})
+    out2 = word_conditional_entropy(ray.data.from_pandas(mixed))
+    assert out2["cond_entropy"].iloc[0] == pytest.approx(np.log(2),
+                                                         abs=1e-6)
+
+
+def test_lognormal_fit_recovers_parameters(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.registry import (
+        extra_queries,
+    )
+
+    out = extra_queries()["orders_lognormal_fit"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # five priorities, all with sane lognormal params and medians
+    assert len(df) == 5
+    assert (df["sigma"] > 0).all()
+    assert (df["median_price"] > 0).all()
+    # median_price == exp(mu) rounded to cents
+    for r in df.itertuples():
+        assert r.median_price == pytest.approx(np.exp(r.mu), rel=1e-4)
+
+
+def test_rank_stability_bounds(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.registry import (
+        extra_queries,
+    )
+
+    out = extra_queries()["parts_rank_stability"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    rho = df["spearman_rho"].iloc[0]
+    assert -1.0 <= rho <= 1.0
+    assert df["n_parts"].iloc[0] > 0
