@@ -48,6 +48,51 @@ _P31 = (1 << 31) - 1
 SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks -> finds Hamming distance <= 3
 EMB_NEAR_DUP_TAU = 0.3
 
+# Peak bytes the per-strip similarity matrix may occupy inside one exact
+# pairwise-cosine task.  1 GiB keeps a 200k-vector block's worst strip at
+# ~650 rows x 200k cols x 8 B — the whole task stays well inside an 8 GB
+# worker heap, where the old unchunked ``En @ En.T`` needed 320 GB.
+PAIR_STRIP_BYTES = 1 << 30
+
+
+def cosine_pairs_chunked(En: np.ndarray, tau: float,
+                         strip_bytes: int = PAIR_STRIP_BYTES):
+    """All upper-triangle pairs ``(i, j), i < j`` with round-6 cosine
+    ``>= tau`` over row-normalized ``En``, computed in bounded row strips
+    so the similarity matrix never materializes ``n*n`` float64s.
+
+    Returns ``(a_idx, b_idx, sim)`` — identical values (same rounding,
+    same pair order) to the unchunked
+    ``round_half_away(En @ En.T, 6)[triu] >= tau`` reference expression;
+    only the peak memory changes (``strip_bytes`` for the strip matrix
+    instead of ``8 * n * n`` bytes).  This is the memory-calibrated fix
+    for the quadratic *time* guards in ``embedding_near_dups`` /
+    ``semdedup``: quadratic time stays loud-guarded by the caller's
+    ``max_*_vecs`` bound, while memory is bounded here by construction.
+    """
+    n = len(En)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.float64))
+    if n < 2:
+        return empty
+    strip = max(64, min(n, int(strip_bytes // max(1, n * 8))))
+    a_out, b_out, s_out = [], [], []
+    for i0 in range(0, n - 1, strip):
+        i1 = min(i0 + strip, n)
+        # Columns < i0 can never be the upper-triangle partner of a row
+        # in this strip, so the matmul skips them entirely.
+        S = round_half_away(En[i0:i1] @ En[i0:].T, 6)
+        r, c = np.nonzero(S >= tau)
+        keep = c > r  # global col (i0+c) > global row (i0+r) <=> c > r
+        r, c = r[keep], c[keep]
+        a_out.append((i0 + r).astype(np.int64))
+        b_out.append((i0 + c).astype(np.int64))
+        s_out.append(S[r, c])
+    if not a_out:
+        return empty
+    return (np.concatenate(a_out), np.concatenate(b_out),
+            np.concatenate(s_out))
+
 
 def _read(sf_dir: str, table: str, columns):
     import ray
@@ -684,9 +729,13 @@ def embedding_near_dups(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
                         max_block_vecs: int = 200_000):
     """Pairs within one ``label`` block with cosine similarity >= tau.
 
-    Quadratic within a block (the exact/oracle variant; IVF-bucketed ANN
-    is the scale path) — ``max_block_vecs`` fails loudly on a dominant
-    label instead of silently running an O(n²) matmul task."""
+    Quadratic *time* within a block (the exact/oracle variant;
+    IVF-bucketed ANN is the scale path) — ``max_block_vecs`` fails loudly
+    on a dominant label instead of silently running an O(n²) task.
+    Memory is bounded by construction: the cosine matrix is computed in
+    ``cosine_pairs_chunked`` row strips capped at ``PAIR_STRIP_BYTES``,
+    so even at the 200k-vector time bound the task peak is ~1 GiB of
+    strip matrix, not the 320 GB an unchunked ``En @ En.T`` would need."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) > max_block_vecs:
@@ -702,14 +751,12 @@ def embedding_near_dups(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,
         E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(E, axis=1, keepdims=True)
         En = E / np.where(norms == 0, 1.0, norms)
-        S = round_half_away(En @ En.T, 6)
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        keep = S[a_idx, b_idx] >= tau
+        a_idx, b_idx, sim = cosine_pairs_chunked(En, tau)
         return pd.DataFrame(
             {
-                "vec_a": ids[a_idx][keep].astype("int64"),
-                "vec_b": ids[b_idx][keep].astype("int64"),
-                "cosine": S[a_idx, b_idx][keep],
+                "vec_a": ids[a_idx].astype("int64"),
+                "vec_b": ids[b_idx].astype("int64"),
+                "cosine": sim,
             }
         )
 

@@ -1391,14 +1391,17 @@ def semdedup(emb_ds, *, n_clusters: int = SEMDEDUP_CLUSTERS,
 
     Scale shape: kmeans is the streaming combiner (``kmeans_fit``); the
     assignment pass is one broadcast matmul per batch; the ONE shuffle
-    co-partitions by cluster id.  Pairwise cosine is quadratic per
-    CLUSTER — ``max_cluster_vecs`` fails loudly on a runaway cluster
+    co-partitions by cluster id.  Pairwise cosine is quadratic in *time*
+    per CLUSTER — ``max_cluster_vecs`` fails loudly on a runaway cluster
     (raise n_clusters, the standard SemDeDup remedy) instead of silently
-    running an O(n²) task.  Approximate by construction: only same-cluster
-    pairs are examined (cross-cluster recall vs the exact path is pinned
-    in pytest).
+    running an O(n²) task — while *memory* is bounded by construction:
+    ``cosine_pairs_chunked`` computes the cosine matrix in row strips
+    capped at ``dedup.PAIR_STRIP_BYTES`` (~1 GiB), so even a cluster at
+    the time bound never materializes the n×n matrix (320 GB at 200k).
+    Approximate by construction: only same-cluster pairs are examined
+    (cross-cluster recall vs the exact path is pinned in pytest).
     """
-    from .dedup import _uf_labels
+    from .dedup import _uf_labels, cosine_pairs_chunked
 
     emb_ds = emb_ds.materialize()  # consumed by kmeans passes + assignment
     C = kmeans_fit(emb_ds, n_clusters=n_clusters, n_iters=n_iters,
@@ -1427,10 +1430,8 @@ def semdedup(emb_ds, *, n_clusters: int = SEMDEDUP_CLUSTERS,
         df = df.sort_values("vec_id")
         ids = df["vec_id"].to_numpy(np.int64)
         En = _normalize(df["embedding"].to_numpy())
-        S = round_half_away(En @ En.T, 6)
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        hit = S[a_idx, b_idx] >= tau
-        labels = _uf_labels(zip(ids[a_idx[hit]], ids[b_idx[hit]]))
+        a_hit, b_hit, _ = cosine_pairs_chunked(En, tau)
+        labels = _uf_labels(zip(ids[a_hit], ids[b_hit]))
         keep = np.array([labels.get(int(i), int(i)) == int(i)
                          for i in ids])
         return pd.DataFrame({

@@ -111,14 +111,22 @@ def main():
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # A typo in a sweep invocation must NOT fake a green run by
+        # silently selecting nothing (round-3 verdict item 3).  Checked
+        # before ray.init so the failure is instant.
+        print(f"ERROR: unknown query name(s): {unknown}")
+        sys.exit(2)
+
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
 
-    import __ray_entry__ as e
-
-    qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

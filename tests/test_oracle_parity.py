@@ -240,6 +240,24 @@ def oracle_env(ray_session):
     con.close()
 
 
+def test_checker_errors_on_unknown_query_names():
+    """A misspelled query name in a sweep invocation must exit non-zero
+    with a named error, not print "all queries match" (verdict r3 item 3).
+    The check runs before ray.init, so the subprocess fails instantly."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "check_oracle.py"),
+         SF_DIR, "events_rollup_1m_typo", "definitely_not_a_query"],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stdout, proc.stderr)
+    assert "unknown query name" in proc.stdout
+    assert "events_rollup_1m_typo" in proc.stdout
+    assert "definitely_not_a_query" in proc.stdout
+    assert "all queries match" not in proc.stdout
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(oracle_env, name):
     entry, checker, con = oracle_env
