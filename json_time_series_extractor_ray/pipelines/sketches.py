@@ -388,6 +388,53 @@ register(
 register("events_hll_distinct_users", _q_hll_users)  # approximate -> rows-only
 
 
+def _exact_distinct_count(ds, *, column: str) -> int:
+    """Exact distributed COUNT(DISTINCT column): per-block Arrow dedup
+    combiner -> ONE bounded hash-shard groupby -> count (the
+    ``_sharded_distinct`` discipline — never one Ray group per key)."""
+    from .tpch import _sharded_distinct
+
+    return _sharded_distinct(ds, [column], column).count()
+
+
+#: HLL standard error at p=12 is 1.04/sqrt(4096) ≈ 1.625%; the structural
+#: oracle pins the estimate inside 3 sigma of the EXACT count.  Both the
+#: hash seed and the corpus are fixed, so the flag is deterministic.
+HLL_3SIGMA = 3 * 1.04 / ((1 << HLL_P) ** 0.5)
+
+
+def _q_hll_vs_exact(sf_dir: str):
+    """Structural oracle for the HLL sketch (round-3 verdict item 4):
+    the exact distinct-user count (SQL-checkable) next to a driver-hashed
+    guarantee flag that the HLL estimate landed within 3 sigma of it.
+    The estimate itself stays in the rows-only ``events_hll_distinct_users``
+    entry; THIS entry makes a silent HLL value bug driver-visible."""
+    import ray
+
+    def _events():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["user_id"])
+
+    exact = _exact_distinct_count(_events(), column="user_id")
+    est = hll_distinct(_events(), column="user_id")
+    ok = bool(abs(est - exact) <= HLL_3SIGMA * exact)
+    return pa.table({
+        "exact_distinct_users": pa.array([exact], pa.int64()),
+        "hll_within_3sigma": pa.array([ok], pa.bool_()),
+    })
+
+
+register(
+    "events_hll_vs_exact",
+    _q_hll_vs_exact,
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           TRUE AS hll_within_3sigma
+    FROM events
+    """,
+)
+
+
 def _q_heavy_users(sf_dir: str):
     """Top-20 users by event count via the Misra-Gries combiner path.
     Capacity (65536) exceeds the distinct-user count at every test SF, so
@@ -638,6 +685,53 @@ def _q_cms_user_counts(sf_dir: str):
 
 
 register("events_cms_user_counts", _q_cms_user_counts)
+
+
+def _q_cms_vs_exact(sf_dir: str):
+    """Structural oracle for the count-min sketch (round-3 verdict item
+    4): for the 20 heaviest users, the EXACT event count (SQL-checkable)
+    plus two driver-hashed guarantee flags — the CMS never underestimates
+    (structural, holds unconditionally) and its overestimate stays within
+    the classic ``(e/width) * N`` bound (holds per query with prob
+    1 - e^-depth; deterministic here because hash seeds and corpus are
+    fixed).  The raw estimates stay rows-only in
+    ``events_cms_user_counts``; this entry makes a silent CMS value bug
+    driver-visible."""
+    import math
+
+    import ray
+
+    def _events():
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["user_id"])
+
+    mat = cms_build(_events(), column="user_id")
+    n_total = int(mat[0].sum())  # every row of the matrix sums to N
+    top = heavy_hitters(_events(), column="user_id", m=65536, top=20)
+    keys = top.column("user_id").to_pandas()
+    exact = top.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    est = cms_estimate(mat, keys).astype(np.int64)
+    eps_bound = math.e / CMS_WIDTH * n_total
+    return pa.table({
+        "user_id": pa.array(keys.astype("int64"), pa.int64()),
+        "exact_count": pa.array(exact, pa.int64()),
+        "cms_ge_exact": pa.array(est >= exact, pa.bool_()),
+        "cms_within_eps": pa.array(est - exact <= eps_bound, pa.bool_()),
+    })
+
+
+register(
+    "events_cms_vs_exact",
+    _q_cms_vs_exact,
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count,
+           TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+    FROM events
+    GROUP BY user_id
+    ORDER BY exact_count DESC, user_id
+    LIMIT 20
+    """,
+)
 
 
 def _q_quantile_buckets(sf_dir: str):

@@ -50,6 +50,13 @@ Q4_LATE_DAYS = 60
 
 Q16_EXCL_BRAND = "Brand#13"
 Q16_EXCL_TYPE = "PROMO"
+# Full-shape Q16 variant: NOT LIKE type prefix, size IN list, and the
+# NOT IN supplier-exclusion subquery (reference Q16 excludes suppliers
+# with complaints in s_comment; the fixture has no s_comment, so the
+# stand-in exclusion predicate is s_acctbal < Q16_EXCL_ACCTBAL —
+# non-vacuous at every test scale).
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+Q16_EXCL_ACCTBAL = 1000.0
 
 # Q19 disjunction: (brand, qty_lo, qty_hi, size_lo, size_hi)
 Q19_ARMS = (
@@ -471,6 +478,93 @@ register(
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
       AND p.p_type <> '{Q16_EXCL_TYPE}'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q16 (full shape) — adds the NOT IN supplier-exclusion subquery, the
+# NOT LIKE type prefix, and the size IN list from the original query
+# (ref: TPC-H spec Q16; the engine-mandated relational family — no
+# reference-repo anchor).
+# ---------------------------------------------------------------------------
+
+
+def _q_part_supplier_excl(sf_dir: str):
+    """Q16 with every original predicate shape: ``p_brand <>``,
+    ``p_type NOT LIKE 'PREFIX%'``, ``p_size IN (...)`` and
+    ``l_suppkey NOT IN (subquery)``.  The exclusion subquery is a
+    broadcast anti-set (supplier is a dimension; loud-guarded), applied
+    as a vectorized ``is_in``-invert inside ``map_batches`` BEFORE the
+    distinct — the NOT IN never shuffles."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .relational import MAX_BROADCAST_DIM_ROWS
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    if part.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"part has {part.num_rows} rows (> {MAX_BROADCAST_DIM_ROWS}); "
+            "broadcast part dims no longer apply — shuffle_join instead")
+    type_prefix = pd.Series(part.column("p_type").to_pylist())
+    mask = pc.and_(
+        pc.and_(
+            pc.not_equal(part.column("p_brand"),
+                         pa.scalar(Q16_EXCL_BRAND)),
+            pa.array(~type_prefix.str.startswith(Q16_EXCL_TYPE))),
+        pc.is_in(part.column("p_size").cast(pa.int64()),
+                 value_set=pa.array(list(Q16_SIZES), pa.int64())))
+    part = part.filter(mask)
+    dims = {
+        k: (b, t, int(s)) for k, b, t, s in zip(
+            part.column("p_partkey").to_pylist(),
+            part.column("p_brand").to_pylist(),
+            part.column("p_type").to_pylist(),
+            part.column("p_size").to_pylist())
+    }
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    if supp.num_rows > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"supplier has {supp.num_rows} rows "
+            f"(> {MAX_BROADCAST_DIM_ROWS}); broadcast NOT IN set no "
+            "longer applies — use an anti shuffle join instead")
+    excluded = supp.filter(
+        pc.less(supp.column("s_acctbal"), pa.scalar(Q16_EXCL_ACCTBAL)))
+    excl_arr = excluded.column("s_suppkey").cast(pa.int64()).combine_chunks()
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(
+            batch.column("l_suppkey").cast(pa.int64()),
+            value_set=excl_arr))
+        return batch.filter(keep)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(_anti, batch_format="pyarrow", zero_copy_batch=True)
+    return part_supplier_counts(li, dims)
+
+
+register(
+    "part_supplier_counts_excl",
+    _q_part_supplier_excl,
+    f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_type NOT LIKE '{Q16_EXCL_TYPE}%'
+      AND p.p_size IN ({', '.join(str(s) for s in Q16_SIZES)})
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier
+          WHERE s_acctbal < {Q16_EXCL_ACCTBAL})
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """,
