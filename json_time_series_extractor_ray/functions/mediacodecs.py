@@ -1,10 +1,12 @@
 """Pure-Python/numpy codecs for UNCOMPRESSED media containers.
 
-No image/audio libraries exist in this container, but the uncompressed
-formats need none: BMP (BITMAPINFOHEADER, BI_RGB 24-bit) and PPM/PGM
-(binary P6/P5) are header + raw pixel rows, and WAV PCM decodes with the
-stdlib ``wave`` module.  These make the engine's media stages REAL for
-those formats; compressed formats (JPEG/PNG/MP3/H.264) remain explicit
+No image/audio libraries exist in this container, but these formats
+need none: BMP (BITMAPINFOHEADER, BI_RGB 24-bit) and PPM/PGM (binary
+P6/P5) are header + raw pixel rows, WAV PCM decodes with the stdlib
+``wave`` module, and PNG is CRC-framed chunks + stdlib ``zlib`` deflate
++ the five RFC 2083 scanline filters (implemented below).  These make
+the engine's media stages REAL for those formats; the remaining
+compressed formats (JPEG/MP3/H.264) stay explicit
 ``NotImplementedError`` stubs in ``pipelines/multimodal.py``.
 
 All decoders return numpy arrays; all encoders are deterministic byte
@@ -169,14 +171,193 @@ def decode_wav(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PNG — stdlib zlib + the five scanline filters (RFC 2083), no interlace
+# ---------------------------------------------------------------------------
+#
+# PNG needs no image library: the container is CRC-framed chunks, the
+# compression is deflate (stdlib ``zlib``), and the only image-specific
+# machinery is the per-scanline filter (None/Sub/Up/Average/Paeth).
+# Supported here: bit depth 8, color types 0 (gray), 2 (RGB), 3
+# (palette), 4 (gray+alpha), 6 (RGBA), interlace off.  Adam7 interlace,
+# 1/2/4/16-bit depths raise ``ValueError`` (out of scope, loud).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type (palette entries expand to RGB on decode)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def encode_png(pixels: np.ndarray, *, filters="cycle", level: int = 6) -> bytes:
+    """uint8 array (H, W) gray / (H, W, 3) RGB / (H, W, 4) RGBA -> PNG.
+
+    ``filters`` picks the per-scanline filter type: an int 0-4 applies
+    that filter to every row; ``"cycle"`` (default) uses ``row % 5`` so a
+    round-trip exercises all five filter codecs in one payload."""
+    import zlib
+
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        color_type, ch = 0, 1
+        h, w = pixels.shape
+        flat = pixels.reshape(h, w, 1)
+    elif pixels.ndim == 3 and pixels.shape[2] in (2, 3, 4):
+        ch = pixels.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
+        h, w = pixels.shape[:2]
+        flat = pixels
+    else:
+        raise ValueError("encode_png expects (H,W), (H,W,2|3|4) uint8")
+    stride = w * ch
+    rows = flat.reshape(h, stride).astype(np.int16)
+    prev = np.zeros(stride, np.int16)
+    out = bytearray()
+    for r in range(h):
+        cur = rows[r]
+        ft = (r % 5) if filters == "cycle" else int(filters)
+        left = np.zeros(stride, np.int16)
+        left[ch:] = cur[:-ch]
+        ul = np.zeros(stride, np.int16)
+        ul[ch:] = prev[:-ch]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        elif ft == 4:
+            filt = cur - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {filters!r}")
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int16 lanes."""
+    p = left + up - ul
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - ul)
+    return np.where((pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, up, ul))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (H, W) for gray, (H, W, C) otherwise
+    (palette images expand to RGB).  8-bit depth, no interlace; all five
+    scanline filters.  Unfiltering is vectorized per row — Sub is a
+    per-lane cumulative sum, Up is one vector add; Average/Paeth walk
+    pixels (<= W steps) with the byte lanes vectorized."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    data = raw[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), np.int16)
+    prev = np.zeros(stride, np.int16)
+    for r in range(h):
+        ft = ftypes[r]
+        cur = data[r]
+        if ft == 0:
+            row = cur
+        elif ft == 1:  # Sub = cumulative sum along pixel lanes, mod 256
+            row = (np.cumsum(cur.reshape(-1, ch).astype(np.int64), axis=0)
+                   % 256).reshape(stride).astype(np.int16)
+        elif ft == 2:
+            row = (cur + prev) % 256
+        elif ft in (3, 4):
+            row = np.empty(stride, np.int16)
+            px = cur.reshape(-1, ch)
+            up = prev.reshape(-1, ch)
+            rw = row.reshape(-1, ch)
+            left = np.zeros(ch, np.int16)
+            ul = np.zeros(ch, np.int16)
+            for j in range(px.shape[0]):
+                if ft == 3:
+                    rw[j] = (px[j] + (left + up[j]) // 2) % 256
+                else:
+                    rw[j] = (px[j] + _paeth(left, up[j], ul)) % 256
+                left = rw[j]
+                ul = up[j]
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} at row {r}")
+        recon[r] = row
+        prev = row
+    px = recon.astype(np.uint8)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px.reshape(h, w)]
+    if ch == 1:
+        return px.reshape(h, w)
+    return px.reshape(h, w, ch)
+
+
+# ---------------------------------------------------------------------------
 # Format sniffing
 # ---------------------------------------------------------------------------
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'mjbm' | 'unknown' from magic."""
+    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'mjbm' | 'unknown'."""
     if payload[:4] == b"MJBM":
         return "mjbm"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":

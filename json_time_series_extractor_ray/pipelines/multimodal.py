@@ -2,11 +2,12 @@
 
 Images / audio / video ride through the engine as ``binary`` columns with
 typed metadata columns beside them.  Decode and resize are REAL for the
-uncompressed container formats parseable without codec libraries — BMP
-(24-bit BI_RGB), binary PPM/PGM, 16-bit PCM WAV
-(``functions/mediacodecs.py``) — selected per payload by magic-byte
-sniffing; compressed formats (JPEG/PNG/MP3/H.264) raise
-``NotImplementedError`` at decode time (explicit environment stub).
+formats parseable without codec libraries — BMP (24-bit BI_RGB), binary
+PPM/PGM, 16-bit PCM WAV, and PNG (stdlib zlib + the five scanline
+filters) (``functions/mediacodecs.py``) — selected per payload by
+magic-byte sniffing; the remaining compressed formats (JPEG/MP3/H.264)
+raise ``NotImplementedError`` at decode time (explicit environment
+stub).
 Video frame sampling is REAL for the MJBM container (length-prefixed
 BMP frames, ``functions.mediacodecs.encode_mjbm``); compressed video
 containers raise, and ``fake=True`` keeps the container-free
@@ -35,9 +36,11 @@ import pyarrow as pa
 
 from ..functions.mediacodecs import (
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     sniff_format,
@@ -111,8 +114,9 @@ def fake_decode(payload: bytes, kind: str) -> dict:
 
 def real_decode(payload: bytes) -> dict:
     """Decode one real payload by magic-byte sniffing (BMP / PPM / PGM /
-    WAV).  Compressed formats raise ``NotImplementedError`` — the
-    explicit environment stub the fake path substitutes for."""
+    PNG / WAV).  Remaining compressed formats raise
+    ``NotImplementedError`` — the explicit environment stub the fake
+    path substitutes for."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         px = decode_bmp(payload)
@@ -124,6 +128,11 @@ def real_decode(payload: bytes) -> dict:
         raw = px.tobytes()
         h, w = px.shape[:2]
         sr = dur = 0
+    elif fmt == "png":
+        px = decode_png(payload)
+        raw = px.tobytes()
+        h, w = px.shape[:2]
+        sr = dur = 0
     elif fmt == "wav":
         d = decode_wav(payload)
         raw = d["samples"].tobytes()
@@ -132,9 +141,9 @@ def real_decode(payload: bytes) -> dict:
     else:
         raise NotImplementedError(
             f"no decoder for payload format {fmt!r}: compressed media "
-            "codecs (JPEG/PNG/MP3/H.264) are not present in this "
-            "environment — decodable formats are BMP/PPM/PGM/WAV, or use "
-            "DecodeStage(fake=True) for the deterministic stand-in"
+            "codecs (JPEG/MP3/H.264) are not present in this "
+            "environment — decodable formats are BMP/PPM/PGM/PNG/WAV, or "
+            "use DecodeStage(fake=True) for the deterministic stand-in"
         )
     view = np.frombuffer(raw[:65536], dtype=np.uint8).astype(np.float64)
     feats = np.array(
@@ -147,6 +156,10 @@ def real_decode(payload: bytes) -> dict:
         "sample_rate": sr,
         "duration_ms": dur,
         "decoded_bytes": len(raw),
+        # Exact sum of the decoded raw bytes — a VALUE-level pin: when
+        # payload pixels follow a SQL-expressible rule (media_decode_png)
+        # the oracle recomputes this sum and the driver hashes it.
+        "raw_sum": int(np.frombuffer(raw, np.uint8).sum(dtype=np.int64)),
         "features": feats,
     }
 
@@ -171,12 +184,12 @@ class DecodeStage:
         kinds = batch.column("kind").to_pylist()
         cols = {k: [] for k in ("checksum", "width", "height",
                                 "sample_rate", "duration_ms", "n_bytes",
-                                "decoded_bytes", "features")}
+                                "decoded_bytes", "raw_sum", "features")}
         for payload, kind in zip(payloads, kinds):
             if self.fake:
                 d = fake_decode(payload, kind)
                 d.update(sample_rate=0, duration_ms=0,
-                         decoded_bytes=d["n_bytes"])
+                         decoded_bytes=d["n_bytes"], raw_sum=0)
             else:
                 d = real_decode(payload)
                 d["n_bytes"] = len(payload)
@@ -187,6 +200,7 @@ class DecodeStage:
             cols["duration_ms"].append(d["duration_ms"])
             cols["n_bytes"].append(d["n_bytes"])
             cols["decoded_bytes"].append(d["decoded_bytes"])
+            cols["raw_sum"].append(d["raw_sum"])
             cols["features"].append(d["features"][: self.feature_dim])
         return pa.table(
             {
@@ -199,6 +213,7 @@ class DecodeStage:
                 "duration_ms": pa.array(cols["duration_ms"], pa.int32()),
                 "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
                 "decoded_bytes": pa.array(cols["decoded_bytes"], pa.int64()),
+                "raw_sum": pa.array(cols["raw_sum"], pa.int64()),
                 "features": pa.array(
                     [np.asarray(f).tolist() for f in cols["features"]],
                     pa.list_(pa.float64())
@@ -252,6 +267,9 @@ class ResizeStage:
                                              self.width, self.height))
         if fmt in ("ppm", "pgm"):
             return encode_ppm(resize_nearest(decode_ppm(payload),
+                                             self.width, self.height))
+        if fmt == "png":
+            return encode_png(resize_nearest(decode_png(payload),
                                              self.width, self.height))
         raise NotImplementedError(
             f"no resize for payload format {fmt!r}: only BMP/PPM/PGM are "
@@ -561,6 +579,91 @@ register(
            CAST(CASE WHEN doc_id % 2 = 0 THEN 3 * side * side
                      ELSE 2 * n END AS BIGINT) AS decoded_bytes
     FROM s
+    """,
+)
+
+
+def synthesize_png_table(doc_ids, sizes) -> pa.Table:
+    """Deterministic PNG media rows: side = isqrt(min(max(n,1), 4096)),
+    pixel[r, c, ch] = (doc_id + r) % 256 (row-constant), encoded with the
+    per-row CYCLING filter (row % 5) so one payload exercises every
+    scanline filter.  The pixel rule is SQL-expressible, so the decoded
+    byte SUM — not just the header dims — oracles exactly."""
+    payloads = []
+    sides = []
+    for doc_id, size in zip(doc_ids, sizes):
+        n = min(max(int(size), 1), MAX_REAL_MEDIA)
+        side = max(math.isqrt(n), 1)
+        r = (int(doc_id) + np.arange(side, dtype=np.int64)) % 256
+        px = np.broadcast_to(
+            r.astype(np.uint8)[:, None, None], (side, side, 3))
+        payloads.append(encode_png(px, filters="cycle"))
+        sides.append(side)
+    return pa.table(
+        {
+            "media_id": pa.array([str(d) for d in doc_ids], pa.string()),
+            "kind": pa.array(["image"] * len(payloads), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(sides, pa.int32()),
+            "height": pa.array(sides, pa.int32()),
+            "sample_rate": pa.array([0] * len(payloads), pa.int32()),
+            "duration_ms": pa.array([0] * len(payloads), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _media_decode_png(sf_dir: str):
+    """REAL PNG decode through the driver gate (round-3 verdict item 2,
+    closing one compressed-format stub): synthesized PNGs — zlib deflate,
+    all five scanline filters cycling per row — run the production
+    ``DecodeStage()`` and the decoded dims, byte count AND exact pixel
+    byte sum must match the SQL rules the synthesis derives from
+    (doc_id, n_chars)."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_png_table(
+            batch.column("doc_id").to_pylist(),
+            batch.column("n_chars").to_pylist(),
+        )
+
+    media = docs.map_batches(_synth, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    decoded = decode_media_dataset(media, avg_payload_bytes=8192,
+                                   concurrency=(1, 2), fake=False)
+    return decoded.select_columns(
+        ["media_id", "width", "height", "decoded_bytes", "raw_sum"])
+
+
+register(
+    "media_decode_png",
+    _media_decode_png,
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               GREATEST(CAST(floor(sqrt(LEAST(GREATEST(n_chars, 1),
+                                              {MAX_REAL_MEDIA}))) AS INTEGER),
+                        1) AS side
+        FROM documents
+    ),
+    rowsum AS (
+        SELECT doc_id, side,
+               CAST(sum((doc_id + g) % 256) AS BIGINT) AS s
+        FROM (SELECT doc_id, side, unnest(range(0, CAST(side AS BIGINT))) AS g
+              FROM m)
+        GROUP BY doc_id, side
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(side AS INTEGER) AS width,
+           CAST(side AS INTEGER) AS height,
+           CAST(3 * side * side AS BIGINT) AS decoded_bytes,
+           CAST(3 * side * s AS BIGINT) AS raw_sum
+    FROM rowsum
     """,
 )
 

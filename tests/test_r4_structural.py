@@ -113,3 +113,153 @@ class TestQ16FullShape:
                 == oracle["supplier_cnt"]).all()
         assert (ours.reset_index(drop=True)["p_brand"]
                 == oracle["p_brand"]).all()
+
+
+class TestPngCodec:
+    """PNG decode (round-3 verdict item 2): round-trips, hand-built spec
+    vectors (decoder validated independently of the encoder), loud
+    rejections, and the driver pipeline's pixel-sum rule."""
+
+    def test_roundtrip_all_filters_and_color_types(self):
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_png, encode_png, sniff_format)
+
+        rng = np.random.default_rng(7)
+        for shape in [(13, 9), (8, 8, 3), (5, 17, 4), (1, 1, 3), (3, 2, 2)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for f in ("cycle", 0, 1, 2, 3, 4):
+                b = encode_png(px, filters=f)
+                assert sniff_format(b) == "png"
+                out = decode_png(b)
+                assert out.shape == px.shape and (out == px).all()
+
+    def test_decoder_against_hand_built_spec_vectors(self):
+        """IDAT assembled by hand from RFC 2083 filter math — catches a
+        symmetric encoder/decoder bug a round-trip cannot."""
+        import struct
+        import zlib
+
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            _png_chunk, decode_png)
+
+        # 2x2 RGB: row0 = (10,20,30),(15,25,35)  row1 = (110,120,130) x2
+        # row0 filter 1 (Sub):  raw = 10 20 30, then cur-left = 5 5 5
+        # row1 filter 2 (Up):   cur-up = 100 100 100, 95 95 95
+        scan = (b"\x01" + bytes([10, 20, 30, 5, 5, 5])
+                + b"\x02" + bytes([100, 100, 100, 95, 95, 95]))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(scan))
+                   + _png_chunk(b"IEND", b""))
+        out = decode_png(payload)
+        expect = np.array([[[10, 20, 30], [15, 25, 35]],
+                           [[110, 120, 130], [110, 120, 130]]], np.uint8)
+        assert (out == expect).all()
+
+        # 1x3 gray, filter 4 (Paeth): first px pred=0 -> raw 50; second
+        # left=50,up=0,ul=0 -> p=50, pa=0 -> pred=left -> raw = 7
+        # third: left=57 -> raw = 200-57=143
+        scan = b"\x04" + bytes([50, 7, 143])
+        ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(scan))
+                   + _png_chunk(b"IEND", b""))
+        out = decode_png(payload)
+        assert (out == np.array([[50, 57, 200]], np.uint8)).all()
+
+        # 1x2 gray, filter 3 (Average): px0 pred floor((0+0)/2)=0 -> 90;
+        # px1 pred floor((90+0)/2)=45 -> raw 200 -> (200+45)%256 = 245
+        scan = b"\x03" + bytes([90, 200])
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(scan))
+                   + _png_chunk(b"IEND", b""))
+        assert (decode_png(payload) == np.array([[90, 245]], np.uint8)).all()
+
+    def test_palette_png_decodes_to_rgb(self):
+        import struct
+        import zlib
+
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            _png_chunk, decode_png)
+
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+        scan = b"\x00" + bytes([2, 0]) + b"\x00" + bytes([1, 1])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"PLTE", plte)
+                   + _png_chunk(b"IDAT", zlib.compress(scan))
+                   + _png_chunk(b"IEND", b""))
+        out = decode_png(payload)
+        expect = np.array([[[0, 0, 255], [255, 0, 0]],
+                           [[0, 255, 0], [0, 255, 0]]], np.uint8)
+        assert (out == expect).all()
+
+    def test_loud_rejections(self):
+        import struct
+        import zlib
+
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            _png_chunk, decode_png, encode_png)
+
+        px = np.zeros((2, 2, 3), np.uint8)
+        good = encode_png(px)
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"BM" + good)
+        # flip one IDAT byte -> CRC mismatch
+        bad = bytearray(good)
+        idat_at = good.index(b"IDAT")
+        bad[idat_at + 6] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))
+        # interlaced header rejected
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                   + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_png(payload)
+        # 16-bit depth rejected
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+                   + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(payload)
+
+    def test_real_decode_routes_png(self):
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            encode_png)
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            real_decode)
+
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        d = real_decode(encode_png(px))
+        assert (d["width"], d["height"]) == (4, 4)
+        assert d["decoded_bytes"] == 48
+        assert d["raw_sum"] == int(px.sum())
+
+    def test_resize_real_handles_png(self):
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_png, encode_png)
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            ResizeStage, resize_nearest)
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+        out = ResizeStage(4, 8)._resize_real(encode_png(px))
+        assert (decode_png(out) == resize_nearest(px, 4, 8)).all()
+
+    def test_driver_pixel_sum_rule(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            synthesize_png_table)
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_png)
+
+        t = synthesize_png_table([254, 7], [4096, 100])
+        for i, (doc_id, n) in enumerate([(254, 4096), (7, 100)]):
+            side = int(np.sqrt(n))
+            px = decode_png(t.column("payload")[i].as_py())
+            assert px.shape == (side, side, 3)
+            expect = 3 * side * int(((doc_id + np.arange(side)) % 256).sum())
+            assert int(px.sum()) == expect

@@ -642,8 +642,10 @@ class TestMultimodalStages:
             ResizeStage,
         )
 
+        # JPEG magic: PNG is a real codec now, so the compressed-stub
+        # rejection is pinned on a format that stays stubbed.
         with pytest.raises(NotImplementedError, match="unknown"):
-            ResizeStage(8, 8)._resize_real(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+            ResizeStage(8, 8)._resize_real(b"\xff\xd8\xff\xe0" + b"\0" * 32)
 
 
 class TestDistributedDelegates:
