@@ -4,10 +4,11 @@ No image/audio libraries exist in this container, but these formats
 need none: BMP (BITMAPINFOHEADER, BI_RGB 24-bit) and PPM/PGM (binary
 P6/P5) are header + raw pixel rows, WAV PCM decodes with the stdlib
 ``wave`` module, and PNG is CRC-framed chunks + stdlib ``zlib`` deflate
-+ the five RFC 2083 scanline filters (implemented below).  These make
-the engine's media stages REAL for those formats; the remaining
-compressed formats (JPEG/MP3/H.264) stay explicit
-``NotImplementedError`` stubs in ``pipelines/multimodal.py``.
++ the five RFC 2083 scanline filters (implemented below).  Baseline
+JPEG lives in the sibling module ``jpegcodec.py``.  These make the
+engine's media stages REAL for those formats; the remaining compressed
+formats (MP3/H.264) stay explicit ``NotImplementedError`` stubs in
+``pipelines/multimodal.py``.
 
 All decoders return numpy arrays; all encoders are deterministic byte
 producers (used to synthesize test/driver payloads).
@@ -353,11 +354,13 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'mjbm' | 'unknown'."""
+    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'jpeg' | 'mjbm' | 'unknown'."""
     if payload[:4] == b"MJBM":
         return "mjbm"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:2] == b"\xFF\xD8":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":

@@ -425,8 +425,9 @@ class TestMultimodal:
         assert media_batch_size(1) >= 1
 
     def test_compressed_formats_still_stubbed(self):
-        """Real mode decodes BMP/PPM/WAV; a compressed payload (JPEG
-        magic) must raise the explicit environment stub at decode time."""
+        """Real mode decodes BMP/PPM/WAV/PNG/JPEG; a compressed AUDIO
+        payload (MP3/ID3 magic — still no codec) must raise the explicit
+        environment stub at decode time."""
         import pyarrow as pa
 
         from json_time_series_extractor_ray.pipelines.multimodal import (
@@ -434,11 +435,11 @@ class TestMultimodal:
         )
 
         stage = DecodeStage()  # real mode constructs fine now
-        jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+        mp3_ish = b"ID3\x04\x00\x00" + b"\x00" * 64
         batch = pa.table({
             "media_id": pa.array(["x"], pa.string()),
             "kind": pa.array(["image"], pa.string()),
-            "payload": pa.array([jpeg_ish], pa.large_binary()),
+            "payload": pa.array([mp3_ish], pa.large_binary()),
             "width": pa.array([0], pa.int32()),
             "height": pa.array([0], pa.int32()),
             "sample_rate": pa.array([0], pa.int32()),
@@ -642,10 +643,11 @@ class TestMultimodalStages:
             ResizeStage,
         )
 
-        # JPEG magic: PNG is a real codec now, so the compressed-stub
-        # rejection is pinned on a format that stays stubbed.
+        # MP3/ID3 magic: PNG and JPEG are real codecs now, so the
+        # compressed-stub rejection is pinned on a format that stays
+        # stubbed (no audio codec in this container).
         with pytest.raises(NotImplementedError, match="unknown"):
-            ResizeStage(8, 8)._resize_real(b"\xff\xd8\xff\xe0" + b"\0" * 32)
+            ResizeStage(8, 8)._resize_real(b"ID3\x04\x00\x00" + b"\0" * 32)
 
 
 class TestDistributedDelegates:
