@@ -1226,3 +1226,139 @@ def _q_hll_cascade(sf_dir: str):
 
 
 register("events_hll_1d_cascade", _q_hll_cascade)  # approximate -> rows-only
+
+
+#: 3-sigma band for the tier cascade's p=8 registers (se = 1.04/sqrt(256))
+HLL_TIER_3SIGMA = 3 * 1.04 / ((1 << HLL_TIER_P) ** 0.5)
+
+
+def _q_hll_1d_vs_exact(sf_dir: str):
+    """Structural oracle for the per-day HLL cascade (round-4: shrink the
+    rows-only surface): the EXACT per-day distinct-user count
+    (SQL-checkable) next to driver-hashed guarantee flags — the cascaded
+    and direct register paths agree register-exactly, and the estimate
+    lands within 3 sigma of the exact count.  A silent bug in the
+    register merge or the rank extraction flips a hashed flag."""
+    import ray
+
+    from .tpch import _sharded_distinct
+
+    casc = _q_hll_cascade(sf_dir).to_pandas()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def _day_user(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("ns")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // DAY_NS_HLL * DAY_NS_HLL
+        return pa.table({
+            "day_ns": pa.array(day, pa.int64()),
+            "user_id": batch.column("user_id"),
+        })
+
+    exact = (
+        _sharded_distinct(ds.map_batches(_day_user, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          ["day_ns", "user_id"], "user_id")
+        .groupby("day_ns").count().to_pandas()
+        .rename(columns={"count()": "exact_distinct"})
+    )
+    m = casc.merge(exact, left_on="day_ns", right_on="day_ns", how="outer")
+    ok = ((m["est_direct"] - m["exact_distinct"]).abs()
+          <= HLL_TIER_3SIGMA * m["exact_distinct"])
+    m = m.sort_values("day_ns")
+    return pa.table({
+        "day_ns": pa.array(m["day_ns"].astype("int64"), pa.int64()),
+        "exact_distinct": pa.array(m["exact_distinct"].astype("int64"),
+                                   pa.int64()),
+        "registers_equal": pa.array(m["registers_equal"].astype(bool),
+                                    pa.bool_()),
+        "hll_within_3sigma": pa.array(ok.astype(bool), pa.bool_()),
+    })
+
+
+register(
+    "events_hll_1d_vs_exact",
+    _q_hll_1d_vs_exact,
+    """
+    SELECT CAST(epoch_ns(date_trunc('day', ts)) AS BIGINT) AS day_ns,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS registers_equal,
+           TRUE AS hll_within_3sigma
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+
+
+def _q_quantile_vs_exact(sf_dir: str):
+    """Structural oracle for the mergeable quantile sketch: per
+    event_type the EXACT row count (SQL-checkable) plus driver-hashed
+    flags that each sketch percentile's TRUE rank interval
+    [count(v < est), count(v <= est)] intersects the guaranteed window
+    pct*n ± (n/(2*cap) + 2) — the sketch's own rank-error bound
+    (``qsketch_compress`` docstring) made driver-visible."""
+    import ray
+
+    est = _q_quantile_sketch(sf_dir).to_pandas().set_index("event_type")
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    # one pass: per (key, pct) partial counts of v < est and v <= est
+    est_map = {k: [float(est.loc[k, f"p{int(p * 100)}"]) for p in PCTS]
+               for k in est.index}
+
+    def _ranks(batch: pa.Table) -> pa.Table:
+        df = pa.table({"k": batch.column("event_type"),
+                       "v": batch.column("value")}).to_pandas()
+        rows = []
+        for k, g in df.groupby("k", sort=False):
+            v = g["v"].to_numpy(dtype=np.float64)
+            for pi, q in enumerate(est_map.get(k, [])):
+                rows.append((k, pi, int((v < q).sum()),
+                             int((v <= q).sum()), len(v)))
+        return pa.table({
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "pi": pa.array([r[1] for r in rows], pa.int32()),
+            "lt": pa.array([r[2] for r in rows], pa.int64()),
+            "le": pa.array([r[3] for r in rows], pa.int64()),
+            "n": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    parts = pd.DataFrame(ds.map_batches(
+        _ranks, batch_format="pyarrow", zero_copy_batch=True).take_all())
+    agg = parts.groupby(["k", "pi"]).sum().reset_index()
+    out_rows = []
+    for k in sorted(est.index):
+        g = agg[agg["k"] == k].set_index("pi")
+        n = int(g["n"].iloc[0])
+        flags = []
+        for pi, p in enumerate(PCTS):
+            err = n / (2 * QSK_CAP) + 2
+            lo, hi = p * n - err, p * n + err
+            flags.append(bool(g.loc[pi, "le"] >= lo and g.loc[pi, "lt"] <= hi))
+        out_rows.append((k, n, *flags))
+    cols = list(zip(*out_rows))
+    names = ["event_type", "n"] + [f"p{int(p * 100)}_rank_ok" for p in PCTS]
+    arrays = [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.int64())]
+    arrays += [pa.array(c, pa.bool_()) for c in cols[2:]]
+    return pa.table(dict(zip(names, arrays)))
+
+
+register(
+    "events_quantile_vs_exact",
+    _q_quantile_vs_exact,
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)

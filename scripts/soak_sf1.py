@@ -1,0 +1,132 @@
+"""sf1 (10x sf0.1) soak: headline + the 5 slowest bench queries at 32
+CPUs (round-3 verdict item 8).
+
+Validates that the engine's memory-bounded claims (bounded combiners,
+8 MB blocks, broadcast guards) hold when the input no longer fits the
+page cache.  Scratch data lives under /tmp (the driver testdata dirs
+are read-only); scaled tables are synthesized deterministically from
+sf0.1 by key-offset replication so join cardinalities and key
+distributions scale 10x while dimension tables (nation/region) stay
+fixed — the realistic web-scale shape (fact tables grow, dims don't).
+
+Usage:
+    python scripts/soak_sf1.py build   # ~1 min, writes /tmp/jtse_sf1
+    python scripts/soak_sf1.py run     # the 5 slowest r3 bench queries
+    python scripts/soak_sf1.py all     # build (if needed) + run
+
+The 60M-doc headline soak runs through bench.py directly:
+    JTSE_BENCH_DOCS=60000000 python bench.py --headline-only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/jtse_sf1"
+REPLICAS = 10
+
+# Clean per-replica key offsets (next power of 10 above the sf0.1 max)
+OFFSETS = {
+    "lineitem": {"l_orderkey": 1_000_000, "l_suppkey": 10_000},
+    "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
+    "customer": {"c_custkey": 100_000},
+    "supplier": {"s_suppkey": 10_000},
+    "events": {"event_id": 1_000_000, "user_id": 100_000},
+}
+#: tables the soak queries never grow — linked through unchanged
+PASSTHROUGH = ("region", "nation", "part", "documents", "embeddings")
+
+#: the 5 slowest queries of the round-3 full bench (BENCH_r03.json)
+SOAK_QUERIES = (
+    "returned_item_revenue",
+    "revenue_by_nation",
+    "events_psi_drift",
+    "large_volume_orders",
+    "local_supplier_volume",
+)
+
+
+def build() -> None:
+    # Single parquet FILE per table (matching the testdata layout —
+    # several queries read schemas via pyarrow directly, which rejects
+    # directories), streamed row-group-by-row-group so peak memory is
+    # one source row group x REPLICAS.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+    for table in PASSTHROUGH:
+        link = f"{DST}/{table}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{table}.parquet", link)
+    for table, offsets in OFFSETS.items():
+        out_path = f"{DST}/{table}.parquet"
+        if os.path.exists(out_path) and not os.path.isdir(out_path):
+            continue
+        if os.path.isdir(out_path):  # leftover from an older layout
+            import shutil
+            shutil.rmtree(out_path)
+        src = pq.ParquetFile(f"{SRC}/{table}.parquet")
+        tmp = out_path + ".tmp"
+        with pq.ParquetWriter(tmp, src.schema_arrow) as writer:
+            for rg in range(src.metadata.num_row_groups):
+                batch = src.read_row_group(rg)
+                for i in range(REPLICAS):
+                    t = batch
+                    for col, off in offsets.items():
+                        t = t.set_column(
+                            t.schema.get_field_index(col), col,
+                            pc.add(t.column(col),
+                                   pa.scalar(i * off, pa.int64())))
+                    writer.write_table(t)
+        os.replace(tmp, out_path)
+        print(f"built {table} x{REPLICAS}", file=sys.stderr)
+
+
+def run(num_cpus: int = 32) -> dict:
+    import ray
+
+    from bench import bench_query, probe_host_memory
+
+    probe = probe_host_memory()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False)
+        ray.data.DataContext.get_current().target_max_block_size = (
+            8 * 1024 * 1024)
+    results = {}
+    for name in SOAK_QUERIES:
+        t0 = time.perf_counter()
+        r = bench_query(name, DST)
+        results[name] = {**r, "total_sec": round(time.perf_counter() - t0, 3)}
+        print(f"{name}: {r}", file=sys.stderr)
+    out = {
+        "metric": "sf1_soak_5_slowest",
+        "sf": 1.0,
+        "num_cpus": num_cpus,
+        "replicas": REPLICAS,
+        "queries": {k: v["sec"] for k, v in results.items()},
+        "rows": {k: v["rows"] for k, v in results.items()},
+        "host_probe": probe,
+    }
+    return out
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("build", "all"):
+        build()
+    if mode in ("run", "all"):
+        print(json.dumps(run()))
+
+
+if __name__ == "__main__":
+    main()

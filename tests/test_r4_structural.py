@@ -263,3 +263,29 @@ class TestPngCodec:
             assert px.shape == (side, side, 3)
             expect = 3 * side * int(((doc_id + np.arange(side)) % 256).sum())
             assert int(px.sum()) == expect
+
+
+class TestHll1dVsExact:
+    def test_flags_and_exact_counts(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            _q_hll_1d_vs_exact)
+
+        t = _q_hll_1d_vs_exact(SF)
+        assert t.num_rows > 0
+        assert all(t.column("registers_equal").to_pylist())
+        assert all(t.column("hll_within_3sigma").to_pylist())
+        days = t.column("day_ns").to_pylist()
+        assert days == sorted(days)
+        assert min(t.column("exact_distinct").to_pylist()) > 0
+
+
+class TestQuantileVsExact:
+    def test_rank_flags(self, ray_session):
+        from json_time_series_extractor_ray.pipelines.sketches import (
+            _q_quantile_vs_exact)
+
+        t = _q_quantile_vs_exact(SF)
+        assert t.num_rows > 0
+        for col in ("p50_rank_ok", "p90_rank_ok", "p99_rank_ok"):
+            assert all(t.column(col).to_pylist()), col
+        assert min(t.column("n").to_pylist()) > 0
