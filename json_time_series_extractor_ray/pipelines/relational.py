@@ -563,15 +563,19 @@ def _nation_rev_merge(joined_ds):
 
 
 def _q_revenue_by_nation(sf_dir: str):
-    """TPC-H Q5-style join tree: lineitem ⋈ orders ⋈ customer (two bounded
-    shuffle joins) ⋈ nation (broadcast) → 25-row aggregate.  Revenue is
-    summed raw and rounded to 2 digits — cents precision, and a margin
-    ~200x wider than cross-engine summation-order noise at sf0.1."""
+    """TPC-H Q5-style join tree: lineitem ⋈ orders (the ONE fact-x-fact
+    shuffle) ⋈ customer->nation (guarded broadcast map, round-4: this was
+    a second full shuffle and the query grew 6.7x at 10x facts in the
+    sf1 soak) ⋈ nation names (25-row broadcast) → 25-row aggregate.
+    Revenue is summed raw and rounded to 2 digits — cents precision, and
+    a margin ~200x wider than cross-engine summation-order noise at
+    sf0.1.  ``_dim_map``'s MAX_BROADCAST_DIM_ROWS guard names the
+    shuffle_join fallback if customer ever outgrows a broadcast."""
     import pyarrow.compute as pc
     import ray
 
     from .enrich import broadcast_join
-    from .joins import join_output_schema, parquet_schema, shuffle_join
+    from .joins import parquet_schema, shuffle_join
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -597,22 +601,15 @@ def _q_revenue_by_nation(sf_dir: str):
     ])
     orders_schema = parquet_schema(
         f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
-    cust_schema = parquet_schema(
-        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"])
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     j1 = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                       left_schema=li_schema, right_schema=orders_schema)
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    j2 = shuffle_join(
-        j1, cust, on="o_custkey", right_on="c_custkey",
-        left_schema=join_output_schema(li_schema, orders_schema,
-                                       on="l_orderkey",
-                                       right_on="o_orderkey"),
-        right_schema=cust_schema)
+    cust_map = _dim_map(f"{sf_dir}/customer.parquet", "c_custkey",
+                        "c_nationkey", None)
+    j2 = broadcast_join(j1, cust_map, key="o_custkey",
+                        value_name="c_nationkey", value_type=pa.int64())
 
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -1284,6 +1281,15 @@ def _q_local_supplier_volume(sf_dir: str):
       previous shape ran customer and supplier as two MORE chained
       shuffles; at bench scale each extra sort barrier cost ~8 s of pure
       orchestration against <0.2 s of compute);
+    * BEFORE that shuffle, both exchanges shrink semi-join-style
+      (round-4 sf1-soak follow-up — Q5 grew 7x at 10x facts because the
+      full fact tables were exchanged): lineitem drops rows whose
+      supplier is outside the region (exact ``is_in`` against the
+      already-broadcast supplier keys, ~1/R of rows survive) and rows
+      whose orderkey misses a 2 MiB bloom of the date+region-pruned
+      orderkeys (FPs fall out in the exact join); orders drops rows
+      whose customer is outside the region.  The shuffle then moves the
+      ~date-fraction/R^2 of each side that can contribute;
     * the same-nation constraint is a vectorized post-lookup filter, and
       nation names attach via a 5-row broadcast lookup.
     """
@@ -1310,17 +1316,31 @@ def _q_local_supplier_volume(sf_dir: str):
     import datetime as _dt
     lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
     hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-        filter=(pads.field("o_orderdate") >= lo)
-        & (pads.field("o_orderdate") < hi),
-    )
+    def _orders():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+            filter=(pads.field("o_orderdate") >= lo)
+            & (pads.field("o_orderdate") < hi),
+        )
+
+    cust_keys = pa.array(sorted(cust_map), pa.int64())
+
+    def _ord_prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("o_custkey"),
+                                     value_set=cust_keys))
+
+    orders = _orders().map_batches(_ord_prune, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
+    supp_keys = pa.array(sorted(supp_map), pa.int64())
+
     def _rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("l_suppkey"),
+                                      value_set=supp_keys))
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
@@ -1329,6 +1349,18 @@ def _q_local_supplier_volume(sf_dir: str):
                          "rev": rev})
 
     li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    # semi-join prune of the big exchange side: 2 MiB bloom of the
+    # surviving orderkeys, broadcast once; false positives are dropped
+    # by the exact join, so the result is value-identical
+    from .sketches import bloom_build, bloom_filter_out
+
+    li = bloom_filter_out(
+        li,
+        bloom_build(_orders().map_batches(_ord_prune,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                    column="o_orderkey", m_bits=1 << 24),
+        column="l_orderkey", m_bits=1 << 24, keep="member")
     lp = f"{sf_dir}/lineitem.parquet"
     li_schema = pa.schema([
         ("l_orderkey", parquet_schema(lp, ["l_orderkey"])
@@ -1814,7 +1846,10 @@ def returned_item_revenue(sf_dir: str, *, top_n: int = Q10_TOP_N):
 
     Scale shape: both selective predicates run AT THE READ (the date
     range prunes orders row-groups, the returnflag equality prunes
-    lineitem), so the orderkey shuffle join moves only the returned
+    lineitem), and a 2 MiB bloom of the quarter's orderkeys drops the
+    ~7/8 of returned lineitems whose order is outside the window BEFORE
+    the exchange (round-4 sf1-soak follow-up; FPs fall out in the exact
+    join), so the orderkey shuffle join moves only the returned
     lineitems of one quarter's orders; a per-block (custkey, rev)
     combiner + one custkey shard-merge collapse that to one row per
     customer BEFORE the customer-attribute join; nation names attach
@@ -1832,11 +1867,15 @@ def returned_item_revenue(sf_dir: str, *, top_n: int = Q10_TOP_N):
     import datetime as _dt
     lo = _dt.datetime.fromisoformat(Q10_DATE_LO)
     hi = _dt.datetime.fromisoformat(Q10_DATE_HI)
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-        filter=(pads.field("o_orderdate") >= lo)
-        & (pads.field("o_orderdate") < hi),
-    )
+
+    def _orders():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+            filter=(pads.field("o_orderdate") >= lo)
+            & (pads.field("o_orderdate") < hi),
+        )
+
+    orders = _orders()
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -1851,6 +1890,11 @@ def returned_item_revenue(sf_dir: str, *, top_n: int = Q10_TOP_N):
                          "rev": rev})
 
     li = li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True)
+    from .sketches import bloom_build, bloom_filter_out
+
+    li = bloom_filter_out(
+        li, bloom_build(_orders(), column="o_orderkey", m_bits=1 << 24),
+        column="l_orderkey", m_bits=1 << 24, keep="member")
     li_schema = pa.schema([
         ("l_orderkey", parquet_schema(f"{sf_dir}/lineitem.parquet",
                                       ["l_orderkey"]).field("l_orderkey")
