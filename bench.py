@@ -283,6 +283,10 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("sales_opportunity", sf_dir)),
             ("media_decode_real",
              lambda: bench_query("media_decode_real", sf_dir)),
+            ("media_decode_png",
+             lambda: bench_query("media_decode_png", sf_dir)),
+            ("media_decode_jpeg",
+             lambda: bench_query("media_decode_jpeg", sf_dir)),
             ("part_name_near_pairs",
              lambda: bench_query("part_name_near_pairs", sf_dir)),
             ("doc_readability",

@@ -9,10 +9,17 @@ sf0.1 by key-offset replication so join cardinalities and key
 distributions scale 10x while dimension tables (nation/region) stay
 fixed — the realistic web-scale shape (fact tables grow, dims don't).
 
+The document/embedding replicas keep their text/vectors VERBATIM (only
+doc_id offsets), so every document is a 10-way exact duplicate — a
+deliberate duplication-stress shape (web crawls are duplicate-saturated)
+that makes the dedup family's bucket-then-verify stages absorb 10-member
+duplicate groups instead of the near-empty buckets of sf0.1.
+
 Usage:
-    python scripts/soak_sf1.py build   # ~1 min, writes /tmp/jtse_sf1
-    python scripts/soak_sf1.py run     # the 5 slowest r3 bench queries
-    python scripts/soak_sf1.py all     # build (if needed) + run
+    python scripts/soak_sf1.py build     # ~1 min, writes /tmp/jtse_sf1
+    python scripts/soak_sf1.py run       # the 5 slowest r3 bench queries
+    python scripts/soak_sf1.py run-docs  # the dedup/ANN family, 10x docs
+    python scripts/soak_sf1.py all      # build (if needed) + run both
 
 The 60M-doc headline soak runs through bench.py directly:
     JTSE_BENCH_DOCS=60000000 python bench.py --headline-only
@@ -39,9 +46,14 @@ OFFSETS = {
     "customer": {"c_custkey": 100_000},
     "supplier": {"s_suppkey": 10_000},
     "events": {"event_id": 1_000_000, "user_id": 100_000},
+    # the document/embedding family: doc_id offsets keep the replicas
+    # distinct (so dedup finds the PLANTED near-dups 10x over, not
+    # cross-replica accidents of id collision)
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
 }
-#: tables the soak queries never grow — linked through unchanged
-PASSTHROUGH = ("region", "nation", "part", "documents", "embeddings")
+#: dimension tables the soak never grows — linked through unchanged
+PASSTHROUGH = ("region", "nation", "part")
 
 #: the 5 slowest queries of the round-3 full bench (BENCH_r03.json)
 SOAK_QUERIES = (
@@ -50,6 +62,16 @@ SOAK_QUERIES = (
     "events_psi_drift",
     "large_volume_orders",
     "local_supplier_volume",
+)
+
+#: document/embedding-family soak set (round-4 extension): the heavy
+#: dedup / textstats / ANN representatives over the 10x corpus
+DOC_SOAK_QUERIES = (
+    "minhash_lsh_dups",
+    "doc_duplicated_spans",
+    "doc_bigram_logprob",
+    "semdedup_flags",
+    "ann_cosine_topk",
 )
 
 
@@ -91,7 +113,8 @@ def build() -> None:
         print(f"built {table} x{REPLICAS}", file=sys.stderr)
 
 
-def run(num_cpus: int = 32) -> dict:
+def run(queries=SOAK_QUERIES, metric: str = "sf1_soak_5_slowest",
+        num_cpus: int = 32) -> dict:
     import ray
 
     from bench import bench_query, probe_host_memory
@@ -103,13 +126,13 @@ def run(num_cpus: int = 32) -> dict:
         ray.data.DataContext.get_current().target_max_block_size = (
             8 * 1024 * 1024)
     results = {}
-    for name in SOAK_QUERIES:
+    for name in queries:
         t0 = time.perf_counter()
         r = bench_query(name, DST)
         results[name] = {**r, "total_sec": round(time.perf_counter() - t0, 3)}
         print(f"{name}: {r}", file=sys.stderr)
     out = {
-        "metric": "sf1_soak_5_slowest",
+        "metric": metric,
         "sf": 1.0,
         "num_cpus": num_cpus,
         "replicas": REPLICAS,
@@ -126,6 +149,8 @@ def main() -> None:
         build()
     if mode in ("run", "all"):
         print(json.dumps(run()))
+    if mode in ("run-docs", "all"):
+        print(json.dumps(run(DOC_SOAK_QUERIES, "sf1_soak_doc_family")))
 
 
 if __name__ == "__main__":
