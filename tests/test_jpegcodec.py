@@ -248,3 +248,18 @@ class TestEngineWiring:
             expect = sum(64 * _dc_round_trip((doc_id + g) % 256)
                          for g in range(b * b))
             assert d["raw_sum"] == expect
+
+
+class TestOddDims420:
+    def test_odd_dims_with_subsampling(self):
+        # h, w not multiples of 16: MCU padding + crop with 4:2:0 chroma
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=90, subsample=True))
+        assert out.shape == (13, 21, 3)
+        # uniform image, odd dims: near-exact through pad/crop
+        flat = np.zeros((13, 21, 3), np.uint8)
+        flat[:] = (64, 180, 30)
+        out2 = decode_jpeg(encode_jpeg(flat, quality=90, subsample=True))
+        err = np.abs(out2.astype(int) - flat.astype(int))
+        assert err.max() <= 6
