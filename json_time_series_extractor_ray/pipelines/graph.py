@@ -172,3 +172,194 @@ def _pagerank_sql(n_iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
 
 
 register("nation_trade_pagerank", _q_trade_pagerank, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# Triangle count / clustering coefficient on the trade graph
+# ---------------------------------------------------------------------------
+
+def triangles_from_edges(edges_df: pd.DataFrame,
+                         *, round_digits: int = 6) -> pd.DataFrame:
+    """Per-node triangle count, degree and local clustering coefficient
+    on the UNDIRECTED simple graph induced by a directed edge list
+    (self-loops dropped, direction and multiplicity collapsed).
+
+    Same scale split as ``pagerank_from_edges``: the fact-table work is
+    the edge aggregation (done upstream, distributed); the solve runs
+    driver-side on the k x k adjacency because k = |nations|.  Counts
+    are exact integers (diag(A^3) / 2); the coefficient is the one float
+    — round-6 of ``2 * tri / (deg * (deg - 1))``, 0 when deg < 2."""
+    src = edges_df["src_nation"].to_numpy(np.int64)
+    dst = edges_df["dst_nation"].to_numpy(np.int64)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    nodes = np.unique(np.r_[a, b])
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    k = len(nodes)
+    A = np.zeros((k, k), dtype=np.int64)
+    for u, v in zip(a, b):
+        A[idx[int(u)], idx[int(v)]] = 1
+        A[idx[int(v)], idx[int(u)]] = 1
+    deg = A.sum(axis=1)
+    tri = np.diag(A @ A @ A) // 2
+    denom = deg * (deg - 1)
+    cc = np.where(denom > 0,
+                  round_half_away(2.0 * tri / np.where(denom > 0, denom, 1)
+                                  .astype(np.float64), round_digits),
+                  0.0)
+    return pd.DataFrame({
+        "n_nationkey": nodes.astype(np.int64),
+        "degree": deg.astype(np.int64),
+        "triangles": tri.astype(np.int64),
+        "clustering": cc.astype(np.float64),
+    })
+
+
+def _q_trade_triangles(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    edges = nation_trade_edges(sf_dir).to_pandas()  # <= k^2 rows, tiny
+    out = triangles_from_edges(edges)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = out.merge(nation, on="n_nationkey", sort=False)
+    return out[["n_nationkey", "n_name", "degree", "triangles",
+                "clustering"]].sort_values("n_nationkey") \
+        .reset_index(drop=True)
+
+
+_TRIANGLES_SQL = """
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    sym AS (
+        SELECT a AS u, b AS v FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+    tri AS (
+        SELECT s1.u AS node, count(*) AS t
+        FROM sym s1
+        JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v
+        JOIN und e3 ON e3.a = s1.v AND e3.b = s2.v
+        GROUP BY 1
+    )
+    SELECT n_nationkey, n_name,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(2.0 * coalesce(tri.t, 0)
+                           / (deg.d * (deg.d - 1.0)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg
+    LEFT JOIN tri ON tri.node = deg.u
+    JOIN nation ON n_nationkey = deg.u
+"""
+
+register("nation_trade_triangles", _q_trade_triangles, _TRIANGLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain
+# ---------------------------------------------------------------------------
+
+MC_ITERS = 20
+
+
+def markov_stationary(counts_df: pd.DataFrame, *, n_iters: int = MC_ITERS,
+                      round_digits: int = 6) -> pd.DataFrame:
+    """Fixed-iteration power method for the stationary distribution of
+    the row-stochastic chain built from (prev_state, next_state, n)
+    transition counts.  Complements ``events_transition_matrix`` (the
+    distributed count build) with the iterative solve, in the PageRank
+    discipline: states sorted, per-edge probability computed as
+    ``n / out_weight`` (one division, then the multiply), distribution
+    rounded to 6 dp after EVERY iteration so both engines feed identical
+    doubles into the next step.  Every state must have out-transitions
+    (asserted — true for the event stream; a general chain would need an
+    absorbing-state rule both engines agree on)."""
+    states = np.unique(np.r_[counts_df["prev_state"].to_numpy(object),
+                             counts_df["next_state"].to_numpy(object)])
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    N = np.zeros((k, k))
+    for p, nx, n in zip(counts_df["prev_state"], counts_df["next_state"],
+                        counts_df["n"]):
+        N[idx[p], idx[nx]] += float(n)
+    ow = N.sum(axis=1)
+    assert (ow > 0).all(), "state with no out-transitions"
+    P = N / ow[:, None]          # row-stochastic: P[i, j] = n_ij / ow_i
+    r = round_half_away(np.full(k, 1.0 / k), round_digits)
+    for _ in range(n_iters):
+        r = round_half_away(P.T @ r, round_digits)
+    return pd.DataFrame({"state": states, "stationary": r})
+
+
+def _q_type_stationary(sf_dir: str):
+    import ray
+
+    from .windows import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    counts = transition_counts(ds, member="user_id", ts="ts",
+                               state_col="event_type",
+                               order_col="event_id").to_pandas()
+    return markov_stationary(counts).sort_values("state") \
+        .reset_index(drop=True)
+
+
+def _stationary_sql(n_iters: int = MC_ITERS) -> str:
+    """Unrolled power iteration (chained CTEs, round-6 per step) over
+    the LEAD-derived transition counts — the SQL twin of
+    ``markov_stationary`` with the identical per-term expression
+    ``p * (n / ow)``."""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT st.s,
+               round(coalesce((
+                   SELECT sum(p.p * (e.n / o.ow))
+                   FROM e
+                   JOIN outw o ON o.prev_state = e.prev_state
+                   JOIN r{i - 1} p ON p.s = e.prev_state
+                   WHERE e.next_state = st.s
+               ), 0.0), 6) AS p
+        FROM states st
+    )""")
+    return f"""
+    WITH pairs AS (
+        SELECT event_type AS prev_state,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_state
+        FROM events
+    ),
+    e AS (
+        SELECT prev_state, next_state, CAST(count(*) AS DOUBLE) AS n
+        FROM pairs WHERE next_state IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT prev_state, sum(n) AS ow FROM e GROUP BY 1),
+    states AS (
+        SELECT prev_state AS s FROM e UNION SELECT next_state FROM e
+    ),
+    kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+    r0 AS (SELECT s, round(1.0 / k, 6) AS p FROM states, kk),
+    {",".join(steps)}
+    SELECT s AS state, p AS stationary FROM r{n_iters}
+    """
+
+
+register("events_type_stationary", _q_type_stationary, _stationary_sql())
