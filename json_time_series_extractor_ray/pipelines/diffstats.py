@@ -1304,3 +1304,149 @@ def _hw_sql() -> str:
 
 
 register("events_holt_winters_1h", _q_holt_winters, _hw_sql())
+
+
+# ---------------------------------------------------------------------------
+# AR(2) Yule-Walker fit per series
+# ---------------------------------------------------------------------------
+
+def ar2_yule_walker(samples_ds, *, window_ns: int, round_digits: int = 6,
+                    min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series AR(2) coefficients via Yule-Walker over the tier's
+    window means: demeaned autocovariances c0/c1/c2, autocorrelations
+    r1/r2, then ``phi1 = r1*(1-r2)/(1-r1^2)``,
+    ``phi2 = (r2-r1^2)/(1-r1^2)`` — the persistence/oscillation
+    decomposition behind the ACF diagnostic (``acf_tier`` reports the
+    correlations; this solves the model they imply).
+
+    Scale shape: identical to ``holt_smooth`` — per-block (n, sum)
+    window combiner, ONE series-sharded shuffle, O(windows) vectorized
+    math per series (bounded by retention, never sample count).
+
+    Hash parity: the round-before-derive ladder — canonical rounded
+    mean y, round-6 series mean mu, round-6 covariance sums, round-6
+    r1/r2, THEN the phi expressions on those rounded doubles; the
+    ``1 - r1^2 <> 0`` degenerate filter evaluates on identical values
+    on both engines.  Series with fewer than ``min_windows`` windows or
+    zero variance are dropped (both sides)."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = round_half_away(
+                round_half_away(w.sum(), round_digits) / n, round_digits)
+            d = w - mu
+            c0 = round_half_away((d * d).sum(), round_digits)
+            if c0 <= 0:
+                continue
+            c1 = round_half_away((d[:-1] * d[1:]).sum(), round_digits)
+            c2 = round_half_away((d[:-2] * d[2:]).sum(), round_digits)
+            r1 = round_half_away(np.array([c1 / c0]), round_digits)[0]
+            r2 = round_half_away(np.array([c2 / c0]), round_digits)[0]
+            denom = 1.0 - r1 * r1
+            if denom == 0.0:
+                continue
+            phi1 = round_half_away(
+                np.array([r1 * (1.0 - r2) / denom]), round_digits)[0]
+            phi2 = round_half_away(
+                np.array([(r2 - r1 * r1) / denom]), round_digits)[0]
+            rows.append((series[lo], n, r1, r2, phi1, phi2))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "r1", "r2", "phi1", "phi2",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "r1": "float64", "r2": "float64",
+                   "phi1": "float64", "phi2": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_ar2(sf_dir: str):
+    return ar2_yule_walker(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_ar2_yule_walker",
+    _q_ar2,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    d AS (
+        SELECT m.series_key, m.window_ns, m.y - mu.mu AS d,
+               lag(m.y - mu.mu, 1) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d1,
+               lag(m.y - mu.mu, 2) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d2
+        FROM m JOIN mu ON mu.series_key = m.series_key
+    ),
+    c AS (
+        SELECT series_key,
+               round(sum(d * d), 6) AS c0,
+               round(sum(d * d1), 6) AS c1,
+               round(sum(d * d2), 6) AS c2
+        FROM d GROUP BY series_key
+    ),
+    r AS (
+        SELECT c.series_key, mu.n,
+               round(c1 / c0, 6) AS r1, round(c2 / c0, 6) AS r2
+        FROM c JOIN mu ON mu.series_key = c.series_key
+        WHERE c0 > 0
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows, r1, r2,
+           round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+           round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2
+    FROM r
+    WHERE (1.0 - r1 * r1) <> 0.0
+    """,
+)

@@ -161,3 +161,37 @@ def test_dominant_period_picks_planted_cycle(ray_session):
     out = dominant_period(ray.data.from_pandas(df), tier="1h").to_pandas()
     assert out["dominant_period_h"].iloc[0] == 12
     assert out["amplitude"].iloc[0] == pytest.approx(4.0, abs=1e-3)
+
+
+def test_ar2_yule_walker_recovers_planted_coeffs(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        ar2_yule_walker,
+    )
+
+    # simulate an AR(2) process with known coefficients; Yule-Walker on
+    # a long realization recovers them to within sampling error
+    rng = np.random.default_rng(7)
+    phi1, phi2, n = 0.6, -0.3, 6000
+    y = np.zeros(n)
+    eps = rng.standard_normal(n)
+    for t in range(2, n):
+        y[t] = phi1 * y[t - 1] + phi2 * y[t - 2] + eps[t]
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    df = pd.DataFrame({
+        "series_key": ["ar"] * n + ["flat"] * 3 + ["short"] * 2,
+        "ts": list(ts) + list(ts[:3]) + list(ts[:2]),
+        "value_num": list(y) + [5.0, 5.0, 5.0] + [1.0, 2.0],
+    })
+    out = ar2_yule_walker(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas()
+    # zero-variance series dropped (c0 == 0); < min_windows series dropped
+    assert out["series_key"].tolist() == ["ar"]
+    row = out.iloc[0]
+    assert row["n_windows"] == n
+    assert row["phi1"] == pytest.approx(phi1, abs=0.05)
+    assert row["phi2"] == pytest.approx(phi2, abs=0.05)
+    # stationarity of the planted process carries to the fit
+    assert abs(row["r1"]) < 1.0 and abs(row["r2"]) < 1.0
