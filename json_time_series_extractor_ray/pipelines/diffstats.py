@@ -1450,3 +1450,164 @@ register(
     WHERE (1.0 - r1 * r1) <> 0.0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, lags 1-3) per series
+# ---------------------------------------------------------------------------
+
+def pacf_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+              min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series partial autocorrelations at lags 1-3 via the
+    Durbin-Levinson recursion on the demeaned window-mean
+    autocorrelations — the AR-order diagnostic that complements
+    ``acf_tier`` (raw correlations) and ``ar2_yule_walker`` (the lag-2
+    solve): pacf2 IS phi2, and pacf3 measures what a third lag adds.
+
+    Scale shape: identical to ``ar2_yule_walker`` — per-block (n, sum)
+    window combiner, ONE series-sharded shuffle, O(windows) math per
+    series.
+
+    Hash parity: round-before-derive at every recursion step — rounded
+    r1/r2/r3, rounded pacf2, rounded phi21, THEN pacf3 from those
+    rounded doubles; both degenerate denominators filter on identical
+    values on the two engines."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = _r6(round_half_away(w.sum(), round_digits) / n)
+            d = w - mu
+            c0 = round_half_away((d * d).sum(), round_digits)
+            if c0 <= 0:
+                continue
+            r = [_r6(round_half_away((d[:-k] * d[k:]).sum(),
+                                     round_digits) / c0)
+                 for k in (1, 2, 3)]
+            r1, r2, r3 = r
+            den2 = 1.0 - r1 * r1
+            if den2 == 0.0:
+                continue
+            pacf2 = _r6((r2 - r1 * r1) / den2)
+            phi21 = _r6(r1 * (1.0 - pacf2))
+            den3 = 1.0 - phi21 * r1 - pacf2 * r2
+            if den3 == 0.0:
+                continue
+            pacf3 = _r6((r3 - phi21 * r2 - pacf2 * r1) / den3)
+            rows.append((series[lo], n, r1, pacf2, pacf3))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "pacf1", "pacf2", "pacf3",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "pacf1": "float64", "pacf2": "float64",
+                   "pacf3": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_pacf(sf_dir: str):
+    return pacf_tier(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_pacf_1h",
+    _q_pacf,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    d AS (
+        SELECT m.series_key, m.y - mu.mu AS d,
+               lag(m.y - mu.mu, 1) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d1,
+               lag(m.y - mu.mu, 2) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d2,
+               lag(m.y - mu.mu, 3) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d3
+        FROM m JOIN mu ON mu.series_key = m.series_key
+    ),
+    c AS (
+        SELECT series_key,
+               round(sum(d * d), 6) AS c0,
+               round(sum(d * d1), 6) AS c1,
+               round(sum(d * d2), 6) AS c2,
+               round(sum(d * d3), 6) AS c3
+        FROM d GROUP BY series_key
+    ),
+    r AS (
+        SELECT c.series_key, mu.n,
+               round(c1 / c0, 6) AS r1, round(c2 / c0, 6) AS r2,
+               round(c3 / c0, 6) AS r3
+        FROM c JOIN mu ON mu.series_key = c.series_key
+        WHERE c0 > 0
+    ),
+    p2 AS (
+        SELECT series_key, n, r1, r2, r3,
+               round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS pacf2
+        FROM r WHERE (1.0 - r1 * r1) <> 0.0
+    ),
+    p21 AS (
+        SELECT *, round(r1 * (1.0 - pacf2), 6) AS phi21 FROM p2
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows, r1 AS pacf1,
+           pacf2,
+           round((r3 - phi21 * r2 - pacf2 * r1)
+                 / (1.0 - phi21 * r1 - pacf2 * r2), 6) AS pacf3
+    FROM p21
+    WHERE (1.0 - phi21 * r1 - pacf2 * r2) <> 0.0
+    """,
+)

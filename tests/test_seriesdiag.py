@@ -195,3 +195,28 @@ def test_ar2_yule_walker_recovers_planted_coeffs(ray_session):
     assert row["phi2"] == pytest.approx(phi2, abs=0.05)
     # stationarity of the planted process carries to the fit
     assert abs(row["r1"]) < 1.0 and abs(row["r2"]) < 1.0
+
+
+def test_pacf_cuts_off_for_planted_ar1(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import pacf_tier
+
+    # AR(1): PACF is phi at lag 1, ~0 at lags 2 and 3
+    rng = np.random.default_rng(11)
+    phi, n = 0.7, 6000
+    y = np.zeros(n)
+    eps = rng.standard_normal(n)
+    for t in range(1, n):
+        y[t] = phi * y[t - 1] + eps[t]
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    df = pd.DataFrame({
+        "series_key": ["ar1"] * n, "ts": ts, "value_num": y})
+    out = pacf_tier(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["pacf1"] == pytest.approx(phi, abs=0.05)
+    assert abs(row["pacf2"]) < 0.05
+    assert abs(row["pacf3"]) < 0.05
