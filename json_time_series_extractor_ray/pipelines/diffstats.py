@@ -1611,3 +1611,148 @@ register(
     WHERE (1.0 - phi21 * r1 - pacf2 * r2) <> 0.0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Variance-ratio test statistic per series (random-walk diagnostic)
+# ---------------------------------------------------------------------------
+
+def variance_ratio(samples_ds, *, window_ns: int, q: int = 4,
+                   round_digits: int = 6, min_windows: int = 8,
+                   num_shards: int = _SHARDS):
+    """Per-series variance ratio VR(q) over the tier's window means
+    (Lo-MacKinlay shape): population variance of q-step differences over
+    q times the variance of 1-step differences.  VR ~= 1 for a random
+    walk, < 1 for mean reversion, > 1 for trending/momentum — the
+    companion diagnostic to ``ar2_yule_walker`` (which fits the model;
+    this scores the martingale null).
+
+    Scale shape: the AR-family shape — (n, sum) window combiner, ONE
+    series-sharded shuffle, O(windows) numpy per series.
+
+    Hash parity: round-before-derive — rounded window mean y, rounded
+    diff sums, rounded diff means, rounded centered sums of squares,
+    rounded variances, THEN the ratio; the ``var1 > 0`` filter
+    evaluates on identical values on both engines."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _vr(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        def _pop_var(d: np.ndarray) -> float:
+            n = len(d)
+            m = _r6(round_half_away(d.sum(), round_digits) / n)
+            ss = round_half_away(((d - m) * (d - m)).sum(), round_digits)
+            return _r6(ss / n)
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < max(min_windows, q + 1):
+                continue
+            var1 = _pop_var(w[1:] - w[:-1])
+            varq = _pop_var(w[q:] - w[:-q])
+            if var1 <= 0:
+                continue
+            vr = _r6(varq / q / var1)
+            rows.append((series[lo], n, var1, varq, vr))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "var1", "varq", "vr",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "var1": "float64", "varq": "float64", "vr": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_vr, batch_format="pandas")
+    )
+
+
+def _q_vr(sf_dir: str):
+    return variance_ratio(_numeric_samples(sf_dir), window_ns=_H)
+
+
+def _vr_diff_sql(k: int, name: str) -> str:
+    return f"""
+    {name}_d AS (
+        SELECT series_key,
+               y - lag(y, {k}) OVER (
+                   PARTITION BY series_key ORDER BY window_ns) AS d
+        FROM m
+    ),
+    {name}_m AS (
+        SELECT series_key, count(d) AS n,
+               round(round(sum(d), 6) / count(d), 6) AS dm
+        FROM {name}_d WHERE d IS NOT NULL GROUP BY series_key
+    ),
+    {name}_v AS (
+        SELECT a.series_key,
+               round(round(sum((a.d - b.dm) * (a.d - b.dm)), 6)
+                     / b.n, 6) AS v
+        FROM {name}_d a JOIN {name}_m b ON b.series_key = a.series_key
+        WHERE a.d IS NOT NULL
+        GROUP BY a.series_key, b.n
+    )"""
+
+
+register(
+    "events_variance_ratio",
+    _q_vr,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    nw AS (
+        SELECT series_key, count(*) AS n FROM m GROUP BY series_key
+        HAVING count(*) >= 8
+    ),
+    {_vr_diff_sql(1, "one")},
+    {_vr_diff_sql(4, "fourth")}
+    SELECT nw.series_key, CAST(nw.n AS BIGINT) AS n_windows,
+           one_v.v AS var1, fourth_v.v AS varq,
+           round(fourth_v.v / 4 / one_v.v, 6) AS vr
+    FROM nw
+    JOIN one_v ON one_v.series_key = nw.series_key
+    JOIN fourth_v ON fourth_v.series_key = nw.series_key
+    WHERE one_v.v > 0
+    """,
+)

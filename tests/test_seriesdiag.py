@@ -220,3 +220,30 @@ def test_pacf_cuts_off_for_planted_ar1(ray_session):
     assert row["pacf1"] == pytest.approx(phi, abs=0.05)
     assert abs(row["pacf2"]) < 0.05
     assert abs(row["pacf3"]) < 0.05
+
+
+def test_variance_ratio_random_walk_vs_mean_reversion(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        variance_ratio,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    walk = np.cumsum(rng.standard_normal(n))          # VR ~ 1
+    noise = rng.standard_normal(n)                     # iid level: VR ~ 1/q..
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    df = pd.DataFrame({
+        "series_key": ["walk"] * n + ["noise"] * n,
+        "ts": list(ts) * 2,
+        "value_num": np.r_[walk, noise],
+    })
+    out = variance_ratio(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas().set_index("series_key")
+    # random walk: q-step variance scales ~linearly with q
+    assert out.loc["walk", "vr"] == pytest.approx(1.0, abs=0.15)
+    # iid noise around a level mean-reverts: VR(q) -> (1/q)*[var(dq)/var(d1)]
+    # = (1/4)*(2s^2/2s^2) = 0.25
+    assert out.loc["noise", "vr"] == pytest.approx(0.25, abs=0.1)
