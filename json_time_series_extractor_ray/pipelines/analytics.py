@@ -2081,3 +2081,104 @@ _register_xcorr(
     WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile (promql-style interpolation over fixed buckets)
+# ---------------------------------------------------------------------------
+
+def hist_quantile(samples_ds, *, lo: float = 0.0, hi: float = 1000.0,
+                  n_bins: int = 25, ps=(0.5, 0.9, 0.99)):
+    """Per-series interpolated quantiles from the FIXED-bucket histogram
+    (the ``value_histogram`` scheme) — the promql ``histogram_quantile``
+    algorithm: rank = p * total, pick the first bucket whose cumulative
+    count reaches the rank, interpolate linearly inside it.  This is the
+    monitoring-system quantile (exact given the buckets, approximate for
+    the underlying values), vs ``events_value_percentiles`` which is
+    exact over raw values.
+
+    Scale shape: rides the histogram combiner — every block collapses to
+    <= n_series x n_bins partials, one (series_key, bin) groupby, then a
+    tiny per-series interpolation over <= n_bins rows.  The raw values
+    never shuffle, which is the whole point at 100 TB.
+
+    Hash parity: rank/cum/cnt are exact (integers and p * total), the
+    single rounded derivation is the final interpolated value with the
+    identical expression tree ``round(bin_lo + (rank - cum_before)
+    * width / cnt, 6)`` on both engines."""
+    import pandas as pd
+
+    width = (hi - lo) / n_bins
+    hist = value_histogram(samples_ds, lo=lo, hi=hi, n_bins=n_bins)
+
+    def _interp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bin", ignore_index=True)
+        cnt = df["n"].to_numpy(np.float64)
+        cum = np.cumsum(cnt)
+        total = cum[-1]
+        rows = []
+        for p in ps:
+            rank = p * total
+            i = int(np.searchsorted(cum, rank, side="left"))
+            i = min(i, len(cnt) - 1)
+            cum_before = cum[i] - cnt[i]
+            q = round_half_away(np.array([
+                df["bin_lo"].iloc[i]
+                + (rank - cum_before) * width / cnt[i]]), 6)[0]
+            rows.append((df["series_key"].iloc[0], p, int(total), q))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "p", "total", "q",
+        ]).astype({"series_key": "object", "p": "float64",
+                   "total": "int64", "q": "float64"})
+
+    return hist.groupby("series_key").map_groups(
+        _interp, batch_format="pandas")
+
+
+def _register_analytics5() -> None:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+    from .registry import register
+
+    ps_sql = "SELECT unnest([0.5, 0.9, 0.99]) AS p"
+    register(
+        "events_hist_quantile",
+        lambda sf: hist_quantile(_events_samples(sf)),
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        b AS (
+            SELECT series_key,
+                   CAST(LEAST(GREATEST(
+                       floor((value_num - 0.0) / 40.0), 0), 24) AS BIGINT
+                   ) AS bin
+            FROM num
+        ),
+        h AS (
+            SELECT series_key, bin, count(*) AS n
+            FROM b GROUP BY series_key, bin
+        ),
+        c AS (
+            SELECT series_key, bin, n,
+                   sum(n) OVER (
+                       PARTITION BY series_key ORDER BY bin) AS cum,
+                   sum(n) OVER (PARTITION BY series_key) AS total
+            FROM h
+        ),
+        pick AS (
+            SELECT c.series_key, p.p, c.total,
+                   min(c.bin) AS bin
+            FROM c CROSS JOIN ({ps_sql}) p
+            WHERE c.cum >= p.p * c.total
+            GROUP BY c.series_key, p.p, c.total
+        )
+        SELECT pick.series_key, pick.p,
+               CAST(pick.total AS BIGINT) AS total,
+               round(0.0 + pick.bin * 40.0
+                     + (pick.p * pick.total - (c.cum - c.n)) * 40.0 / c.n,
+                     6) AS q
+        FROM pick JOIN c
+          ON c.series_key = pick.series_key AND c.bin = pick.bin
+        """,
+    )
+
+
+_register_analytics5()

@@ -103,3 +103,42 @@ class TestPairwiseWindowCorr:
         assert out.loc[("user", "value"), "n_windows"] == 3
         assert out.loc[("props/k", "user"), "n_windows"] == 0
         assert np.isnan(out.loc[("props/k", "user"), "corr"])
+
+
+class TestHistQuantile:
+    def test_interpolation_exact_on_known_buckets(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.analytics import (
+            hist_quantile,
+        )
+
+        # 100 values: 60 in bin 0 (value 10), 40 in bin 1 (value 50);
+        # width = 40, lo = 0
+        vals = [10.0] * 60 + [50.0] * 40
+        out = hist_quantile(
+            ray.data.from_arrow(_samples(vals)),
+        ).to_pandas().set_index("p")
+        assert out["total"].iloc[0] == 100
+        # p=0.5: rank 50 inside bin0 (cum 60): q = 0 + 50/60*40
+        assert out.loc[0.5, "q"] == pytest.approx(50 / 60 * 40, abs=1e-6)
+        # p=0.9: rank 90 inside bin1 (cum_before 60, cnt 40):
+        # q = 40 + (90-60)/40*40 = 70
+        assert out.loc[0.9, "q"] == pytest.approx(70.0, abs=1e-6)
+        # p=0.99: rank 99 -> q = 40 + 39 = 79
+        assert out.loc[0.99, "q"] == pytest.approx(79.0, abs=1e-6)
+
+    def test_overflow_values_clamp_to_last_bucket(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.analytics import (
+            hist_quantile,
+        )
+
+        # everything overflows hi -> clamped into bin 24 [960, 1000)
+        out = hist_quantile(
+            ray.data.from_arrow(_samples([5000.0] * 10)),
+        ).to_pandas().set_index("p")
+        for p in (0.5, 0.9, 0.99):
+            q = out.loc[p, "q"]
+            assert 960.0 <= q <= 1000.0
