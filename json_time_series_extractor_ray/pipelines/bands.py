@@ -313,3 +313,170 @@ register(
                             y_series="props/k", tier="1m", lags=_LAGS),
     _leadlag_sql("value", "props/k", _LAGS),
 )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration diagnostics (step 1) for a series pair
+# ---------------------------------------------------------------------------
+
+def engle_granger_pair(rollup_ds, *, x_series: str, y_series: str,
+                       tier: str = "1m", min_windows: int = 8):
+    """Engle-Granger step-1 diagnostics for one series pair over a tier's
+    window means: OLS ``y = alpha + beta * x`` on the aligned windows,
+    then the residual persistence statistics that decide whether the
+    pair co-moves — residual lag-1 autocorrelation ``resid_rho``
+    (near 1 = no cointegration, the residual is itself a random walk)
+    and Durbin-Watson ``dw`` (~2(1 - rho)).
+
+    Scale shape: the tier means are filtered to the TWO requested keys
+    BEFORE any shuffle (the combiner collapses each block to bounded
+    window partials), so the single co-grouping step moves
+    <= 2 x n_windows rows — retention-bounded, never sample-bounded.
+    The sequential residual scan is per-pair, the same per-series
+    contract as ``kalman_1h`` / ``holt_smooth``.
+
+    Hash parity: round-before-derive — rounded OLS sums, rounded
+    beta/alpha, rounded per-window residuals, rounded residual sums,
+    THEN rho/dw; degenerate filters (zero x-variance, zero residual
+    energy) evaluate on identical values on both engines."""
+    from ._util import hash_shards
+
+    means = _tier_means(rollup_ds, tier=tier, digits=6)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        sk = batch.column("series_key").to_numpy(zero_copy_only=False)
+        keep = (sk == x_series) | (sk == y_series)
+        t = pa.table({
+            "series_key": pa.array(sk[keep], pa.string()),
+            "window_ns": pa.array(
+                batch.column("window_ns").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "m": pa.array(
+                batch.column("m").to_numpy(zero_copy_only=False)[keep],
+                pa.float64()),
+        })
+        return t.append_column(
+            "pair", pa.array(np.zeros(t.num_rows, np.int32), pa.int32()))
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "x_series": pd.Series(dtype="object"),
+            "y_series": pd.Series(dtype="object"),
+            "n_windows": pd.Series(dtype="int64"),
+            "beta": pd.Series(dtype="float64"),
+            "alpha": pd.Series(dtype="float64"),
+            "resid_rho": pd.Series(dtype="float64"),
+            "dw": pd.Series(dtype="float64"),
+        })
+        xf = df[df["series_key"] == x_series][["window_ns", "m"]].rename(
+            columns={"m": "x"})
+        yf = df[df["series_key"] == y_series][["window_ns", "m"]].rename(
+            columns={"m": "y"})
+        j = xf.merge(yf, on="window_ns", how="inner").sort_values(
+            "window_ns", ignore_index=True)
+        n = len(j)
+        if n < min_windows:
+            return empty
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), 6)[0]
+
+        x = j["x"].to_numpy()
+        y = j["y"].to_numpy()
+        sx = _r6(x.sum())
+        sy = _r6(y.sum())
+        sxx = _r6((x * x).sum())
+        sxy = _r6((x * y).sum())
+        denom = n * sxx - sx * sx
+        if denom == 0.0:
+            return empty
+        beta = _r6((n * sxy - sx * sy) / denom)
+        alpha = _r6((sy - beta * sx) / n)
+        e = round_half_away(y - alpha - beta * x, 6)
+        see = _r6((e * e).sum())
+        if see <= 0:
+            return empty
+        sel = _r6((e[:-1] * e[1:]).sum())
+        d = e[1:] - e[:-1]
+        sdd = _r6((d * d).sum())
+        return pd.DataFrame({
+            "x_series": [x_series], "y_series": [y_series],
+            "n_windows": np.array([n], np.int64),
+            "beta": [beta], "alpha": [alpha],
+            "resid_rho": [_r6(sel / see)],
+            "dw": [_r6(sdd / see)],
+        })
+
+    return (
+        means.map_batches(_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("pair").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _engle_granger_sql(x_series: str, y_series: str,
+                       min_windows: int = 8) -> str:
+    from ._events_sql import rollup_ctes
+
+    ctes = rollup_ctes().format(window_ns=60_000_000_000)
+    return f"""
+    WITH {ctes},
+    m AS (
+        SELECT series_key, window_ns,
+               round(round(sum, 6) / count, 6) AS m
+        FROM rollup_
+    ),
+    jw AS (
+        SELECT x.window_ns, x.m AS x, y.m AS y
+        FROM (SELECT window_ns, m FROM m
+              WHERE series_key = '{x_series}') x
+        JOIN (SELECT window_ns, m FROM m
+              WHERE series_key = '{y_series}') y
+          ON y.window_ns = x.window_ns
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+               round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy
+        FROM jw
+    ),
+    fit AS (
+        SELECT n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+        FROM ols
+        WHERE n >= {min_windows} AND (n * sxx - sx * sx) <> 0.0
+    ),
+    fit2 AS (
+        SELECT fit.n, fit.beta,
+               round((ols.sy - fit.beta * ols.sx) / fit.n, 6) AS alpha
+        FROM fit, ols
+    ),
+    resid AS (
+        SELECT jw.window_ns,
+               round(jw.y - fit2.alpha - fit2.beta * jw.x, 6) AS e
+        FROM jw, fit2
+    ),
+    residl AS (
+        SELECT e, lag(e) OVER (ORDER BY window_ns) AS ep FROM resid
+    ),
+    rs AS (
+        SELECT round(sum(e * e), 6) AS see,
+               round(sum(e * ep), 6) AS sel,
+               round(sum((e - ep) * (e - ep)), 6) AS sdd
+        FROM residl
+    )
+    SELECT '{x_series}' AS x_series, '{y_series}' AS y_series,
+           fit2.n AS n_windows, fit2.beta, fit2.alpha,
+           round(rs.sel / rs.see, 6) AS resid_rho,
+           round(rs.sdd / rs.see, 6) AS dw
+    FROM fit2, rs
+    WHERE rs.see > 0
+    """
+
+
+register(
+    "events_coint_engle_granger",
+    lambda sf: engle_granger_pair(_rollup_1m(sf), x_series="value",
+                                  y_series="props/k", tier="1m"),
+    _engle_granger_sql("value", "props/k"),
+)

@@ -85,3 +85,53 @@ def test_leadlag_recovers_planted_lag(ray_session):
     assert df.loc[2, "n_windows"] == 64
     others = df.drop(index=2)["corr"].abs()
     assert (others < 0.5).all()
+
+
+def test_engle_granger_cointegrated_pair(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.bands import (
+        engle_granger_pair,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 200
+    x = np.cumsum(rng.standard_normal(n)).round(3)  # shared random walk
+    # y = 3 + 2x + small iid noise: cointegrated, residual not persistent
+    y = (3.0 + 2.0 * x + rng.normal(0, 0.1, n)).round(3)
+    rows = [("value", i, float(x[i])) for i in range(n)]
+    rows += [("props/k", i, float(y[i])) for i in range(n)]
+    ds = ray.data.from_arrow(_rollup_table(rows))
+    out = engle_granger_pair(
+        ds, x_series="value", y_series="props/k", tier="1m").to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_windows"] == n
+    assert row["beta"] == pytest.approx(2.0, abs=0.05)
+    assert row["alpha"] == pytest.approx(3.0, abs=0.5)
+    # iid residual: rho ~ 0, DW ~ 2
+    assert abs(row["resid_rho"]) < 0.3
+    assert row["dw"] == pytest.approx(2.0, abs=0.6)
+
+
+def test_engle_granger_spurious_pair_has_persistent_residual(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.bands import (
+        engle_granger_pair,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 400
+    # two INDEPENDENT random walks: the regression residual is itself a
+    # random walk -> rho near 1, DW near 0
+    x = np.cumsum(rng.standard_normal(n)).round(3)
+    y = np.cumsum(rng.standard_normal(n)).round(3)
+    rows = [("value", i, float(x[i])) for i in range(n)]
+    rows += [("props/k", i, float(y[i])) for i in range(n)]
+    ds = ray.data.from_arrow(_rollup_table(rows))
+    out = engle_granger_pair(
+        ds, x_series="value", y_series="props/k", tier="1m").to_pandas()
+    row = out.iloc[0]
+    assert row["resid_rho"] > 0.8
+    assert row["dw"] < 0.5
