@@ -1756,3 +1756,197 @@ register(
     WHERE one_v.v > 0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent (rescaled-range analysis) per series
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32, 64)
+
+
+def hurst_rs(samples_ds, *, window_ns: int, sizes=_HURST_SIZES,
+             round_digits: int = 6, num_shards: int = _SHARDS):
+    """Per-series Hurst exponent via classical R/S analysis over the
+    tier's window means: for each block size b, split the mean sequence
+    into full consecutive blocks, compute the rescaled range
+    R/S = (max cumdev - min cumdev) / population std per block, average
+    per size, then fit ``ln(avg R/S) ~ ln(b)`` — the slope is H
+    (~0.5 random walk increments, > 0.5 persistent, < 0.5
+    anti-persistent).  Complements ``events_variance_ratio`` (one q)
+    with the multi-scale exponent.
+
+    Scale shape: the AR-family shape — (n, sum) window combiner, ONE
+    series-sharded shuffle, O(windows x |sizes|) vectorized math per
+    series.
+
+    Hash parity: rounded window mean y, rounded block mean, rounded
+    deviations (so both engines accumulate IDENTICAL doubles
+    left-to-right in the <= 64-element cumulative sum), rounded
+    R / S / per-block ratio / per-size average; the ln()-space OLS
+    follows the ``zipf_slope`` precedent — raw ln on identical rounded
+    inputs, final slope rounded."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            pts = []
+            for b in sizes:
+                nb = len(w) // b
+                if nb == 0:
+                    continue
+                blocks = w[: nb * b].reshape(nb, b)
+                rs_vals = []
+                for blk in blocks:
+                    m = _r6(round_half_away(blk.sum(), round_digits) / b)
+                    d = round_half_away(blk - m, round_digits)
+                    z = np.cumsum(d)
+                    r_rng = _r6(z.max() - z.min())
+                    ss = round_half_away((d * d).sum(), round_digits)
+                    s_dev = _r6(np.sqrt(ss / b))
+                    if s_dev > 0:
+                        rs_vals.append(_r6(r_rng / s_dev))
+                if rs_vals:
+                    avg = _r6(
+                        round_half_away(np.array(rs_vals).sum(),
+                                        round_digits) / len(rs_vals))
+                    if avg > 0:
+                        pts.append((float(b), avg))
+            if len(pts) < 3:
+                continue
+            xb = np.log(np.array([p[0] for p in pts]))
+            yb = np.log(np.array([p[1] for p in pts]))
+            k = len(pts)
+            sx, sy = xb.sum(), yb.sum()
+            sxx, sxy = (xb * xb).sum(), (xb * yb).sum()
+            denom = k * sxx - sx * sx
+            if denom == 0.0:
+                continue
+            hurst = _r6((k * sxy - sx * sy) / denom)
+            rows.append((series[lo], k, hurst))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_sizes", "hurst",
+        ]).astype({"series_key": "object", "n_sizes": "int64",
+                   "hurst": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_hurst(sf_dir: str):
+    return hurst_rs(_numeric_samples(sf_dir), window_ns=_H)
+
+
+def _hurst_sql(window_ns: int, sizes=_HURST_SIZES) -> str:
+    sz = ", ".join(str(b) for b in sizes)
+    return f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {window_ns} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    rn AS (
+        SELECT series_key, y,
+               row_number() OVER (
+                   PARTITION BY series_key ORDER BY window_ns) AS rn
+        FROM m
+    ),
+    sizes(b) AS (SELECT unnest([{sz}])),
+    blk AS (
+        SELECT series_key, b, (rn - 1) // b AS blk_id, rn, y
+        FROM rn CROSS JOIN sizes
+    ),
+    full_ AS (
+        SELECT series_key, b, blk_id,
+               round(round(sum(y), 6) / b, 6) AS bm
+        FROM blk GROUP BY series_key, b, blk_id
+        HAVING count(*) = b
+    ),
+    dev AS (
+        SELECT blk.series_key, blk.b, blk.blk_id, blk.rn,
+               round(blk.y - full_.bm, 6) AS d
+        FROM blk JOIN full_
+          ON full_.series_key = blk.series_key
+         AND full_.b = blk.b AND full_.blk_id = blk.blk_id
+    ),
+    z AS (
+        SELECT series_key, b, blk_id, d,
+               sum(d) OVER (
+                   PARTITION BY series_key, b, blk_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS z
+        FROM dev
+    ),
+    rsb AS (
+        SELECT series_key, b, blk_id,
+               round(max(z) - min(z), 6) AS r_rng,
+               round(sqrt(round(sum(d * d), 6) / b), 6) AS s_dev
+        FROM z GROUP BY series_key, b, blk_id
+    ),
+    rsv AS (
+        SELECT series_key, b,
+               round(round(sum(round(r_rng / s_dev, 6)), 6)
+                     / count(*), 6) AS avg_rs
+        FROM rsb WHERE s_dev > 0
+        GROUP BY series_key, b
+    ),
+    fit AS (
+        SELECT series_key, count(*) AS k,
+               sum(ln(b)) AS sx, sum(ln(avg_rs)) AS sy,
+               sum(ln(b) * ln(b)) AS sxx,
+               sum(ln(b) * ln(avg_rs)) AS sxy
+        FROM rsv WHERE avg_rs > 0
+        GROUP BY series_key
+        HAVING count(*) >= 3
+    )
+    SELECT series_key, CAST(k AS BIGINT) AS n_sizes,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
+    FROM fit
+    WHERE (k * sxx - sx * sx) <> 0.0
+    """
+
+
+register("events_hurst_rs", _q_hurst, _hurst_sql(_H))

@@ -247,3 +247,33 @@ def test_variance_ratio_random_walk_vs_mean_reversion(ray_session):
     # iid noise around a level mean-reverts: VR(q) -> (1/q)*[var(dq)/var(d1)]
     # = (1/4)*(2s^2/2s^2) = 0.25
     assert out.loc["noise", "vr"] == pytest.approx(0.25, abs=0.1)
+
+
+def test_hurst_separates_persistent_from_antipersistent(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import hurst_rs
+
+    rng = np.random.default_rng(13)
+    n = 2048
+    # persistent: long linear trend + small noise -> H near 1
+    trend = np.arange(n) * 0.5 + rng.normal(0, 0.2, n)
+    # anti-persistent: alternating +-1 with noise -> H near 0
+    alt = np.where(np.arange(n) % 2 == 0, 1.0, -1.0) + rng.normal(0, 0.05, n)
+    # iid increments of a level series: H near 0.5 for the LEVELS of
+    # white noise is ~0; use a random walk's levels for H ~ 0.5 ... R/S
+    # on the SERIES values treats them as increments, so feed increments:
+    walk_inc = rng.standard_normal(n)
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    df = pd.DataFrame({
+        "series_key": ["trend"] * n + ["alt"] * n + ["iid"] * n,
+        "ts": list(ts) * 3,
+        "value_num": np.r_[trend, alt, walk_inc],
+    })
+    out = hurst_rs(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas().set_index("series_key")
+    assert (out["n_sizes"] == 4).all()
+    assert out.loc["trend", "hurst"] > 0.85
+    assert out.loc["alt", "hurst"] < 0.25
+    assert out.loc["iid", "hurst"] == pytest.approx(0.55, abs=0.12)
