@@ -1950,3 +1950,447 @@ def _hurst_sql(window_ns: int, sizes=_HURST_SIZES) -> str:
 
 
 register("events_hurst_rs", _q_hurst, _hurst_sql(_H))
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (lags 1-3) per series
+# ---------------------------------------------------------------------------
+
+def ljung_box_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+                   min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series Ljung-Box Q statistic over lags 1-3 of the demeaned
+    window means: Q = n(n+2) * sum_k r_k^2 / (n-k).  The portmanteau
+    "is there ANY autocorrelation" companion of ``acf_tier`` /
+    ``pacf_tier`` — under white noise Q ~ chi2(3), so Q >> 7.81 flags a
+    series whose window means are serially dependent.
+
+    Scale shape: identical to ``pacf_tier`` — per-block (n, sum) window
+    combiner, ONE series-sharded shuffle, O(windows) math per series.
+
+    Hash parity: rounded window mean y, rounded mu, rounded c0, rounded
+    r1/r2/r3 (same pipeline as PACF), THEN Q from those rounded doubles
+    with the identical IEEE expression on both engines; final round."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = _r6(round_half_away(w.sum(), round_digits) / n)
+            d = w - mu
+            c0 = round_half_away((d * d).sum(), round_digits)
+            if c0 <= 0:
+                continue
+            r = [_r6(round_half_away((d[:-k] * d[k:]).sum(),
+                                     round_digits) / c0)
+                 for k in (1, 2, 3)]
+            q = _r6(float(n) * (n + 2.0)
+                    * (r[0] * r[0] / (n - 1.0)
+                       + r[1] * r[1] / (n - 2.0)
+                       + r[2] * r[2] / (n - 3.0)))
+            rows.append((series[lo], n, r[0], r[1], r[2], q))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "r1", "r2", "r3", "q_lb",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "r1": "float64", "r2": "float64", "r3": "float64",
+                   "q_lb": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_ljung_box(sf_dir: str):
+    return ljung_box_tier(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_ljung_box_1h",
+    _q_ljung_box,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    d AS (
+        SELECT m.series_key, m.y - mu.mu AS d,
+               lag(m.y - mu.mu, 1) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d1,
+               lag(m.y - mu.mu, 2) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d2,
+               lag(m.y - mu.mu, 3) OVER (
+                   PARTITION BY m.series_key ORDER BY m.window_ns) AS d3
+        FROM m JOIN mu ON mu.series_key = m.series_key
+    ),
+    c AS (
+        SELECT series_key,
+               round(sum(d * d), 6) AS c0,
+               round(sum(d * d1), 6) AS c1,
+               round(sum(d * d2), 6) AS c2,
+               round(sum(d * d3), 6) AS c3
+        FROM d GROUP BY series_key
+    ),
+    r AS (
+        SELECT c.series_key, mu.n,
+               round(c1 / c0, 6) AS r1, round(c2 / c0, 6) AS r2,
+               round(c3 / c0, 6) AS r3
+        FROM c JOIN mu ON mu.series_key = c.series_key
+        WHERE c0 > 0
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows, r1, r2, r3,
+           round(CAST(n AS DOUBLE) * (n + 2.0)
+                 * (r1 * r1 / (n - 1.0)
+                    + r2 * r2 / (n - 2.0)
+                    + r3 * r3 / (n - 3.0)), 6) AS q_lb
+    FROM r
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test per series
+# ---------------------------------------------------------------------------
+
+def jarque_bera_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+                     min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series Jarque-Bera normality statistic over the window
+    means: with central moments m2/m3/m4 of the demeaned means,
+    skewness g1 = m3 / (m2 * sqrt(m2)) and excess kurtosis
+    g2 = m4 / m2^2 - 3, JB = n/6 * (g1^2 + g2^2/4) ~ chi2(2) under
+    normality.  The distribution-shape companion of
+    ``events_weekend_welch_t`` (location) and ``events_runs_test``
+    (independence).
+
+    Scale shape: per-block (n, sum) window combiner, ONE series-sharded
+    shuffle, O(windows) vectorized moments per series.
+
+    Hash parity: rounded window mean y, rounded mu, rounded moment sums
+    (sum d^2, sum d^3, sum d^4), rounded m2/m3/m4, rounded g1/g2, THEN
+    JB from those rounded doubles; g1 uses m2*sqrt(m2) (not pow) so
+    both engines run the identical IEEE expression."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = _r6(round_half_away(w.sum(), round_digits) / n)
+            d = w - mu
+            m2 = _r6(round_half_away((d * d).sum(), round_digits) / n)
+            if m2 <= 0:
+                continue
+            m3 = _r6(round_half_away((d * d * d).sum(), round_digits) / n)
+            m4 = _r6(round_half_away((d * d * d * d).sum(),
+                                     round_digits) / n)
+            g1 = _r6(m3 / (m2 * np.sqrt(m2)))
+            g2 = _r6(m4 / (m2 * m2) - 3.0)
+            jb = _r6(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0))
+            rows.append((series[lo], n, g1, g2, jb))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "skew_g1", "kurt_g2", "jb",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "skew_g1": "float64", "kurt_g2": "float64",
+                   "jb": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_jarque_bera(sf_dir: str):
+    return jarque_bera_tier(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_jarque_bera_1h",
+    _q_jarque_bera,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    mom AS (
+        SELECT m.series_key, mu.n,
+               round(round(sum((m.y - mu.mu) * (m.y - mu.mu)), 6)
+                     / mu.n, 6) AS m2,
+               round(round(sum((m.y - mu.mu) * (m.y - mu.mu)
+                               * (m.y - mu.mu)), 6) / mu.n, 6) AS m3,
+               round(round(sum((m.y - mu.mu) * (m.y - mu.mu)
+                               * (m.y - mu.mu) * (m.y - mu.mu)), 6)
+                     / mu.n, 6) AS m4
+        FROM m JOIN mu ON mu.series_key = m.series_key
+        GROUP BY m.series_key, mu.n
+        HAVING round(round(sum((m.y - mu.mu) * (m.y - mu.mu)), 6)
+                     / mu.n, 6) > 0
+    ),
+    gg AS (
+        SELECT series_key, n,
+               round(m3 / (m2 * sqrt(m2)), 6) AS g1,
+               round(m4 / (m2 * m2) - 3.0, 6) AS g2
+        FROM mom
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows,
+           g1 AS skew_g1, g2 AS kurt_g2,
+           round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) AS jb
+    FROM gg
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test per series (daily means)
+# ---------------------------------------------------------------------------
+
+def mann_kendall_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+                      min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series Mann-Kendall monotonic-trend test over the tier's
+    window means: S = sum over i<j of sign(y_j - y_i) with the tie-corrected
+    variance var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 and the
+    continuity-corrected z = (S -/+ 1) / sqrt(var(S)).  The
+    nonparametric companion of ``events_theil_sen_1h`` (which estimates
+    the slope MK tests the existence of).
+
+    Scale shape: per-block (n, sum) window combiner, ONE series-sharded
+    shuffle; the O(windows^2) pairwise sign sum runs vectorized on the
+    tier's bounded window count per series (the DAILY tier here —
+    ~hundreds of points — never raw samples).
+
+    Hash parity: rounded daily mean y; S and the tie counts are exact
+    integers on both engines; var(S) divides the exact integer
+    numerator by 18.0 in one IEEE op; z from those, final round."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            diff = np.sign(w[None, :] - w[:, None])
+            s_stat = int(np.triu(diff, k=1).sum())
+            _, tie_counts = np.unique(w, return_counts=True)
+            tt = int(sum(t * (t - 1) * (2 * t + 5)
+                         for t in tie_counts if t > 1))
+            num = n * (n - 1) * (2 * n + 5) - tt
+            var_s = num / 18.0
+            if var_s <= 0.0:
+                continue
+            if s_stat > 0:
+                z = _r6((s_stat - 1.0) / np.sqrt(var_s))
+            elif s_stat < 0:
+                z = _r6((s_stat + 1.0) / np.sqrt(var_s))
+            else:
+                z = 0.0
+            rows.append((series[lo], n, s_stat, z))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "s_stat", "z_mk",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "s_stat": "int64", "z_mk": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_mann_kendall(sf_dir: str):
+    return mann_kendall_tier(_numeric_samples(sf_dir), window_ns=_D)
+
+
+register(
+    "events_mann_kendall_1d",
+    _q_mann_kendall,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_D} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    rn AS (
+        SELECT series_key, y,
+               row_number() OVER (
+                   PARTITION BY series_key ORDER BY window_ns) AS rn
+        FROM m
+    ),
+    nn AS (
+        SELECT series_key, CAST(count(*) AS BIGINT) AS n
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    s AS (
+        SELECT a.series_key,
+               CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM rn a JOIN rn b
+          ON b.series_key = a.series_key AND b.rn > a.rn
+        GROUP BY a.series_key
+    ),
+    ties AS (
+        SELECT series_key,
+               CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tt
+        FROM (
+            SELECT series_key, CAST(count(*) AS BIGINT) AS t
+            FROM m GROUP BY series_key, y
+            HAVING count(*) > 1
+        ) GROUP BY series_key
+    ),
+    v AS (
+        SELECT nn.series_key, nn.n, s.s_stat,
+               (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                - coalesce(ties.tt, 0)) / 18.0 AS var_s
+        FROM nn
+        JOIN s ON s.series_key = nn.series_key
+        LEFT JOIN ties ON ties.series_key = nn.series_key
+    )
+    SELECT series_key, n AS n_windows, s_stat,
+           CASE WHEN s_stat > 0
+                    THEN round((s_stat - 1.0) / sqrt(var_s), 6)
+                WHEN s_stat < 0
+                    THEN round((s_stat + 1.0) / sqrt(var_s), 6)
+                ELSE 0.0 END AS z_mk
+    FROM v
+    WHERE var_s > 0.0
+    """,
+)

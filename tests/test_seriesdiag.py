@@ -277,3 +277,88 @@ def test_hurst_separates_persistent_from_antipersistent(ray_session):
     assert out.loc["trend", "hurst"] > 0.85
     assert out.loc["alt", "hurst"] < 0.25
     assert out.loc["iid", "hurst"] == pytest.approx(0.55, abs=0.12)
+
+
+def test_ljung_box_separates_noise_from_ar1(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        ljung_box_tier,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    wn = rng.standard_normal(n)
+    phi = 0.7
+    ar = np.zeros(n)
+    eps = rng.standard_normal(n)
+    for t in range(1, n):
+        ar[t] = phi * ar[t - 1] + eps[t]
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    df = pd.DataFrame({
+        "series_key": ["wn"] * n + ["ar1"] * n,
+        "ts": np.r_[ts, ts],
+        "value_num": np.r_[wn, ar]})
+    out = ljung_box_tier(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas().set_index("series_key")
+    # white noise: Q ~ chi2(3); AR(1): Q explodes with n * r1^2 alone
+    assert out.loc["wn", "q_lb"] < 20.0
+    assert out.loc["ar1", "q_lb"] > 100.0
+    assert out.loc["ar1", "r1"] == pytest.approx(phi, abs=0.05)
+
+
+def test_jarque_bera_separates_normal_from_exponential(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        jarque_bera_tier,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    norm = rng.standard_normal(n)
+    expo = rng.exponential(1.0, n)
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * 3_600_000_000_000)
+    df = pd.DataFrame({
+        "series_key": ["norm"] * n + ["expo"] * n,
+        "ts": np.r_[ts, ts],
+        "value_num": np.r_[norm, expo]})
+    out = jarque_bera_tier(
+        ray.data.from_pandas(df),
+        window_ns=3_600_000_000_000).to_pandas().set_index("series_key")
+    # normal: JB ~ chi2(2); exponential: skew 2, excess kurt 6 -> huge JB
+    assert out.loc["norm", "jb"] < 25.0
+    assert out.loc["expo", "jb"] > 1000.0
+    assert out.loc["expo", "skew_g1"] == pytest.approx(2.0, abs=0.5)
+
+
+def test_mann_kendall_detects_planted_trend(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        mann_kendall_tier,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 200
+    trend = 0.05 * np.arange(n) + rng.standard_normal(n)
+    noise = rng.standard_normal(n)
+    day = 86_400_000_000_000
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * day)
+    df = pd.DataFrame({
+        "series_key": ["trend"] * n + ["noise"] * n,
+        "ts": np.r_[ts, ts],
+        "value_num": np.r_[trend, noise]})
+    out = mann_kendall_tier(
+        ray.data.from_pandas(df),
+        window_ns=day).to_pandas().set_index("series_key")
+    assert out.loc["trend", "z_mk"] > 4.0
+    assert out.loc["trend", "s_stat"] > 0
+    assert abs(out.loc["noise", "z_mk"]) < 3.0
+    # continuity correction: |z| uses |S|-1 over the exact variance
+    n_ = int(out.loc["trend", "n_windows"])
+    var_s = n_ * (n_ - 1) * (2 * n_ + 5) / 18.0
+    s = int(out.loc["trend", "s_stat"])
+    assert out.loc["trend", "z_mk"] == pytest.approx(
+        (s - 1.0) / np.sqrt(var_s), abs=1e-4)
