@@ -354,11 +354,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'jpeg' | 'mjbm' | 'unknown'."""
+    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'jpeg' | 'gif' | 'mjbm' |
+    'unknown'."""
     if payload[:4] == b"MJBM":
         return "mjbm"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"\xFF\xD8":
         return "jpeg"
     if payload[:2] == b"BM":

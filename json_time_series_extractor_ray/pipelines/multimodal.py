@@ -35,6 +35,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from ..functions.gifcodec import decode_gif, encode_gif
 from ..functions.jpegcodec import decode_jpeg, encode_jpeg
 from ..functions.mediacodecs import (
     decode_bmp,
@@ -140,6 +141,11 @@ def real_decode(payload: bytes) -> dict:
         raw = px.tobytes()
         h, w = px.shape[:2]
         sr = dur = 0
+    elif fmt == "gif":
+        px = decode_gif(payload)
+        raw = px.tobytes()
+        h, w = px.shape[:2]
+        sr = dur = 0
     elif fmt == "wav":
         d = decode_wav(payload)
         raw = d["samples"].tobytes()
@@ -150,8 +156,8 @@ def real_decode(payload: bytes) -> dict:
             f"no decoder for payload format {fmt!r}: compressed audio/"
             "video codecs (MP3/H.264) are not present in this "
             "environment — decodable formats are BMP/PPM/PGM/PNG/JPEG/"
-            "WAV, or use DecodeStage(fake=True) for the deterministic "
-            "stand-in"
+            "GIF/WAV, or use DecodeStage(fake=True) for the "
+            "deterministic stand-in"
         )
     view = np.frombuffer(raw[:65536], dtype=np.uint8).astype(np.float64)
     feats = np.array(
@@ -654,6 +660,92 @@ def _media_decode_png(sf_dir: str):
 register(
     "media_decode_png",
     _media_decode_png,
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               GREATEST(CAST(floor(sqrt(LEAST(GREATEST(n_chars, 1),
+                                              {MAX_REAL_MEDIA}))) AS INTEGER),
+                        1) AS side
+        FROM documents
+    ),
+    rowsum AS (
+        SELECT doc_id, side,
+               CAST(sum((doc_id + g) % 256) AS BIGINT) AS s
+        FROM (SELECT doc_id, side, unnest(range(0, CAST(side AS BIGINT))) AS g
+              FROM m)
+        GROUP BY doc_id, side
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(side AS INTEGER) AS width,
+           CAST(side AS INTEGER) AS height,
+           CAST(3 * side * side AS BIGINT) AS decoded_bytes,
+           CAST(3 * side * s AS BIGINT) AS raw_sum
+    FROM rowsum
+    """,
+)
+
+
+def synthesize_gif_table(doc_ids, sizes) -> pa.Table:
+    """Deterministic GIF media rows: side = isqrt(min(max(n,1), 4096)),
+    row-constant GRAY pixels (v, v, v) with v = (doc_id + r) % 256 —
+    at most ``side`` (<= 64) palette entries, comfortably inside GIF's
+    256-color bound — LZW-encoded, INTERLACED for even doc_ids so the
+    driver gate exercises both scan orders.  The pixel rule matches the
+    PNG twin, so the decoded byte SUM shares its SQL oracle shape."""
+    payloads = []
+    sides = []
+    for doc_id, size in zip(doc_ids, sizes):
+        n = min(max(int(size), 1), MAX_REAL_MEDIA)
+        side = max(math.isqrt(n), 1)
+        r = ((int(doc_id) + np.arange(side, dtype=np.int64)) % 256)
+        px = np.broadcast_to(
+            r.astype(np.uint8)[:, None], (side, side))
+        payloads.append(encode_gif(px, interlace=(int(doc_id) % 2 == 0)))
+        sides.append(side)
+    return pa.table(
+        {
+            "media_id": pa.array([str(d) for d in doc_ids], pa.string()),
+            "kind": pa.array(["image"] * len(payloads), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(sides, pa.int32()),
+            "height": pa.array(sides, pa.int32()),
+            "sample_rate": pa.array([0] * len(payloads), pa.int32()),
+            "duration_ms": pa.array([0] * len(payloads), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _media_decode_gif(sf_dir: str):
+    """REAL GIF decode through the driver gate (closing the GIF
+    compressed-format stub): synthesized GIFs — palette + variable-width
+    LZW, interlaced on even doc_ids — run the production
+    ``DecodeStage()`` and the decoded dims, byte count AND exact pixel
+    byte sum must match the SQL rules the synthesis derives from
+    (doc_id, n_chars)."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_gif_table(
+            batch.column("doc_id").to_pylist(),
+            batch.column("n_chars").to_pylist(),
+        )
+
+    media = docs.map_batches(_synth, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    decoded = decode_media_dataset(media, avg_payload_bytes=8192,
+                                   concurrency=(1, 2), fake=False)
+    return decoded.select_columns(
+        ["media_id", "width", "height", "decoded_bytes", "raw_sum"])
+
+
+register(
+    "media_decode_gif",
+    _media_decode_gif,
     f"""
     WITH m AS (
         SELECT doc_id,
