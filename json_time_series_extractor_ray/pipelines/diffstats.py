@@ -2394,3 +2394,292 @@ register(
     WHERE var_s > 0.0
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs' max-outlier statistic per series
+# ---------------------------------------------------------------------------
+
+def grubbs_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+                min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series Grubbs statistic over the window means:
+    G = max|y - mean| / population_std, plus the window holding the
+    extreme deviation (ties break to the EARLIEST window on the rounded
+    deviation, the ``mean_shift_changepoint`` discipline).  The
+    single-most-extreme-point companion of ``events_mad_outliers``
+    (which flags ALL robust outliers).
+
+    Scale shape: per-block (n, sum) window combiner, ONE series-sharded
+    shuffle, O(windows) vectorized math per series.
+
+    Hash parity: rounded window mean y, rounded mu, rounded per-window
+    deviation (so the argmax/tie-break compares identical doubles),
+    rounded population std, final rounded ratio."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        windows = g["window_ns"].to_numpy()
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = _r6(round_half_away(w.sum(), round_digits) / n)
+            d = w - mu
+            s_dev = _r6(np.sqrt(
+                round_half_away((d * d).sum(), round_digits) / n))
+            if s_dev <= 0:
+                continue
+            dev = round_half_away(np.abs(d), round_digits)
+            gmax = dev.max()
+            at = int(np.argmax(dev == gmax))  # earliest window on ties
+            g_stat = _r6(gmax / s_dev)
+            rows.append((series[lo], n, int(windows[lo:hi][at]), g_stat))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "window_ns", "g_stat",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "window_ns": "int64", "g_stat": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_grubbs(sf_dir: str):
+    return grubbs_tier(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_grubbs_1h",
+    _q_grubbs,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    d AS (
+        SELECT m.series_key, m.window_ns, mu.n, mu.mu,
+               m.y - mu.mu AS d,
+               round(abs(m.y - mu.mu), 6) AS dev
+        FROM m JOIN mu ON mu.series_key = m.series_key
+    ),
+    s AS (
+        SELECT series_key,
+               round(sqrt(round(sum(d * d), 6) / any_value(n)), 6) AS s_dev
+        FROM d GROUP BY series_key
+    ),
+    mx AS (
+        SELECT series_key, max(dev) AS gmax FROM d GROUP BY series_key
+    ),
+    at AS (
+        SELECT d.series_key, min(d.window_ns) AS window_ns
+        FROM d JOIN mx ON mx.series_key = d.series_key
+                      AND d.dev = mx.gmax
+        GROUP BY d.series_key
+    )
+    SELECT d0.series_key, CAST(any_value(d0.n) AS BIGINT) AS n_windows,
+           any_value(at.window_ns) AS window_ns,
+           round(any_value(mx.gmax) / any_value(s.s_dev), 6) AS g_stat
+    FROM d d0
+    JOIN s ON s.series_key = d0.series_key AND s.s_dev > 0
+    JOIN mx ON mx.series_key = d0.series_key
+    JOIN at ON at.series_key = d0.series_key
+    GROUP BY d0.series_key
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal strength (ANOVA eta-squared) per series
+# ---------------------------------------------------------------------------
+
+def seasonal_strength_hod(samples_ds, *, round_digits: int = 6,
+                          min_windows: int = 48,
+                          num_shards: int = _SHARDS):
+    """Per-series hour-of-day seasonal strength as ANOVA eta-squared
+    over the HOURLY window means: group the means by hour-of-day
+    (0..23), eta2 = SS_between / SS_total — the share of hourly-mean
+    variance explained by the diurnal profile.  The scalar-summary
+    companion of ``events_hourly_profile`` (the profile itself) and
+    ``events_dominant_period_1h`` (which finds the period eta2 scores).
+
+    Scale shape: per-block (n, sum) window combiner, ONE series-sharded
+    shuffle, O(windows) + O(24) math per series.
+
+    Hash parity: rounded hourly mean y, rounded mu, rounded per-hour
+    group means, rounded SS_between / SS_total, final rounded ratio.
+    Hour-of-day is exact integer arithmetic on the window epoch."""
+    from ._util import hash_shards
+
+    window_ns = _H
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        windows = g["window_ns"].to_numpy()
+        hod = (windows % _D) // _H
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            h = hod[lo:hi].astype(np.int64)
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = _r6(round_half_away(w.sum(), round_digits) / n)
+            d = w - mu
+            sst = round_half_away((d * d).sum(), round_digits)
+            if sst <= 0:
+                continue
+            nh = np.bincount(h, minlength=24)
+            sh = round_half_away(np.bincount(h, weights=w, minlength=24),
+                                 round_digits)
+            mask = nh > 0
+            mh = round_half_away(sh[mask] / nh[mask], round_digits)
+            ssb = round_half_away(
+                (nh[mask] * (mh - mu) * (mh - mu)).sum(), round_digits)
+            rows.append((series[lo], n, int(mask.sum()),
+                         _r6(ssb / sst)))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "n_hours", "eta2_hod",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "n_hours": "int64", "eta2_hod": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_seasonal_strength(sf_dir: str):
+    return seasonal_strength_hod(_numeric_samples(sf_dir))
+
+
+register(
+    "events_seasonal_strength_hod",
+    _q_seasonal_strength,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 48
+    ),
+    sst AS (
+        SELECT m.series_key,
+               round(sum((m.y - mu.mu) * (m.y - mu.mu)), 6) AS sst
+        FROM m JOIN mu ON mu.series_key = m.series_key
+        GROUP BY m.series_key
+    ),
+    hh AS (
+        SELECT series_key, (window_ns % {_D}) // {_H} AS hod,
+               count(*) AS nh, round(sum(y), 6) AS sh
+        FROM m GROUP BY series_key, hod
+    ),
+    mh AS (
+        SELECT hh.series_key, hh.nh,
+               round(hh.sh / hh.nh, 6) AS mh, mu.mu
+        FROM hh JOIN mu ON mu.series_key = hh.series_key
+    ),
+    ssb AS (
+        SELECT series_key, CAST(count(*) AS BIGINT) AS n_hours,
+               round(sum(nh * (mh - mu) * (mh - mu)), 6) AS ssb
+        FROM mh GROUP BY series_key
+    )
+    SELECT mu.series_key, CAST(mu.n AS BIGINT) AS n_windows,
+           ssb.n_hours,
+           round(ssb.ssb / sst.sst, 6) AS eta2_hod
+    FROM mu
+    JOIN sst ON sst.series_key = mu.series_key AND sst.sst > 0
+    JOIN ssb ON ssb.series_key = mu.series_key
+    """,
+)

@@ -362,3 +362,50 @@ def test_mann_kendall_detects_planted_trend(ray_session):
     s = int(out.loc["trend", "s_stat"])
     assert out.loc["trend", "z_mk"] == pytest.approx(
         (s - 1.0) / np.sqrt(var_s), abs=1e-4)
+
+
+def test_grubbs_finds_planted_spike(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import grubbs_tier
+
+    rng = np.random.default_rng(23)
+    n = 500
+    hour = 3_600_000_000_000
+    y = rng.standard_normal(n)
+    y[137] = 60.0  # planted extreme
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * hour)
+    df = pd.DataFrame({
+        "series_key": ["s"] * n, "ts": ts, "value_num": y})
+    out = grubbs_tier(
+        ray.data.from_pandas(df), window_ns=hour).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["window_ns"] == 137 * hour
+    assert row["g_stat"] > 10.0
+
+
+def test_seasonal_strength_separates_diurnal_from_noise(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        seasonal_strength_hod,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 24 * 60
+    hour = 3_600_000_000_000
+    hod = np.arange(n) % 24
+    diurnal = 10.0 * np.sin(2 * np.pi * hod / 24) + 0.1 * rng.standard_normal(n)
+    noise = rng.standard_normal(n)
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * hour)
+    df = pd.DataFrame({
+        "series_key": ["diurnal"] * n + ["noise"] * n,
+        "ts": np.r_[ts, ts],
+        "value_num": np.r_[diurnal, noise]})
+    out = seasonal_strength_hod(
+        ray.data.from_pandas(df)).to_pandas().set_index("series_key")
+    assert out.loc["diurnal", "eta2_hod"] > 0.95
+    assert out.loc["noise", "eta2_hod"] < 0.1
+    assert int(out.loc["diurnal", "n_hours"]) == 24
+    assert 0.0 <= out["eta2_hod"].min() and out["eta2_hod"].max() <= 1.0
