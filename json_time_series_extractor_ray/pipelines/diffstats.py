@@ -2683,3 +2683,170 @@ register(
     JOIN ssb ON ssb.series_key = mu.series_key
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between an aligned series pair (daily means)
+# ---------------------------------------------------------------------------
+
+def kendall_tau_pair(samples_ds, *, x_series: str, y_series: str,
+                     window_ns: int, round_digits: int = 6,
+                     min_windows: int = 5):
+    """Kendall tau-b rank correlation between TWO series over their
+    aligned window means: cd = sum over window pairs i<j of
+    sign(x_j - x_i) * sign(y_j - y_i), with the tie-corrected
+    denominator sqrt((n0 - n1)(n0 - n2)) (n0 = n(n-1)/2; n1/n2 the
+    tied-pair counts in x / y).  The rank-based companion of
+    ``events_leadlag_corr`` (Pearson at lags) and the cross-series twin
+    of ``events_mann_kendall_1d`` (tau against TIME is MK's statistic).
+
+    Scale shape: the Engle-Granger pair shape — blocks collapse to
+    bounded (series, window) partials and only the TWO requested keys
+    survive the combiner, so the single co-grouping step moves
+    <= 2 x n_windows rows; the O(n_windows^2) sign sum runs vectorized
+    on the DAILY tier's bounded window count, never raw samples.
+
+    Hash parity: rounded daily means; cd and the tie counts are exact
+    integers on both engines; the denominator is sqrt of an exact
+    integer product evaluated in one IEEE op; final round."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        sk = t.column("series_key").to_numpy(zero_copy_only=False)
+        sel = (sk == x_series) | (sk == y_series)
+        if not sel.any():
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "pair": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[sel]
+        df = pd.DataFrame({
+            "series_key": sk[sel],
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(
+                zero_copy_only=False)[sel],
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["pair"] = np.zeros(len(g), np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "x_series": pd.Series(dtype="object"),
+            "y_series": pd.Series(dtype="object"),
+            "n_windows": pd.Series(dtype="int64"),
+            "cd": pd.Series(dtype="int64"),
+            "tau_b": pd.Series(dtype="float64"),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        g["m"] = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        xf = g[g["series_key"] == x_series][["window_ns", "m"]].rename(
+            columns={"m": "x"})
+        yf = g[g["series_key"] == y_series][["window_ns", "m"]].rename(
+            columns={"m": "y"})
+        j = xf.merge(yf, on="window_ns", how="inner").sort_values(
+            "window_ns", ignore_index=True)
+        n = len(j)
+        if n < min_windows:
+            return empty
+        x = j["x"].to_numpy()
+        y = j["y"].to_numpy()
+        dx = np.sign(x[None, :] - x[:, None])
+        dy = np.sign(y[None, :] - y[:, None])
+        cd = int(np.triu(dx * dy, k=1).sum())
+        n0 = n * (n - 1) // 2
+        _, tx = np.unique(x, return_counts=True)
+        _, ty = np.unique(y, return_counts=True)
+        n1 = int(sum(t * (t - 1) // 2 for t in tx if t > 1))
+        n2 = int(sum(t * (t - 1) // 2 for t in ty if t > 1))
+        den = (n0 - n1) * (n0 - n2)
+        if den <= 0:
+            return empty
+        tau = round_half_away(np.array([cd / np.sqrt(den)]),
+                              round_digits)[0]
+        return pd.DataFrame({
+            "x_series": [x_series], "y_series": [y_series],
+            "n_windows": np.array([n], np.int64),
+            "cd": np.array([cd], np.int64),
+            "tau_b": [tau],
+        })
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("pair").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _kendall_sql(x_series: str, y_series: str, window_ns: int,
+                 min_windows: int = 5) -> str:
+    return f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {window_ns} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS m
+        FROM ({EVENTS_NUMERIC_SQL})
+        WHERE series_key IN ('{x_series}', '{y_series}')
+        GROUP BY series_key, window_ns
+    ),
+    j AS (
+        SELECT x.window_ns, x.m AS x, y.m AS y
+        FROM (SELECT window_ns, m FROM m
+              WHERE series_key = '{x_series}') x
+        JOIN (SELECT window_ns, m FROM m
+              WHERE series_key = '{y_series}') y
+          ON y.window_ns = x.window_ns
+    ),
+    rn AS (
+        SELECT x, y, row_number() OVER (ORDER BY window_ns) AS rn FROM j
+    ),
+    p AS (
+        SELECT CAST(sum(
+                   (CASE WHEN b.x > a.x THEN 1
+                         WHEN b.x < a.x THEN -1 ELSE 0 END)
+                 * (CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END))
+               AS BIGINT) AS cd
+        FROM rn a JOIN rn b ON b.rn > a.rn
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    tx AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t
+              FROM j GROUP BY x HAVING count(*) > 1)
+    ),
+    ty AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t
+              FROM j GROUP BY y HAVING count(*) > 1)
+    ),
+    f AS (
+        SELECT nn.n, p.cd, tx.n1, ty.n2,
+               nn.n * (nn.n - 1) // 2 AS n0
+        FROM nn, p, tx, ty
+        WHERE nn.n >= {min_windows}
+    )
+    SELECT '{x_series}' AS x_series, '{y_series}' AS y_series,
+           n AS n_windows, cd,
+           round(cd / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6)
+               AS tau_b
+    FROM f
+    WHERE (n0 - n1) * (n0 - n2) > 0
+    """
+
+
+register(
+    "events_kendall_tau_pair",
+    lambda sf: kendall_tau_pair(_numeric_samples(sf), x_series="value",
+                                y_series="props/k", window_ns=_D),
+    _kendall_sql("value", "props/k", _D),
+)

@@ -1,6 +1,7 @@
 """Bollinger bands + lead-lag correlation semantics on planted series."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -135,3 +136,40 @@ def test_engle_granger_spurious_pair_has_persistent_residual(ray_session):
     row = out.iloc[0]
     assert row["resid_rho"] > 0.8
     assert row["dw"] < 0.5
+
+
+def test_kendall_tau_pair_planted_monotone_and_independent(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        kendall_tau_pair,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 120
+    day = 86_400_000_000_000
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * day)
+    x = np.arange(n, dtype=np.float64) + 0.01 * rng.standard_normal(n)
+    y_mono = np.exp(x / 40.0)          # monotone transform: tau ~ 1
+    y_ind = rng.standard_normal(n)     # independent: tau ~ 0
+    df = pd.DataFrame({
+        "series_key": ["a"] * n + ["b"] * n + ["c"] * n,
+        "ts": np.r_[ts, ts, ts],
+        "value_num": np.r_[x, y_mono, y_ind]})
+
+    mono = kendall_tau_pair(
+        ray.data.from_pandas(df), x_series="a", y_series="b",
+        window_ns=day).to_pandas()
+    assert len(mono) == 1
+    assert mono.iloc[0]["tau_b"] == pytest.approx(1.0, abs=0.02)
+    assert int(mono.iloc[0]["cd"]) > 0
+
+    ind = kendall_tau_pair(
+        ray.data.from_pandas(df), x_series="a", y_series="c",
+        window_ns=day).to_pandas()
+    assert abs(ind.iloc[0]["tau_b"]) < 0.2
+    # no-overlap pair degenerates to empty output, not an error
+    none = kendall_tau_pair(
+        ray.data.from_pandas(df), x_series="a", y_series="zzz",
+        window_ns=day).to_pandas()
+    assert len(none) == 0
