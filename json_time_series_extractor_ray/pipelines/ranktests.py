@@ -405,3 +405,150 @@ def _streak_sql() -> str:
 
 
 register("events_longest_streak", _q_streak, _streak_sql())
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov: weekend vs weekday hourly means
+# ---------------------------------------------------------------------------
+
+_HOUR_NS = 3_600_000_000_000
+
+
+def ks_weekend(samples_ds, *, round_digits: int = 6, min_each: int = 5,
+               num_shards: int = 64):
+    """Per series: the EXACT two-sample KS statistic between the weekend
+    and weekday HOURLY window means,
+    D = max over v of |F_wk(v) - F_wd(v)| = d_num / (nA * nB) with the
+    integer numerator d_num = max |cA(v) * nB - cB(v) * nA| over the
+    distinct mean values — distribution-SHAPE sensitivity that
+    complements ``events_weekend_mannwhitney`` (location shift) and
+    ``events_weekend_welch_t`` (means under normality).
+
+    Scale shape: the (n, sum) hourly combiner collapses raw samples
+    before the ONE series-sharded shuffle; the per-series ECDF scan is
+    a vectorized sort + searchsorted over the tier's bounded window
+    count (hours, never raw samples).
+
+    Hash parity: rounded hourly mean y; weekend flag is exact integer
+    epoch arithmetic ((epoch_day + 4) % 7 in {0, 6}); cA/cB/d_num are
+    exact integers on both engines (DuckDB cumulates with RANGE so tied
+    means share one ECDF step, matching searchsorted side='right');
+    final D divides exact ints in one IEEE op, then rounds."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // _HOUR_NS * _HOUR_NS,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        windows = g["window_ns"].to_numpy()
+        dow = ((windows // _DAY_NS) + 4) % 7
+        wk = (dow == 0) | (dow == 6)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            yv = y[lo:hi]
+            wv = wk[lo:hi]
+            na = int(wv.sum())
+            nb = int(len(yv) - na)
+            if na < min_each or nb < min_each:
+                continue
+            vals = np.unique(yv)
+            ca = np.searchsorted(np.sort(yv[wv]), vals, side="right")
+            cb = np.searchsorted(np.sort(yv[~wv]), vals, side="right")
+            d_num = int(np.abs(ca * nb - cb * na).max())
+            d = round_half_away(np.array([d_num / (na * nb)]),
+                                round_digits)[0]
+            rows.append((series[lo], na, nb, d_num, d))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_weekend", "n_weekday", "d_num", "ks_d",
+        ]).astype({"series_key": "object", "n_weekend": "int64",
+                   "n_weekday": "int64", "d_num": "int64",
+                   "ks_d": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_ks_weekend(sf_dir: str):
+    from .diffstats import _numeric_samples
+
+    return ks_weekend(_numeric_samples(sf_dir))
+
+
+def _ks_sql() -> str:
+    from ._events_sql import EVENTS_NUMERIC_SQL
+
+    return f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_HOUR_NS} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    f AS (
+        SELECT series_key, y,
+               CASE WHEN ((window_ns // {_DAY_NS}) + 4) % 7 IN (0, 6)
+                    THEN 1 ELSE 0 END AS wk
+        FROM m
+    ),
+    nn AS (
+        SELECT series_key,
+               CAST(sum(wk) AS BIGINT) AS na,
+               CAST(sum(1 - wk) AS BIGINT) AS nb
+        FROM f GROUP BY series_key
+        HAVING sum(wk) >= 5 AND sum(1 - wk) >= 5
+    ),
+    c AS (
+        SELECT series_key, y,
+               CAST(sum(wk) OVER w AS BIGINT) AS ca,
+               CAST(sum(1 - wk) OVER w AS BIGINT) AS cb
+        FROM f
+        WINDOW w AS (PARTITION BY series_key ORDER BY y
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT c.series_key, nn.na, nn.nb,
+               CAST(max(abs(c.ca * nn.nb - c.cb * nn.na)) AS BIGINT)
+                   AS d_num
+        FROM c JOIN nn ON nn.series_key = c.series_key
+        GROUP BY c.series_key, nn.na, nn.nb
+    )
+    SELECT series_key, na AS n_weekend, nb AS n_weekday, d_num,
+           round(d_num / (na * nb), 6) AS ks_d
+    FROM d
+    """
+
+
+register("events_ks_weekend", _q_ks_weekend, _ks_sql())
