@@ -2850,3 +2850,145 @@ register(
                                 y_series="props/k", window_ns=_D),
     _kendall_sql("value", "props/k", _D),
 )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank-based changepoint per series (daily means)
+# ---------------------------------------------------------------------------
+
+def pettitt_tier(samples_ds, *, window_ns: int, min_windows: int = 10,
+                 round_digits: int = 6, num_shards: int = _SHARDS):
+    """Per-series Pettitt changepoint test over the tier's window
+    means: U_k = sum over i<=k, j>k of sign(y_i - y_j), K = max|U_k|
+    over the split points k = 1..n-1, reported with the EARLIEST window
+    achieving K.  The rank-based (distribution-free) companion of
+    ``events_mean_shift_1h`` (the scaled-CUSUM scan on raw means).
+
+    Implementation uses the exact midrank identity
+    U_k = sum_{i<=k} (2*rank_i + t_i - 1) - k*(n+1)
+    (rank = min rank of the tie group, t = tie-group size), which holds
+    under ties and keeps EVERY quantity an exact integer — so the hash
+    needs no float discipline beyond the canonical rounded means the
+    ranks are computed on.
+
+    Scale shape: per-block (n, sum) window combiner, ONE series-sharded
+    shuffle, O(n log n) rank + O(n) cumsum per series on the DAILY
+    tier's bounded window count."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        windows = g["window_ns"].to_numpy()
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            _, inv, counts = np.unique(
+                w, return_inverse=True, return_counts=True)
+            grp_start = np.r_[0, np.cumsum(counts)[:-1]]
+            two_r = 2 * (grp_start[inv] + 1) + counts[inv] - 1
+            u = np.cumsum(two_r) \
+                - np.arange(1, n + 1, dtype=np.int64) * (n + 1)
+            uu = np.abs(u[: n - 1])
+            k_stat = int(uu.max())
+            at = int(np.argmax(uu == k_stat))  # earliest split on ties
+            rows.append((series[lo], n, int(windows[lo:hi][at]), k_stat))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "window_ns", "k_stat",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "window_ns": "int64", "k_stat": "int64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_pettitt(sf_dir: str):
+    return pettitt_tier(_numeric_samples(sf_dir), window_ns=_D)
+
+
+register(
+    "events_pettitt_1d",
+    _q_pettitt,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_D} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    rk AS (
+        SELECT series_key, window_ns,
+               CAST(rank() OVER (
+                   PARTITION BY series_key ORDER BY y) AS BIGINT) AS rnk,
+               CAST(count(*) OVER (
+                   PARTITION BY series_key, y) AS BIGINT) AS t,
+               CAST(count(*) OVER (
+                   PARTITION BY series_key) AS BIGINT) AS n
+        FROM m
+    ),
+    u AS (
+        SELECT series_key, window_ns, n,
+               sum(2 * rnk + t - 1) OVER (
+                   PARTITION BY series_key ORDER BY window_ns
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - row_number() OVER (
+                   PARTITION BY series_key ORDER BY window_ns)
+                 * (n + 1) AS u_k,
+               row_number() OVER (
+                   PARTITION BY series_key ORDER BY window_ns) AS k
+        FROM rk
+    ),
+    valid AS (
+        SELECT series_key, window_ns, n, abs(u_k) AS au
+        FROM u WHERE k < n AND n >= 10
+    ),
+    mx AS (
+        SELECT series_key, CAST(max(au) AS BIGINT) AS k_stat
+        FROM valid GROUP BY series_key
+    )
+    SELECT v.series_key,
+           CAST(any_value(v.n) AS BIGINT) AS n_windows,
+           min(v.window_ns) AS window_ns,
+           any_value(mx.k_stat) AS k_stat
+    FROM valid v JOIN mx ON mx.series_key = v.series_key
+                        AND v.au = mx.k_stat
+    GROUP BY v.series_key
+    """,
+)

@@ -409,3 +409,28 @@ def test_seasonal_strength_separates_diurnal_from_noise(ray_session):
     assert out.loc["noise", "eta2_hod"] < 0.1
     assert int(out.loc["diurnal", "n_hours"]) == 24
     assert 0.0 <= out["eta2_hod"].min() and out["eta2_hod"].max() <= 1.0
+
+
+def test_pettitt_locates_planted_level_shift(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        pettitt_tier,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 200
+    day = 86_400_000_000_000
+    y = rng.standard_normal(n)
+    y[120:] += 5.0  # level shift after k=120 (0-based window 120)
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * day)
+    df = pd.DataFrame({
+        "series_key": ["shift"] * n, "ts": ts, "value_num": y})
+    out = pettitt_tier(
+        ray.data.from_pandas(df), window_ns=day).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # argmax split is the last pre-shift window (0-based index 119)
+    assert row["window_ns"] == 119 * day
+    # clean separation: |U_k| = k * (n - k) at the true split
+    assert int(row["k_stat"]) == 120 * (n - 120)
