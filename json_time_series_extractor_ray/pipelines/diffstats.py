@@ -2992,3 +2992,147 @@ register(
     GROUP BY v.series_key
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Engle ARCH-LM (1 lag) per series: volatility clustering
+# ---------------------------------------------------------------------------
+
+def arch_lm_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+                 min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series Engle ARCH-LM test with one lag over the window
+    means: square the demeaned means, then LM = n * r1(sq)^2 where
+    r1(sq) is the lag-1 autocorrelation of the squared series — under
+    no-ARCH LM ~ chi2(1), so a large LM flags volatility clustering
+    that ``events_ljung_box_1h`` (autocorrelation of the LEVEL) cannot
+    see.
+
+    Scale shape: identical to ``ljung_box_tier`` — per-block (n, sum)
+    window combiner, ONE series-sharded shuffle, O(windows) math per
+    series.
+
+    Hash parity: rounded window mean y, rounded mu, rounded squared
+    deviation sq, rounded mu_sq, rounded c0/c1 sums, rounded r1, THEN
+    LM from those rounded doubles; final round."""
+    from ._util import hash_shards
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+
+        def _r6(v: float) -> float:
+            return round_half_away(np.array([v]), round_digits)[0]
+
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            mu = _r6(round_half_away(w.sum(), round_digits) / n)
+            sq = round_half_away((w - mu) * (w - mu), round_digits)
+            mu2 = _r6(round_half_away(sq.sum(), round_digits) / n)
+            d = sq - mu2
+            c0 = round_half_away((d * d).sum(), round_digits)
+            if c0 <= 0:
+                continue
+            r1 = _r6(round_half_away((d[:-1] * d[1:]).sum(),
+                                     round_digits) / c0)
+            lm = _r6(float(n) * r1 * r1)
+            rows.append((series[lo], n, r1, lm))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "r1_sq", "arch_lm",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "r1_sq": "float64", "arch_lm": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_arch_lm(sf_dir: str):
+    return arch_lm_tier(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_arch_lm_1h",
+    _q_arch_lm,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    mu AS (
+        SELECT series_key, count(*) AS n,
+               round(round(sum(y), 6) / count(*), 6) AS mu
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    ),
+    sq AS (
+        SELECT m.series_key, m.window_ns, mu.n,
+               round((m.y - mu.mu) * (m.y - mu.mu), 6) AS sq
+        FROM m JOIN mu ON mu.series_key = m.series_key
+    ),
+    mu2 AS (
+        SELECT series_key, any_value(n) AS n,
+               round(round(sum(sq), 6) / any_value(n), 6) AS mu2
+        FROM sq GROUP BY series_key
+    ),
+    d AS (
+        SELECT sq.series_key, sq.sq - mu2.mu2 AS d,
+               lag(sq.sq - mu2.mu2) OVER (
+                   PARTITION BY sq.series_key
+                   ORDER BY sq.window_ns) AS dp
+        FROM sq JOIN mu2 ON mu2.series_key = sq.series_key
+    ),
+    c AS (
+        SELECT series_key,
+               round(sum(d * d), 6) AS c0,
+               round(sum(d * dp), 6) AS c1
+        FROM d GROUP BY series_key
+    ),
+    r AS (
+        SELECT c.series_key, mu2.n, round(c.c1 / c.c0, 6) AS r1
+        FROM c JOIN mu2 ON mu2.series_key = c.series_key
+        WHERE c.c0 > 0
+    )
+    SELECT series_key, CAST(n AS BIGINT) AS n_windows, r1 AS r1_sq,
+           round(CAST(n AS DOUBLE) * r1 * r1, 6) AS arch_lm
+    FROM r
+    """,
+)

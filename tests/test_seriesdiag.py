@@ -434,3 +434,33 @@ def test_pettitt_locates_planted_level_shift(ray_session):
     assert row["window_ns"] == 119 * day
     # clean separation: |U_k| = k * (n - k) at the true split
     assert int(row["k_stat"]) == 120 * (n - 120)
+
+
+def test_arch_lm_separates_garch_from_noise(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        arch_lm_tier,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 6000
+    hour = 3_600_000_000_000
+    # ARCH(1): e_t = z_t * sqrt(0.2 + 0.7 * e_{t-1}^2) — level is white
+    # noise (LB won't flag it) but squared series is autocorrelated
+    e = np.zeros(n)
+    z = rng.standard_normal(n)
+    for t in range(1, n):
+        e[t] = z[t] * np.sqrt(0.2 + 0.7 * e[t - 1] ** 2)
+    wn = rng.standard_normal(n)
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * hour)
+    df = pd.DataFrame({
+        "series_key": ["arch"] * n + ["wn"] * n,
+        "ts": np.r_[ts, ts],
+        "value_num": np.r_[e, wn]})
+    out = arch_lm_tier(
+        ray.data.from_pandas(df),
+        window_ns=hour).to_pandas().set_index("series_key")
+    assert out.loc["arch", "arch_lm"] > 50.0
+    assert out.loc["arch", "r1_sq"] > 0.2
+    assert out.loc["wn", "arch_lm"] < 15.0
