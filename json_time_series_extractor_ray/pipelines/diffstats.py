@@ -3136,3 +3136,119 @@ register(
     FROM r
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bowley quantile skewness per series
+# ---------------------------------------------------------------------------
+
+def bowley_skew_tier(samples_ds, *, window_ns: int, round_digits: int = 6,
+                     min_windows: int = 5, num_shards: int = _SHARDS):
+    """Per-series Bowley (quartile) skewness over the window means:
+    B = (q3 + q1 - 2*q2) / (q3 - q1) in [-1, 1] — the outlier-robust
+    companion of ``events_jarque_bera_1h``'s moment skewness g1 (a
+    single extreme window saturates g1 but moves B only through the
+    quartiles).
+
+    Scale shape: per-block (n, sum) window combiner, ONE series-sharded
+    shuffle, O(windows log windows) per series.
+
+    Hash parity: quartiles via the shared ``_weighted_quantiles`` lerp
+    (bit-equal to DuckDB ``quantile_cont`` — the ``psi_drift`` decile
+    discipline), each rounded, THEN B from the rounded quartiles with
+    the identical IEEE expression; the q3 > q1 degenerate filter
+    compares identical rounded doubles on both engines."""
+    from ._util import hash_shards
+    from .psidrift import _weighted_quantiles
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = batch.column("value_num").is_valid()
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "series_key": pa.array([], pa.string()),
+                "window_ns": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "shard": pa.array([], pa.int32()),
+            })
+        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "series_key": t.column("series_key").to_pandas(),
+            "window_ns": ts // window_ns * window_ns,
+            "v": t.column("value_num").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        g["shard"] = hash_shards(g["series_key"], num_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["series_key", "window_ns"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+        y = round_half_away(
+            round_half_away(g["s"].to_numpy(), round_digits)
+            / g["n"].to_numpy(), round_digits)
+        series = g["series_key"].to_numpy()
+        starts = np.r_[0, np.where(series[1:] != series[:-1])[0] + 1,
+                       len(series)]
+        rows = []
+        for si in range(len(starts) - 1):
+            lo, hi = starts[si], starts[si + 1]
+            w = y[lo:hi]
+            n = len(w)
+            if n < min_windows:
+                continue
+            uv, uc = np.unique(w, return_counts=True)
+            q1, q2, q3 = round_half_away(
+                _weighted_quantiles(uv, uc, (0.25, 0.5, 0.75)),
+                round_digits)
+            if not q3 > q1:
+                continue
+            b = round_half_away(
+                np.array([(q3 + q1 - 2.0 * q2) / (q3 - q1)]),
+                round_digits)[0]
+            rows.append((series[lo], n, q1, q2, q3, b))
+        return pd.DataFrame(rows, columns=[
+            "series_key", "n_windows", "q1", "q2", "q3", "bowley_skew",
+        ]).astype({"series_key": "object", "n_windows": "int64",
+                   "q1": "float64", "q2": "float64", "q3": "float64",
+                   "bowley_skew": "float64"})
+
+    return (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("shard").map_groups(_fit, batch_format="pandas")
+    )
+
+
+def _q_bowley(sf_dir: str):
+    return bowley_skew_tier(_numeric_samples(sf_dir), window_ns=_H)
+
+
+register(
+    "events_bowley_skew_1h",
+    _q_bowley,
+    f"""
+    WITH m AS (
+        SELECT series_key,
+               ts_ns - ts_ns % {_H} AS window_ns,
+               round(round(sum(value_num), 6) / count(*), 6) AS y
+        FROM ({EVENTS_NUMERIC_SQL})
+        GROUP BY series_key, window_ns
+    ),
+    q AS (
+        SELECT series_key, CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(y, 0.25), 6) AS q1,
+               round(quantile_cont(y, 0.5), 6) AS q2,
+               round(quantile_cont(y, 0.75), 6) AS q3
+        FROM m GROUP BY series_key
+        HAVING count(*) >= 5
+    )
+    SELECT series_key, n AS n_windows, q1, q2, q3,
+           round((q3 + q1 - 2.0 * q2) / (q3 - q1), 6) AS bowley_skew
+    FROM q
+    WHERE q3 > q1
+    """,
+)

@@ -464,3 +464,32 @@ def test_arch_lm_separates_garch_from_noise(ray_session):
     assert out.loc["arch", "arch_lm"] > 50.0
     assert out.loc["arch", "r1_sq"] > 0.2
     assert out.loc["wn", "arch_lm"] < 15.0
+
+
+def test_bowley_skew_sign_and_robustness(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        bowley_skew_tier,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    hour = 3_600_000_000_000
+    right = rng.exponential(1.0, n)          # right-skewed: B > 0
+    sym = rng.standard_normal(n)             # symmetric: B ~ 0
+    spiked = rng.standard_normal(n)
+    spiked[7] = 1e6                          # one outlier: B stays ~ 0
+    ts = pd.to_datetime(np.arange(n, dtype=np.int64) * hour)
+    df = pd.DataFrame({
+        "series_key": ["right"] * n + ["sym"] * n + ["spiked"] * n,
+        "ts": np.r_[ts, ts, ts],
+        "value_num": np.r_[right, sym, spiked]})
+    out = bowley_skew_tier(
+        ray.data.from_pandas(df),
+        window_ns=hour).to_pandas().set_index("series_key")
+    assert out.loc["right", "bowley_skew"] > 0.15
+    assert abs(out.loc["sym", "bowley_skew"]) < 0.1
+    assert abs(out.loc["spiked", "bowley_skew"]) < 0.1  # robust to spike
+    assert (out["bowley_skew"].abs() <= 1.0).all()
+    assert (out["q1"] <= out["q2"]).all() and (out["q2"] <= out["q3"]).all()
