@@ -235,6 +235,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     plain text, comment, application)."""
     if payload[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
     pos = 6
     pos += 4  # logical screen width/height (frame uses its own dims)
     flags = payload[pos]
@@ -257,6 +259,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             continue
         if introducer != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{introducer:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated image descriptor")
         pos += 4  # image left/top
         w = int.from_bytes(payload[pos : pos + 2], "little")
         h = int.from_bytes(payload[pos + 2 : pos + 4], "little")
@@ -272,6 +276,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += lct_len * 3
         if pal is None:
             raise ValueError("gif: image has no color table")
+        if pos >= len(payload):
+            raise ValueError("gif: truncated before LZW data")
         min_code_size = payload[pos]
         pos += 1
         lzw, pos = _read_subblocks(payload, pos)

@@ -22,6 +22,8 @@ import wave
 
 import numpy as np
 
+from .gifcodec import GIF_MAGICS
+
 # ---------------------------------------------------------------------------
 # BMP — BITMAPINFOHEADER, uncompressed (BI_RGB), 24-bit BGR, 4-byte row pad
 # ---------------------------------------------------------------------------
@@ -360,7 +362,7 @@ def sniff_format(payload: bytes) -> str:
         return "mjbm"
     if payload[:8] == _PNG_MAGIC:
         return "png"
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    if payload[:6] in GIF_MAGICS:
         return "gif"
     if payload[:2] == b"\xFF\xD8":
         return "jpeg"

@@ -2789,6 +2789,11 @@ def kendall_tau_pair(samples_ds, *, x_series: str, y_series: str,
 
 def _kendall_sql(x_series: str, y_series: str, window_ns: int,
                  min_windows: int = 5) -> str:
+    # Series keys are interpolated into SQL string literals below;
+    # escape embedded single quotes so an adversarial key can't break
+    # or alter the oracle query.
+    x_series = x_series.replace("'", "''")
+    y_series = y_series.replace("'", "''")
     return f"""
     WITH m AS (
         SELECT series_key,

@@ -117,9 +117,9 @@ def fake_decode(payload: bytes, kind: str) -> dict:
 
 def real_decode(payload: bytes) -> dict:
     """Decode one real payload by magic-byte sniffing (BMP / PPM / PGM /
-    PNG / WAV).  Remaining compressed formats raise
-    ``NotImplementedError`` — the explicit environment stub the fake
-    path substitutes for."""
+    PNG / JPEG / GIF / WAV).  Remaining compressed formats (MP3,
+    MP4/H.264) raise ``NotImplementedError`` — the explicit environment
+    stub the fake path substitutes for."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         px = decode_bmp(payload)
@@ -182,9 +182,10 @@ class DecodeStage:
     """Actor-pool decode/feature-extract stage for media batches.
 
     The real path (``fake=False``, the default) decodes BMP / binary
-    PPM/PGM / 16-bit PCM WAV payloads with the library's pure-Python
-    codecs and raises ``NotImplementedError`` for compressed formats
-    (explicit stub — no codec libraries in this container).
+    PPM/PGM / PNG / baseline JPEG / GIF / 16-bit PCM WAV payloads with
+    the library's pure-Python codecs and raises ``NotImplementedError``
+    for the remaining compressed formats (MP3, MP4/H.264 — explicit
+    stub, no codec libraries in this container).
     ``fake=True`` runs the deterministic stand-in (payload checksum +
     sqrt shape) that the metadata oracles pin.
     """

@@ -92,3 +92,16 @@ def test_sniff_and_real_decode_dispatch():
     assert (d["width"], d["height"]) == (12, 12)
     assert d["decoded_bytes"] == 12 * 12 * 3
     assert d["raw_sum"] == int(img.astype(np.int64).sum())
+
+
+def test_truncated_header_raises_valueerror():
+    """Payloads cut inside the header / image descriptor / color table
+    all fail with the module's ValueError contract, never IndexError."""
+    rng = np.random.default_rng(6)
+    img = _rgb(rng, 8, 8, 4)
+    payload = encode_gif(img)
+    # every cut short of the full image data fails (dropping only the
+    # trailing 0x3B trailer still decodes — the frame is complete)
+    for cut in range(6, len(payload) - 1):
+        with pytest.raises(ValueError):
+            decode_gif(payload[:cut])
