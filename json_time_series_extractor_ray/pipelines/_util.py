@@ -55,6 +55,30 @@ def hash_shards(values, num_shards: int, *, mix=None):
     return (h % np.uint64(num_shards)).astype(np.int32)
 
 
+def value_ordered_shards(values, num_shards: int):
+    """Coordination-free VALUE-ORDERED shard ids for a float64 column:
+    the top bits of the IEEE-754 sortable-integer transform (sign-flip
+    trick) are a monotone function of the value, so shard ids order
+    exactly like the values and cumulative offsets accumulate correctly
+    across shards — no bounds pass over the data.  Sign + exponent
+    (12 bits) plus ``log2(num_shards)`` mantissa bits give roughly
+    ``num_shards`` sub-shards per binade.  Equal values always share a
+    shard (a pure function of the value), so tie groups never split —
+    required by every rank-based consumer.  A fully-degenerate all-tied
+    column lands in one task, inherent to any coordination-free
+    value-ordered split.  Shared by ``relational.customer_spend_gini``
+    and ``ranktests.mannwhitney_weekend``'s distributed prefix-rank.
+    """
+    s = np.ascontiguousarray(
+        values.to_numpy(zero_copy_only=False)
+        if hasattr(values, "to_numpy") else values,
+        dtype=np.float64)
+    u = s.view(np.uint64)
+    su = np.where(u >> np.uint64(63), ~u, u | np.uint64(1 << 63))
+    mbits = max(int(np.log2(max(num_shards, 1))), 0)
+    return (su >> np.uint64(64 - 12 - mbits)).astype(np.int64)
+
+
 def segment_sum(x, offsets):
     """Per-segment sums of ``x`` for Arrow list ``offsets`` — the safe
     twin of ``np.add.reduceat(x, offsets[:-1])``, which raises

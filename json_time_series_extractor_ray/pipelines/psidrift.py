@@ -20,7 +20,11 @@ is one row per SERIES (guarded by ``MAX_SERIES``, broadcast into pass
 B); pass B aggregates ``(series, value, half)`` counts inside
 ``map_batches`` so the ONE shuffle carries per-block distinct-value
 partials, and each series' task is vectorized over its distinct values
-(same ``MAX_DISTINCT_VALUES`` bound + remedy as ``ranktests``).
+(bounded by ``MAX_DISTINCT_VALUES``; the decile edges need one series'
+full distinct-value table in one place, unlike the pure rank sums that
+``ranktests.mannwhitney_weekend`` now computes with the distributed
+value-ordered prefix-rank — a distributed quantile here would need a
+shard-navigation pass, tracked as the remedy if the bound ever binds).
 
 Reference anchor: extraction-only reference (SURVEY.md §2); extends the
 engine-mandated analytics/monitoring family (§2.6).
@@ -41,7 +45,8 @@ _QS = tuple((i + 1) / 10 for i in range(9))
 #: Pass A's per-series midpoint table reaches the driver — bound it.
 MAX_SERIES = 1_000_000
 
-#: One task holds one series' distinct values (see ranktests remedy).
+#: One task holds one series' distinct values (the decile edges need
+#: them co-resident; see module docstring for the distributed remedy).
 MAX_DISTINCT_VALUES = 5_000_000
 
 

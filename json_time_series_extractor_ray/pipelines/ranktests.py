@@ -19,10 +19,21 @@ expression with the standard tie-corrected variance
 ``(n1*n0/12) * ((n+1) - sum(t^3-t)/(n*(n-1)))``.
 
 Scale shape: the shuffle carries per-BLOCK DISTINCT (series, value)
-partials, not rows.  One task holds one series' distinct-value table —
-loudly guarded by ``MAX_DISTINCT_VALUES`` (the remedy for
-billions-of-distinct-values series is the two-pass distributed
-prefix-rank used by ``relational.customer_spend_gini``).
+partials, not rows, and the global rank sum is computed by the same
+two-pass DISTRIBUTED prefix-rank as ``relational.customer_spend_gini``:
+each (series, value) partial is routed to a VALUE-ORDERED shard
+(``_util.value_ordered_shards`` — a pure monotone function of the
+value, so tie groups never split and shard ids order like values), one
+``groupby(series, vshard)`` task ranks only its slice and emits a
+single partial row ``(cnt, snw, sloc, tie)``, and the driver folds the
+tiny partial table with cumulative count offsets:
+``rank_sum = sum_shards(offset * snw + sloc)``.  Exact because the
+local average ranks are half-integers, the offsets are exact ints, and
+ranks of tied values are interchangeable.  No task ever holds a whole
+series' distinct-value table — a continuous-valued hot series with
+billions of distinct values spreads over ``value_shards``-per-binade
+slices; ``MAX_SHARD_DISTINCT`` bounds one SLICE at a true task-memory
+bound (raise ``value_shards`` to shrink slices further).
 
 Reference anchor: extraction-only reference (SURVEY.md §2); extends the
 engine-mandated analytics family (§2.6).
@@ -34,17 +45,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._util import round_half_away
+from ._util import round_half_away, value_ordered_shards
 from .registry import register
 
 _DAY_NS = 86_400_000_000_000
 
-#: One task holds one series' distinct values — bound it loudly.
-MAX_DISTINCT_VALUES = 5_000_000
+#: One task holds one (series, value-shard) SLICE of the distinct-value
+#: table, never a whole series.  20M distinct values x ~40 B/row ≈ 800 MB
+#: — a true single-task memory bound; raise ``value_shards`` to shrink
+#: slices if a pathological distribution concentrates one binade slice.
+MAX_SHARD_DISTINCT = 20_000_000
 
 
-def mannwhitney_weekend(samples_ds, *, round_digits: int = 6):
-    """Per series: U and tie-corrected z for weekend vs weekday values."""
+def mannwhitney_weekend(samples_ds, *, round_digits: int = 6,
+                        value_shards: int = 64):
+    """Per series: U and tie-corrected z for weekend vs weekday values,
+    via the two-pass distributed prefix-rank (module docstring)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch.column("value_num").is_valid())
@@ -60,61 +76,82 @@ def mannwhitney_weekend(samples_ds, *, round_digits: int = 6):
         })
         g = df.groupby(["series_key", "v"], sort=False).agg(
             nw=("nw", "sum"), tc=("tc", "sum")).reset_index()
+        # value-ordered shard: pure function of v, so every partial for
+        # the same (series, v) — and every member of a tie group —
+        # lands in the same (series_key, vshard) task
+        g["vshard"] = value_ordered_shards(g["v"].to_numpy(), value_shards)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def _test(df: pd.DataFrame) -> pd.DataFrame:
+    def _shard_rank(df: pd.DataFrame) -> pd.DataFrame:
+        # one (series, vshard) slice: merge per-block duplicates, rank
+        # locally, emit ONE partial row
         g = df.groupby("v", sort=True).agg(
             nw=("nw", "sum"), tc=("tc", "sum"))
-        if len(g) > MAX_DISTINCT_VALUES:
+        if len(g) > MAX_SHARD_DISTINCT:
             raise ValueError(
-                f"series {df['series_key'].iloc[0]!r} has {len(g)} distinct "
-                f"values (> MAX_DISTINCT_VALUES={MAX_DISTINCT_VALUES}); "
-                "use a two-pass distributed prefix-rank (see "
-                "customer_spend_gini) for continuous ultra-high-cardinality "
-                "series"
+                f"series {df['series_key'].iloc[0]!r} value-shard "
+                f"{int(df['vshard'].iloc[0])} holds {len(g)} distinct "
+                f"values (> MAX_SHARD_DISTINCT={MAX_SHARD_DISTINCT}); "
+                "raise value_shards to split binades finer"
             )
         nw = g["nw"].to_numpy(np.int64)
         tc = g["tc"].to_numpy(np.int64)
-        prefix = np.cumsum(tc) - tc
-        # average rank of a tie group: prefix + (tc+1)/2 — half-integers,
-        # so the weighted sum below is EXACT (order-independent)
-        rw = float(np.sum(nw * (prefix + (tc + 1) / 2.0)))
-        n1 = int(nw.sum())
-        n = int(tc.sum())
+        prefix = np.cumsum(tc) - tc  # LOCAL prefix within the slice
+        # local average rank of a tie group: prefix + (tc+1)/2 —
+        # half-integers, so the weighted sum is EXACT; the global rank
+        # adds the lower-shard count offset at fold time
+        sloc = float(np.sum(nw * (prefix + (tc + 1) / 2.0)))
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "vshard": pd.Series([int(df["vshard"].iloc[0])],
+                                dtype="int64"),
+            "cnt": pd.Series([int(tc.sum())], dtype="int64"),
+            "snw": pd.Series([int(nw.sum())], dtype="int64"),
+            "sloc": pd.Series([sloc], dtype="float64"),
+            "tie": pd.Series([int(np.sum(tc ** 3 - tc))], dtype="int64"),
+        })
+
+    parts = (
+        samples_ds.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby(["series_key", "vshard"]).map_groups(
+            _shard_rank, batch_format="pandas")
+    ).to_pandas()  # ≤ |series| x (value_shards x binades) single rows
+
+    parts = parts.sort_values(["series_key", "vshard"], ignore_index=True)
+    out = {"series_key": [], "n_weekday": [], "n_weekend": [],
+           "u_stat": [], "z_stat": []}
+    for sk, sub in parts.groupby("series_key", sort=True):
+        cnts = sub["cnt"].to_numpy(np.float64)
+        offs = np.concatenate(([0.0], np.cumsum(cnts)[:-1]))
+        # global rank sum: lower-shard count offset x weekend count in
+        # the shard, plus the shard's local half-integer rank sum —
+        # every term exact, so bit-identical to the single-task cumsum
+        rw = float(np.sum(offs * sub["snw"].to_numpy(np.float64)
+                          + sub["sloc"].to_numpy(np.float64)))
+        n1 = int(sub["snw"].sum())
+        n = int(sub["cnt"].sum())
         n0 = n - n1
-        tie = int(np.sum(tc ** 3 - tc))
+        tie = int(sub["tie"].sum())
         if n1 < 1 or n0 < 1:
-            return pd.DataFrame({
-                "series_key": pd.Series([], dtype=object),
-                "n_weekday": pd.Series([], dtype="int64"),
-                "n_weekend": pd.Series([], dtype="int64"),
-                "u_stat": pd.Series([], dtype="float64"),
-                "z_stat": pd.Series([], dtype="float64"),
-            })
+            continue
         u = rw - n1 * (n1 + 1) / 2.0
         var = (n1 * n0 / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
         if not var > 0:
-            return pd.DataFrame({
-                "series_key": pd.Series([], dtype=object),
-                "n_weekday": pd.Series([], dtype="int64"),
-                "n_weekend": pd.Series([], dtype="int64"),
-                "u_stat": pd.Series([], dtype="float64"),
-                "z_stat": pd.Series([], dtype="float64"),
-            })
+            continue
         z = (u - n1 * n0 / 2.0) / np.sqrt(var)
-        return pd.DataFrame({
-            "series_key": df["series_key"].iloc[:1],
-            "n_weekday": pd.Series([n0], dtype="int64"),
-            "n_weekend": pd.Series([n1], dtype="int64"),
-            "u_stat": round_half_away(np.array([u]), round_digits),
-            "z_stat": round_half_away(np.array([z]), round_digits),
-        })
-
-    return (
-        samples_ds.map_batches(_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby("series_key").map_groups(_test, batch_format="pandas")
-    )
+        out["series_key"].append(sk)
+        out["n_weekday"].append(n0)
+        out["n_weekend"].append(n1)
+        out["u_stat"].append(round_half_away(np.float64(u), round_digits))
+        out["z_stat"].append(round_half_away(np.float64(z), round_digits))
+    return pd.DataFrame({
+        "series_key": pd.Series(out["series_key"], dtype=object),
+        "n_weekday": pd.Series(out["n_weekday"], dtype="int64"),
+        "n_weekend": pd.Series(out["n_weekend"], dtype="int64"),
+        "u_stat": pd.Series(out["u_stat"], dtype="float64"),
+        "z_stat": pd.Series(out["z_stat"], dtype="float64"),
+    })
 
 
 def _q_mannwhitney(sf_dir: str):

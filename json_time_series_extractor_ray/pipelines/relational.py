@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._util import round_half_away
+from ._util import round_half_away, value_ordered_shards
 from .registry import register
 
 DAY_NS = 86_400_000_000_000
@@ -1470,23 +1470,10 @@ def customer_spend_gini(orders_ds, cust_ds, *, value_shards: int = 64):
         left_schema=pa.schema([("custkey", pa.int64()),
                                ("spend", pa.float64())]))
     def _vshard(batch: pa.Table) -> pa.Table:
-        # Value-ordered shard WITHOUT a bounds pass: the top bits of the
-        # IEEE-754 sortable-integer transform (sign flip trick) are a
-        # monotone function of the value, so shard ids order exactly like
-        # spends and offsets accumulate correctly; within one binade the
-        # mantissa's top 6 bits split uniformly.  Equal values share a
-        # shard by construction (a pure function of the value) — a
-        # fully-degenerate all-tied column lands in one task, which is
-        # inherent to any coordination-free value-ordered split.
-        s = np.ascontiguousarray(
-            batch.column("spend").to_numpy(zero_copy_only=False),
-            dtype=np.float64)
-        u = s.view(np.uint64)
-        su = np.where(u >> np.uint64(63), ~u, u | np.uint64(1 << 63))
-        # sign+exponent (12 bits) + log2(value_shards) mantissa bits:
-        # ~value_shards sub-shards per binade
-        mbits = max(int(np.log2(max(value_shards, 1))), 0)
-        vs = (su >> np.uint64(64 - 12 - mbits)).astype(np.int64)
+        # value-ordered shard WITHOUT a bounds pass — shard ids order
+        # exactly like spends, so offsets accumulate correctly (see
+        # _util.value_ordered_shards for the IEEE sortable-int trick)
+        vs = value_ordered_shards(batch.column("spend"), value_shards)
         return batch.append_column("vshard", pa.array(vs, pa.int64()))
 
     def _rank_partials(df: pd.DataFrame) -> pd.DataFrame:

@@ -32,7 +32,7 @@ def test_mannwhitney_hand_computed(ray_session):
     # weekend {1, 2, 3}, weekday {4, 5}: all weekend ranks below ->
     # R_wk = 1+2+3 = 6, U = 6 - 3*4/2 = 0; mu = 3; var = 3*2/12 * 6 = 3
     ds = ray.data.from_pandas(_samples([1, 2, 3], [4, 5]))
-    out = mannwhitney_weekend(ds).to_pandas()
+    out = mannwhitney_weekend(ds)
     assert len(out) == 1
     assert out["n_weekend"].iloc[0] == 3
     assert out["n_weekday"].iloc[0] == 2
@@ -46,7 +46,7 @@ def test_mannwhitney_ties_average_ranks(ray_session):
     # weekend {2, 2}, weekday {2, 4}: three 2s share avg rank 2,
     # R_wk = 4, U = 4 - 3 = 1; tie term = 3^3-3 = 24, n = 4
     ds = ray.data.from_pandas(_samples([2, 2], [2, 4]))
-    out = mannwhitney_weekend(ds).to_pandas()
+    out = mannwhitney_weekend(ds)
     assert out["u_stat"].iloc[0] == 1.0
     var = (2 * 2 / 12.0) * ((4 + 1) - 24 / (4 * 3.0))
     assert out["z_stat"].iloc[0] == pytest.approx(
@@ -57,7 +57,7 @@ def test_mannwhitney_all_tied_dropped(ray_session):
     import ray
 
     ds = ray.data.from_pandas(_samples([7, 7], [7, 7]))
-    out = mannwhitney_weekend(ds).to_pandas()
+    out = mannwhitney_weekend(ds)
     assert len(out) == 0
 
 
@@ -188,3 +188,75 @@ def test_kaplan_meier_planted(ray_session):
     assert out["n_at_risk"].tolist() == [3, 2]
     assert out["survival"].iloc[0] == pytest.approx(2 / 3, abs=1e-6)
     assert out["survival"].iloc[1] == pytest.approx(1 / 3, abs=1e-6)
+
+def _mw_reference(weekend, weekday):
+    """Single-machine textbook Mann-Whitney with average ranks."""
+    vals = np.concatenate([weekend, weekday])
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals), dtype=np.float64)
+    sv = vals[order]
+    i = 0
+    r = 1.0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = r + (j - i - 1) / 2.0
+        r += j - i
+        i = j
+    n1 = len(weekend)
+    n0 = len(weekday)
+    n = n1 + n0
+    rw = ranks[:n1].sum()
+    u = rw - n1 * (n1 + 1) / 2.0
+    _, tie_counts = np.unique(vals, return_counts=True)
+    tie = float(np.sum(tie_counts.astype(np.float64) ** 3 - tie_counts))
+    var = (n1 * n0 / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+    z = (u - n1 * n0 / 2.0) / np.sqrt(var)
+    return u, z
+
+
+def test_mannwhitney_distributed_prefix_rank_continuous(ray_session):
+    """Planted continuous-valued hot series: every value distinct and
+    spread over MANY value-ordered shards, so no task ever holds the
+    whole distinct-value table — the distributed fold still matches the
+    textbook single-machine rank computation to round-6."""
+    import ray
+
+    from json_time_series_extractor_ray.pipelines._util import (
+        value_ordered_shards,
+    )
+
+    rng = np.random.default_rng(42)
+    # spread across many binades: lognormal covers several exponents
+    weekend = np.exp(rng.normal(0, 4, size=4000))
+    weekday = np.exp(rng.normal(0.5, 4, size=6000))
+    n_shards = len(np.unique(value_ordered_shards(
+        np.concatenate([weekend, weekday]), 64)))
+    assert n_shards > 20  # genuinely distributed, not one slice
+
+    ds = ray.data.from_pandas(_samples(list(weekend), list(weekday)))
+    out = mannwhitney_weekend(ds)
+    u_ref, z_ref = _mw_reference(weekend, weekday)
+    assert len(out) == 1
+    assert out["n_weekend"].iloc[0] == 4000
+    assert out["n_weekday"].iloc[0] == 6000
+    assert out["u_stat"].iloc[0] == pytest.approx(u_ref, abs=1e-6)
+    assert out["z_stat"].iloc[0] == pytest.approx(z_ref, abs=1e-6)
+
+
+def test_mannwhitney_shard_count_invariance(ray_session):
+    """The result is exactly invariant to the value_shards parameter —
+    the fold's offset arithmetic is exact, not approximately so."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    weekend = np.round(np.exp(rng.normal(0, 3, size=500)), 3)
+    weekday = np.round(np.exp(rng.normal(0.2, 3, size=700)), 3)
+    df = _samples(list(weekend), list(weekday))
+    outs = [
+        mannwhitney_weekend(ray.data.from_pandas(df), value_shards=k)
+        for k in (1, 8, 256)
+    ]
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
