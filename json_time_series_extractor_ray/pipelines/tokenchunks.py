@@ -179,21 +179,67 @@ def token_bigrams(corpus_ds, *, top_k: int = 50):
     )
 
 
-def _q_token_freq(sf_dir: str):
-    from .timeseries import events_corpus_dataset
+def documents_corpus_dataset(sf_dir: str):
+    """Driver ``documents`` table -> mandated corpus schema with the
+    UTF-8 tokenizer.  Unlike the events corpus (whose payloads embed
+    Python float reprs no SQL can reproduce), the documents text lives
+    verbatim in the parquet — ASCII on every driver fixture — so each
+    token id equals the DuckDB code point ``unicode(ch)`` and the token
+    relation has an EXACT SQL twin."""
+    import ray
 
-    return token_frequencies(events_corpus_dataset(sf_dir))
+    from ..corpus import texts_to_corpus_table
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+        return texts_to_corpus_table(
+            ids, batch.column("text").to_pylist(),
+            ["documents"] * batch.num_rows)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _q_token_bigrams(sf_dir: str):
-    from .timeseries import events_corpus_dataset
-
-    return token_bigrams(events_corpus_dataset(sf_dir), top_k=50)
+def _q_doc_token_freq(sf_dir: str):
+    return token_frequencies(documents_corpus_dataset(sf_dir))
 
 
-# rows-only: token ids are UTF-8 bytes of the engine-rendered JSON
-# payloads — the text is not reconstructible in SQL (float formatting),
-# so the frequency relation has no SQL twin.  Exactness is pinned by
-# TestTokenFrequencies against direct numpy counts on the same corpus.
-register("corpus_token_freq", _q_token_freq)
-register("corpus_token_bigrams", _q_token_bigrams)
+def _q_doc_token_bigrams(sf_dir: str):
+    return token_bigrams(documents_corpus_dataset(sf_dir), top_k=50)
+
+
+# Oracle-gated over the documents corpus: UTF-8 token == unicode code
+# point because the driver text is pure ASCII (max code point 121 at
+# every sf — verified), so DuckDB reconstructs the token relation
+# exactly from the raw text.  The events-corpus twin of these operators
+# stays pinned by TestTokenFrequencies (its payloads embed Python float
+# reprs that SQL cannot reproduce).
+register(
+    "corpus_token_freq",
+    _q_doc_token_freq,
+    """
+    SELECT CAST(unicode(ch) AS BIGINT) AS token,
+           count(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+    GROUP BY 1
+    """,
+)
+
+register(
+    "corpus_token_bigrams",
+    _q_doc_token_bigrams,
+    """
+    WITH pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(text) - 1),
+                   i -> [unicode(text[i]), unicode(text[i + 1])])) AS pr
+        FROM documents
+    )
+    SELECT CAST(pr[1] AS BIGINT) AS tok_a, CAST(pr[2] AS BIGINT) AS tok_b,
+           count(*) AS n_occurrences
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_occurrences DESC, tok_a ASC, tok_b ASC
+    LIMIT 50
+    """,
+)

@@ -1233,3 +1233,47 @@ class TestAudioFeatures:
         }, schema=MEDIA_SCHEMA)
         with pytest.raises(NotImplementedError, match="WAV"):
             AudioFeatureStage()(batch)
+
+
+class TestSimhashRecallReport:
+    def test_report_on_planted_corpus(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.dedup import (
+            SIMHASH_REPORT_FLOORS,
+            simhash_recall_report,
+        )
+
+        out = simhash_recall_report(
+            ray.data.from_arrow(_doc_table())).to_pandas()
+        assert len(out) == len(SIMHASH_REPORT_FLOORS)
+        assert list(out["metric"]) == [m for m, _, _ in
+                                       SIMHASH_REPORT_FLOORS]
+        # planted exact copies (0/60/61) have jaccard 1.0 and Hamming 0,
+        # so every floor certifies on this corpus
+        assert out["ok"].all()
+        assert (out["n_true_pairs"] >= 3).all()
+
+
+class TestDocumentsCorpus:
+    def test_token_freq_matches_byte_counts(self, ray_session, tmp_path):
+        import collections
+
+        import ray
+
+        from json_time_series_extractor_ray.pipelines.tokenchunks import (
+            documents_corpus_dataset,
+            token_frequencies,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["abc abc", "bb", ""],
+        })
+        df.to_parquet(tmp_path / "documents.parquet")
+        out = token_frequencies(
+            documents_corpus_dataset(str(tmp_path))).to_pandas()
+        want = collections.Counter(b"".join(
+            t.encode() for t in df["text"]))
+        got = dict(zip(out["token"], out["n_occurrences"]))
+        assert got == {int(k): v for k, v in want.items()}
