@@ -161,8 +161,34 @@ def _events_rollup_linear(sf_dir: str):
 
 
 def _events_gorilla(sf_dir: str):
+    """Per-series Gorilla compression report, fully oracle-gated: the
+    SQL-exact columns (point count, 16 B/point raw size) plus two pinned
+    engine facts — ``roundtrip_ok`` (bit-exact decode of every chunk) and
+    ``ratio_floor_ok`` (compression ratio >= 0.9 for every non-empty
+    series; the near-random ``value`` series sits at ~0.95, the delta-
+    friendly ``user``/``props/k`` series at ~1.45).  The raw compressed
+    bytes stay engine-side (exercised by the three readback queries and
+    pytest); this report keeps the driver's gate meaningful without a
+    binary column it cannot hash."""
+    import pyarrow as _pa
+
     corpus = events_corpus_dataset(sf_dir)
-    return gorilla_roundtrip_stats(extract_pipeline(corpus))
+    stats = gorilla_roundtrip_stats(extract_pipeline(corpus))
+
+    def _report(batch: _pa.Table) -> _pa.Table:
+        n = batch.column("n_points").to_pylist()
+        ratio = batch.column("ratio").to_pylist()
+        ok = [bool(c == 0 or r >= 0.9) for c, r in zip(n, ratio)]
+        return _pa.table({
+            "series_key": batch.column("series_key"),
+            "n_points": batch.column("n_points"),
+            "raw_bytes": batch.column("raw_bytes"),
+            "roundtrip_ok": batch.column("roundtrip_ok"),
+            "ratio_floor_ok": _pa.array(ok, _pa.bool_()),
+        })
+
+    return stats.map_batches(_report, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def _events_gorilla_counts(sf_dir: str):
@@ -464,7 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m_locf": _events_rollup_locf,
         "events_rollup_1m_linear": _events_rollup_linear,
         "events_rollup_1m_recent": _events_rollup_recent,
-        "events_gorilla_chunks": _events_gorilla,  # rows-only (binary codec)
+        "events_gorilla_chunks": _events_gorilla,
         "events_gorilla_chunk_counts": _events_gorilla_counts,
         "events_gorilla_readback": _events_gorilla_readback,
         # compaction maintenance cycle vs the same readback oracle
@@ -517,6 +543,17 @@ def oracle_sql() -> dict[str, str]:
                    count(value_num) AS n_points,
                    16 * count(value_num) AS raw_bytes,
                    true AS roundtrip_ok
+            FROM ({_EVENTS_SAMPLES_SQL})
+            GROUP BY series_key
+        """,
+        # Compression report: the same SQL-exact slice plus the pinned
+        # per-series ratio floor (>= 0.9 for every non-empty series).
+        "events_gorilla_chunks": f"""
+            SELECT series_key,
+                   count(value_num) AS n_points,
+                   16 * count(value_num) AS raw_bytes,
+                   true AS roundtrip_ok,
+                   true AS ratio_floor_ok
             FROM ({_EVENTS_SAMPLES_SQL})
             GROUP BY series_key
         """,

@@ -117,6 +117,54 @@ def lttb_downsample(samples_ds, k: int):
     )
 
 
+def lttb_structure_report(samples_ds, k: int):
+    """Run the REAL per-series LTTB, then emit its SQL-pinnable
+    structural invariants (round-4 verdict item 7): input/output point
+    counts, the first/last point identity (LTTB always keeps the
+    endpoints of the engine's total order — hash-checking them verifies
+    the ordering itself), and two engine-checked booleans the oracle
+    pins TRUE — ``buckets_ok`` (the i-th interior selection falls in its
+    ``linspace`` rank bucket, or repeats the previous selection on an
+    int-cast-empty bucket) and ``monotone_ok`` (selected ranks are
+    nondecreasing).  The selected interior POINTS stay engine-side
+    (iterative triangle maximization has no SQL twin) and are pinned
+    exactly by tests/test_downsample.py against the serial kernel."""
+
+    def _group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_ORDER, kind="stable", ignore_index=True)
+        ts = df["ts_ns"].to_numpy()
+        vals = df["value_num"].to_numpy()
+        idx = lttb_series(ts, vals, k)
+        n = len(df)
+        buckets_ok = True
+        if 2 < k < n:
+            edges = np.linspace(1, n - 1, k - 1).astype(np.int64)
+            interior = idx[1:-1]
+            in_bucket = (edges[:-1] <= interior) & (interior < edges[1:])
+            repeats = np.r_[interior[0] == idx[0],
+                            interior[1:] == interior[:-1]]
+            buckets_ok = bool(np.all(in_bucket | repeats))
+        monotone_ok = bool(np.all(np.diff(idx) >= 0))
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "n_input": pd.Series([n], dtype="int64"),
+            "k_points": pd.Series([len(idx)], dtype="int64"),
+            "first_ts_ns": pd.Series([ts[idx[0]]], dtype="int64"),
+            "first_value": pd.Series([vals[idx[0]]], dtype="float64"),
+            "last_ts_ns": pd.Series([ts[idx[-1]]], dtype="int64"),
+            "last_value": pd.Series([vals[idx[-1]]], dtype="float64"),
+            "buckets_ok": pd.Series([buckets_ok], dtype="bool"),
+            "monotone_ok": pd.Series([monotone_ok], dtype="bool"),
+        })
+
+    return (
+        samples_ds.map_batches(_numeric_samples, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("series_key")
+        .map_groups(_group, batch_format="pandas")
+    )
+
+
 def rate_increase(samples_ds):
     """Counter-reset-aware per-point increase (PromQL ``increase``
     semantics over adjacent points): ``v[i] - v[i-1]`` when non-negative,
@@ -285,7 +333,7 @@ def _q_stride(sf_dir: str):
 
 
 def _q_lttb(sf_dir: str):
-    return lttb_downsample(_events_samples(sf_dir), 200)
+    return lttb_structure_report(_events_samples(sf_dir), 200)
 
 
 def _q_rate(sf_dir: str):
@@ -402,9 +450,35 @@ def _register_queries() -> None:
         """,
     )
 
-    # LTTB's iterative bucket selection is not SQL-expressible: rows-only
-    # driver check; exactness pinned by tests/test_downsample.py.
-    register("events_lttb_downsample", _q_lttb)
+    # LTTB's iterative bucket selection is not SQL-expressible, so the
+    # driver gate checks the structural report instead: exact counts +
+    # endpoint identity + pinned bucket/monotonicity invariants.  The
+    # selected interior points are pinned by tests/test_downsample.py.
+    register(
+        "events_lttb_downsample",
+        _q_lttb,
+        f"""
+        WITH num AS ({EVENTS_NUMERIC_SQL}),
+        o AS (
+            SELECT series_key, ts_ns, value_num,
+                   row_number() OVER win AS rn,
+                   count(*) OVER (PARTITION BY series_key) AS n
+            FROM num
+            WINDOW win AS (PARTITION BY series_key
+                           ORDER BY ts_ns, doc_id, ordinal)
+        )
+        SELECT series_key,
+               CAST(max(n) AS BIGINT) AS n_input,
+               CAST(least(max(n), 200) AS BIGINT) AS k_points,
+               CAST(arg_min(ts_ns, rn) AS BIGINT) AS first_ts_ns,
+               arg_min(value_num, rn) AS first_value,
+               CAST(arg_max(ts_ns, rn) AS BIGINT) AS last_ts_ns,
+               arg_max(value_num, rn) AS last_value,
+               true AS buckets_ok,
+               true AS monotone_ok
+        FROM o GROUP BY series_key
+        """,
+    )
 
     bucket = WINDOW_NS["1h"]
     register(

@@ -162,3 +162,28 @@ class TestDistributed:
             == (full[full["tier"] == "1d"]["window_start"].astype("int64")
                 >= wm - DEFAULT_TTL_NS["1d"]).sum()
         )
+
+
+def test_lttb_structure_report_planted(ray_session):
+    import ray
+
+    from json_time_series_extractor_ray.pipelines.downsample import (
+        lttb_structure_report,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 500
+    rows = [("s", 1_000_000_000 * i, float(v))
+            for i, v in enumerate(rng.normal(size=n))]
+    ds = ray.data.from_arrow(_samples_table(rows))
+    out = lttb_structure_report(ds, 40).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_input"] == n and r["k_points"] == 40
+    assert r["first_ts_ns"] == 0 and r["last_ts_ns"] == 1_000_000_000 * (n - 1)
+    assert r["first_value"] == rows[0][2] and r["last_value"] == rows[-1][2]
+    assert bool(r["buckets_ok"]) and bool(r["monotone_ok"])
+    # short series: every point kept
+    out2 = lttb_structure_report(
+        ray.data.from_arrow(_samples_table(rows[:10])), 40).to_pandas()
+    assert out2.iloc[0]["k_points"] == 10
