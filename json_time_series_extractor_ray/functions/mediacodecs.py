@@ -249,6 +249,58 @@ def encode_png(pixels: np.ndarray, *, filters="cycle", level: int = 6) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+#: Below this many raw bytes the pure-Python unfilter wins: numpy call
+#: overhead (~µs per op) dwarfs the work on a handful of pixels, and a
+#: thumbnail-sized image decodes ~20x faster on plain ints.
+_SMALL_IMAGE_BYTES = 4096
+
+
+def _unfilter_small(raw: np.ndarray, h: int, stride: int, ch: int):
+    """Pure-Python scanline unfilter for tiny images (all five filters,
+    byte-at-a-time on plain ints — no numpy dispatch overhead)."""
+    recon = bytearray(h * stride)
+    prev = bytes(stride)
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = raw[base]
+        cur = raw[base + 1: base + 1 + stride].tobytes()
+        row = bytearray(stride)
+        if ft == 0:
+            row[:] = cur
+        elif ft == 1:
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (cur[i] + left) & 255
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (cur[i] + prev[i]) & 255
+        elif ft == 3:
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                up = prev[i]
+                p = left + up - ul
+                pa_ = p - left if p >= left else left - p
+                pb = p - up if p >= up else up - p
+                pc = p - ul if p >= ul else ul - p
+                if pa_ <= pb and pa_ <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                row[i] = (cur[i] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} at row {r}")
+        recon[r * stride:(r + 1) * stride] = row
+        prev = bytes(row)
+    return np.frombuffer(bytes(recon), np.uint8).reshape(h, stride)
+
+
 def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
     """Vectorized Paeth predictor (RFC 2083 §6.6) over int16 lanes."""
     p = left + up - ul
@@ -307,40 +359,69 @@ def decode_png(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
+    if len(raw) <= _SMALL_IMAGE_BYTES:
+        return _finish_png(_unfilter_small(raw, h, stride, ch),
+                           h, w, ch, color_type, plte)
     raw = raw.reshape(h, stride + 1)
     ftypes = raw[:, 0]
     data = raw[:, 1:].astype(np.int16)
     recon = np.zeros((h, stride), np.int16)
-    prev = np.zeros(stride, np.int16)
-    for r in range(h):
-        ft = ftypes[r]
-        cur = data[r]
-        if ft == 0:
-            row = cur
-        elif ft == 1:  # Sub = cumulative sum along pixel lanes, mod 256
-            row = (np.cumsum(cur.reshape(-1, ch).astype(np.int64), axis=0)
-                   % 256).reshape(stride).astype(np.int16)
-        elif ft == 2:
-            row = (cur + prev) % 256
-        elif ft in (3, 4):
-            row = np.empty(stride, np.int16)
-            px = cur.reshape(-1, ch)
-            up = prev.reshape(-1, ch)
-            rw = row.reshape(-1, ch)
-            left = np.zeros(ch, np.int16)
-            ul = np.zeros(ch, np.int16)
-            for j in range(px.shape[0]):
+    if int(ftypes.max(initial=0)) > 4:
+        r = int(np.argmax(ftypes > 4))
+        raise ValueError(f"unknown PNG filter type {ftypes[r]} at row {r}")
+    # Dependency-level scheduling instead of a per-row walk: None/Sub
+    # rows read nothing above them, so ALL of them reconstruct in one
+    # vectorized shot; the remaining rows resolve level by level — every
+    # row whose predecessor is done computes in the same pass, with Up a
+    # single block add and Average/Paeth walking PIXELS while vectorized
+    # ACROSS the level's rows.  A filter-cycling payload (our synthesis
+    # default) thus costs ~2W serial steps total instead of W per
+    # Average/Paeth row; an all-Paeth image degrades to the old per-row
+    # cost, which is inherent to its row-chained recurrence.
+    resolved = np.zeros(h, bool)
+    none_rows = np.nonzero(ftypes == 0)[0]
+    recon[none_rows] = data[none_rows]
+    sub_rows = np.nonzero(ftypes == 1)[0]
+    if len(sub_rows):
+        recon[sub_rows] = (
+            data[sub_rows].reshape(len(sub_rows), -1, ch).astype(np.int64)
+            .cumsum(axis=1) % 256
+        ).reshape(len(sub_rows), stride).astype(np.int16)
+    resolved[none_rows] = True
+    resolved[sub_rows] = True
+    while not resolved.all():
+        unres = np.nonzero(~resolved)[0]
+        ready = unres[(unres == 0) | resolved[unres - 1]]
+        prev = np.zeros((len(ready), stride), np.int16)
+        mask = ready > 0
+        prev[mask] = recon[ready[mask] - 1]
+        for ft in (2, 3, 4):
+            sel = ftypes[ready] == ft
+            if not sel.any():
+                continue
+            rows = ready[sel]
+            if ft == 2:
+                recon[rows] = (data[rows] + prev[sel]) % 256
+                continue
+            px = data[rows].reshape(len(rows), -1, ch)
+            up = prev[sel].reshape(len(rows), -1, ch)
+            out = np.empty_like(px)
+            left = np.zeros((len(rows), ch), np.int16)
+            ul = np.zeros((len(rows), ch), np.int16)
+            for j in range(px.shape[1]):
                 if ft == 3:
-                    rw[j] = (px[j] + (left + up[j]) // 2) % 256
+                    out[:, j] = (px[:, j] + (left + up[:, j]) // 2) % 256
                 else:
-                    rw[j] = (px[j] + _paeth(left, up[j], ul)) % 256
-                left = rw[j]
-                ul = up[j]
-        else:
-            raise ValueError(f"unknown PNG filter type {ft} at row {r}")
-        recon[r] = row
-        prev = row
-    px = recon.astype(np.uint8)
+                    out[:, j] = (px[:, j] + _paeth(left, up[:, j], ul)) % 256
+                left = out[:, j]
+                ul = up[:, j]
+            recon[rows] = out.reshape(len(rows), stride)
+        resolved[ready] = True
+    return _finish_png(recon.astype(np.uint8), h, w, ch, color_type, plte)
+
+
+def _finish_png(px: np.ndarray, h: int, w: int, ch: int,
+                color_type: int, plte):
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

@@ -64,10 +64,19 @@ MEDIA_SCHEMA = pa.schema(
 
 TARGET_BATCH_BYTES = 64 * 1024 * 1024
 
+#: Upper row bound regardless of payload size: decode is CPU-bound, so a
+#: batch is also the actor-pool scheduling granule — without this cap a
+#: small-payload corpus fits in ONE 64 MiB batch and the whole decode
+#: runs on one actor (observed: media_decode_png at sf0.1 executed as a
+#: single task).  256 rows x 8 KiB ≈ 2 MiB still amortizes dispatch.
+MAX_DECODE_BATCH_ROWS = 256
+
 
 def media_batch_size(avg_payload_bytes: int) -> int:
-    """Rows per batch so one batch ~= TARGET_BATCH_BYTES of payload."""
-    return max(1, TARGET_BATCH_BYTES // max(1, avg_payload_bytes))
+    """Rows per batch: ~TARGET_BATCH_BYTES of payload, row-capped for
+    actor-pool granularity."""
+    return max(1, min(MAX_DECODE_BATCH_ROWS,
+                      TARGET_BATCH_BYTES // max(1, avg_payload_bytes)))
 
 
 def synthesize_media_table(doc_ids, sizes, kind: str = "image",
@@ -565,7 +574,7 @@ def _media_decode_real(sf_dir: str):
     media = docs.map_batches(_synth, batch_format="pyarrow",
                              zero_copy_batch=True)
     decoded = decode_media_dataset(media, avg_payload_bytes=8192,
-                                   concurrency=(1, 2), fake=False)
+                                   concurrency=4, fake=False)
     return decoded.select_columns(
         ["media_id", "kind", "width", "height", "sample_rate",
          "duration_ms", "decoded_bytes"])
@@ -653,7 +662,7 @@ def _media_decode_png(sf_dir: str):
     media = docs.map_batches(_synth, batch_format="pyarrow",
                              zero_copy_batch=True)
     decoded = decode_media_dataset(media, avg_payload_bytes=8192,
-                                   concurrency=(1, 2), fake=False)
+                                   concurrency=4, fake=False)
     return decoded.select_columns(
         ["media_id", "width", "height", "decoded_bytes", "raw_sum"])
 
@@ -739,7 +748,7 @@ def _media_decode_gif(sf_dir: str):
     media = docs.map_batches(_synth, batch_format="pyarrow",
                              zero_copy_batch=True)
     decoded = decode_media_dataset(media, avg_payload_bytes=8192,
-                                   concurrency=(1, 2), fake=False)
+                                   concurrency=4, fake=False)
     return decoded.select_columns(
         ["media_id", "width", "height", "decoded_bytes", "raw_sum"])
 
@@ -828,7 +837,7 @@ def _media_decode_jpeg(sf_dir: str):
     media = docs.map_batches(_synth, batch_format="pyarrow",
                              zero_copy_batch=True)
     decoded = decode_media_dataset(media, avg_payload_bytes=2048,
-                                   concurrency=(1, 2), fake=False)
+                                   concurrency=4, fake=False)
     return decoded.select_columns(
         ["media_id", "width", "height", "decoded_bytes", "raw_sum"])
 

@@ -635,15 +635,18 @@ def suppliers_kept_waiting(sf_dir: str):
         return pd.DataFrame({"sk": sk, "waits": w["late"].astype("int64"),
                              "sshard": hash_shards(sk, 4).astype(np.int64)})
 
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+    def _merge(df: pd.DataFrame) -> pa.Table:
         # vectorized per-shard supplier merge + region filter (never one
-        # Ray group per supplier key — the `_sharded_distinct` rule)
+        # Ray group per supplier key — the `_sharded_distinct` rule).
+        # Emits a TYPED Arrow table: a region-filtered shard can be
+        # EMPTY, and a zero-row object-dtype pandas block trips Ray's
+        # size estimator ("cannot call `vectorize` on size 0 inputs").
         w = df.groupby("sk", sort=True)["waits"].sum().reset_index()
         w = w[w["sk"].isin(list(smap))]
-        return pd.DataFrame({
-            "s_name": np.array([smap[int(k)][0] for k in w["sk"]],
-                               dtype=object),
-            "numwait": w["waits"].astype("int64"),
+        return pa.table({
+            "s_name": pa.array([smap[int(k)][0] for k in w["sk"]],
+                               pa.string()),
+            "numwait": pa.array(w["waits"].to_numpy(np.int64), pa.int64()),
         })
 
     return (
