@@ -438,9 +438,11 @@ def _finish_png(px: np.ndarray, h: int, w: int, ch: int,
 
 def sniff_format(payload: bytes) -> str:
     """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'jpeg' | 'gif' | 'mjbm' |
-    'unknown'."""
+    'mjpg' | 'unknown'."""
     if payload[:4] == b"MJBM":
         return "mjbm"
+    if payload[:4] == b"MJPG":
+        return "mjpg"
     if payload[:8] == _PNG_MAGIC:
         return "png"
     if payload[:6] in GIF_MAGICS:
@@ -459,46 +461,82 @@ def sniff_format(payload: bytes) -> str:
 
 
 # ---------------------------------------------------------------------------
-# MJBM: length-prefixed BMP-frame video container (uncompressed)
+# MJBM / MJPG: length-prefixed framed video containers
 # ---------------------------------------------------------------------------
 #
-# The simplest parseable stand-in for a video file in a container with no
-# codec libraries: magic b'MJBM', uint32-LE frame count, then per frame a
-# uint32-LE byte length followed by a complete BMP payload (the motion-
-# JPEG idea with BMP frames).  Real enough that frame sampling DECODES
-# real pixels; honest about being a bespoke container.
+# The simplest parseable video containers without codec libraries: a
+# 4-byte magic, uint32-LE frame count, then per frame a uint32-LE byte
+# length followed by a complete still-image payload.  MJBM stores
+# uncompressed BMP frames; MJPG stores baseline JPEG frames (the actual
+# motion-JPEG idea — each frame independently DCT-compressed by
+# ``jpegcodec.encode_jpeg``), making the frame-sampling stage real for a
+# COMPRESSED container too.  Honest about being bespoke framing.
 
 _MJBM_MAGIC = b"MJBM"
+_MJPG_MAGIC = b"MJPG"
 
 
-def encode_mjbm(frames) -> bytes:
-    """Concatenate BMP-encoded frames into one MJBM payload."""
+def _encode_framed(magic: bytes, blobs) -> bytes:
     import struct
 
-    blobs = [f if isinstance(f, (bytes, bytearray)) else encode_bmp(f)
-             for f in frames]
-    out = [_MJBM_MAGIC, struct.pack("<I", len(blobs))]
+    out = [magic, struct.pack("<I", len(blobs))]
     for b in blobs:
         out.append(struct.pack("<I", len(b)))
         out.append(bytes(b))
     return b"".join(out)
 
 
-def decode_mjbm(payload: bytes) -> "list[bytes]":
-    """MJBM payload -> list of BMP frame payloads (zero-copy slices)."""
+def _decode_framed(magic: bytes, payload: bytes) -> "list[bytes]":
     import struct
 
-    if payload[:4] != _MJBM_MAGIC:
-        raise ValueError("not an MJBM payload (magic mismatch)")
+    if payload[:4] != magic:
+        raise ValueError(
+            f"not an {magic.decode()} payload (magic mismatch)")
+    if len(payload) < 8:
+        raise ValueError(f"{magic.decode()}: truncated header")
     n = struct.unpack_from("<I", payload, 4)[0]
     frames = []
     pos = 8
     for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError(f"{magic.decode()}: truncated frame table")
         size = struct.unpack_from("<I", payload, pos)[0]
         pos += 4
+        if pos + size > len(payload):
+            raise ValueError(f"{magic.decode()}: truncated frame data")
         frames.append(payload[pos:pos + size])
         pos += size
     if pos != len(payload):
         raise ValueError(
-            f"MJBM payload has {len(payload) - pos} trailing bytes")
+            f"{magic.decode()} payload has {len(payload) - pos} "
+            "trailing bytes")
     return frames
+
+
+def encode_mjbm(frames) -> bytes:
+    """Concatenate BMP-encoded frames into one MJBM payload."""
+    blobs = [f if isinstance(f, (bytes, bytearray)) else encode_bmp(f)
+             for f in frames]
+    return _encode_framed(_MJBM_MAGIC, blobs)
+
+
+def decode_mjbm(payload: bytes) -> "list[bytes]":
+    """MJBM payload -> list of BMP frame payloads (zero-copy slices)."""
+    return _decode_framed(_MJBM_MAGIC, payload)
+
+
+def encode_mjpg(frames, *, quality: int = 75) -> bytes:
+    """Concatenate JPEG-encoded frames into one MJPG payload (arrays are
+    compressed with the library's baseline JPEG encoder; ``bytes``
+    frames pass through as-is)."""
+    from .jpegcodec import encode_jpeg
+
+    blobs = [f if isinstance(f, (bytes, bytearray))
+             else encode_jpeg(f, quality=quality)
+             for f in frames]
+    return _encode_framed(_MJPG_MAGIC, blobs)
+
+
+def decode_mjpg(payload: bytes) -> "list[bytes]":
+    """MJPG payload -> list of JPEG frame payloads (zero-copy slices)."""
+    return _decode_framed(_MJPG_MAGIC, payload)

@@ -10,9 +10,9 @@ magic-byte sniffing; the remaining compressed formats (MP3/H.264)
 raise ``NotImplementedError`` at decode time (explicit environment
 stub).
 Video frame sampling is REAL for the MJBM container (length-prefixed
-BMP frames, ``functions.mediacodecs.encode_mjbm``); compressed video
-containers raise, and ``fake=True`` keeps the container-free
-pseudo-frame slicer.
+BMP frames) and the MJPG container (length-prefixed baseline JPEG
+frames — compressed video through the real DCT codec); MP4/H.264
+raise, and ``fake=True`` keeps the container-free pseudo-frame slicer.
 
 * :class:`DecodeStage` decodes real payloads (or, with ``fake=True``,
   runs :func:`fake_decode` — a deterministic stand-in used by the
@@ -418,11 +418,13 @@ register(
 class FrameSampleStage:
     """Video frame-sampling stage: one media row -> ``n_frames`` rows.
 
-    The REAL path (``fake=False``) parses MJBM container payloads
-    (length-prefixed BMP frames — ``functions.mediacodecs.encode_mjbm``)
-    and emits every k-th stored frame as its complete BMP payload;
-    compressed video containers (MP4/H.264) raise ``NotImplementedError``
-    exactly like the compressed-image path of :class:`DecodeStage`.
+    The REAL path (``fake=False``) parses MJBM (length-prefixed BMP
+    frames) and MJPG (length-prefixed baseline JPEG frames — a real
+    COMPRESSED motion-JPEG container, ``functions.mediacodecs
+    .encode_mjpg``) payloads and emits every k-th stored frame as its
+    complete still-image payload; the remaining compressed video
+    containers (MP4/H.264) raise ``NotImplementedError`` exactly like
+    the compressed-audio path of :class:`AudioFeatureStage`.
     The fake path slices the payload into equal-length pseudo-frames —
     the row-expansion plumbing without any container.
     """
@@ -447,17 +449,20 @@ class FrameSampleStage:
                     indexes.append(fi)
                     frames.append(payload[fi * size : (fi + 1) * size])
                 continue
-            if sniff_format(payload) != "mjbm":
+            fmt = sniff_format(payload)
+            if fmt not in ("mjbm", "mjpg"):
                 raise NotImplementedError(
                     "no decoder for this video container: compressed "
                     "formats (MP4/H.264/VP9) are not present in this "
-                    "environment — decodable container is MJBM "
-                    "(length-prefixed BMP frames), or use "
+                    "environment — decodable containers are MJBM "
+                    "(length-prefixed BMP frames) and MJPG (length-"
+                    "prefixed baseline JPEG frames), or use "
                     "FrameSampleStage(..., fake=True)"
                 )
-            from ..functions.mediacodecs import decode_mjbm
+            from ..functions.mediacodecs import decode_mjbm, decode_mjpg
 
-            stored = decode_mjbm(payload)
+            stored = (decode_mjbm(payload) if fmt == "mjbm"
+                      else decode_mjpg(payload))
             for fi in range(0, min(self.n_frames, len(stored)),
                             self.every_k):
                 ids.append(media_id)
@@ -1086,6 +1091,110 @@ register(
            side AS frame_w, side AS frame_h,
            CAST(54 + side * (3 * side + ((4 - (3 * side) % 4) % 4))
                 AS BIGINT) AS frame_bytes
+    FROM s
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# COMPRESSED video: MJPG container (length-prefixed baseline JPEG frames)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_mjpg_table(doc_ids, seed: int = 17) -> pa.Table:
+    """Deterministic MJPG videos: doc ``d`` stores ``1 + d % 5`` JPEG
+    frames; frame ``f`` is a square of side ``9 + (d + f) % 9`` (9-17,
+    deliberately straddling the 16x16 4:2:0 MCU boundary with odd
+    dims).  The side rule is SQL-expressible; JPEG byte lengths are not
+    formula-expressible, so the oracle pins dims + a decode_ok flag
+    instead of sizes."""
+    from ..functions.mediacodecs import encode_mjpg
+
+    ids, payloads = [], []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        stable = int.from_bytes(
+            hashlib.blake2b(str(d).encode(), digest_size=4).digest(), "big")
+        rng = np.random.default_rng([seed, stable])
+        frames = []
+        for f in range(1 + d % 5):
+            s = 9 + (d + f) % 9
+            frames.append(rng.integers(0, 256, size=(s, s, 3),
+                                       dtype=np.uint8))
+        ids.append(str(d))
+        payloads.append(encode_mjpg(frames))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "kind": pa.array(["video"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+
+
+def _media_frame_sample_mjpeg(sf_dir: str):
+    """COMPRESSED-video frame sampling (round-4 verdict item 4): MJPG
+    payloads through the production ``FrameSampleStage()`` real path,
+    each sampled frame then decoded with the pure-Python baseline JPEG
+    codec to pin its true dimensions against the synthesis rule and a
+    pinned-TRUE decode flag."""
+    import ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_mjpg_table(batch.column("doc_id").to_pylist())
+
+    frames = docs.map_batches(_synth, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(n_frames=_REAL_FRAMES,
+                                       every_k=_REAL_EVERY_K),
+            batch_size=media_batch_size(4096),
+            concurrency=4,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _dims(batch: pa.Table) -> pa.Table:
+        ws, hs, oks = [], [], []
+        for blob in batch.column("frame").to_pylist():
+            px = decode_jpeg(blob)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            oks.append(px.shape[2] == 3)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_index": batch.column("frame_index"),
+            "frame_w": pa.array(ws, pa.int32()),
+            "frame_h": pa.array(hs, pa.int32()),
+            "decode_ok": pa.array(oks, pa.bool_()),
+        })
+
+    return frames.map_batches(_dims, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+register(
+    "media_frame_sample_mjpeg",
+    _media_frame_sample_mjpeg,
+    f"""
+    WITH f AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               unnest(generate_series(0, {_REAL_FRAMES - 1},
+                                      {_REAL_EVERY_K})) AS fi,
+               doc_id
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+               CAST(9 + (doc_id + fi) % 9 AS INTEGER) AS side
+        FROM f
+        WHERE fi < LEAST({_REAL_FRAMES}, 1 + doc_id % 5)
+    )
+    SELECT media_id, frame_index,
+           side AS frame_w, side AS frame_h,
+           true AS decode_ok
     FROM s
     """,
 )

@@ -1277,3 +1277,70 @@ class TestDocumentsCorpus:
             t.encode() for t in df["text"]))
         got = dict(zip(out["token"], out["n_occurrences"]))
         assert got == {int(k): v for k, v in want.items()}
+
+
+class TestMjpgContainer:
+    def test_roundtrip_and_stage(self, ray_session):
+        import ray
+
+        from json_time_series_extractor_ray.functions.jpegcodec import (
+            decode_jpeg,
+        )
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_mjpg,
+            encode_mjpg,
+            sniff_format,
+        )
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            FrameSampleStage,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = [rng.integers(0, 256, size=(s, s, 3), dtype=np.uint8)
+                  for s in (9, 16, 17)]
+        payload = encode_mjpg(frames)
+        assert sniff_format(payload) == "mjpg"
+        blobs = decode_mjpg(payload)
+        assert len(blobs) == 3
+        for blob, f in zip(blobs, frames):
+            px = decode_jpeg(blob)
+            assert px.shape == f.shape  # dims exact; pixels lossy
+
+        batch = pa.table({
+            "media_id": pa.array(["v0"], pa.string()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([payload], pa.large_binary()),
+        })
+        out = FrameSampleStage(n_frames=3, every_k=2)(batch)
+        assert out.column("frame_index").to_pylist() == [0, 2]
+        assert decode_jpeg(out.column("frame").to_pylist()[1]).shape \
+            == (17, 17, 3)
+
+    def test_truncated_payload_raises(self):
+        from json_time_series_extractor_ray.functions.mediacodecs import (
+            decode_mjpg,
+            encode_mjpg,
+        )
+
+        rng = np.random.default_rng(12)
+        payload = encode_mjpg(
+            [rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)])
+        for cut in (3, 6, 10, len(payload) - 1):
+            with pytest.raises(ValueError):
+                decode_mjpg(payload[:cut])
+        with pytest.raises(ValueError, match="trailing"):
+            decode_mjpg(payload + b"x")
+
+    def test_unknown_container_raises(self):
+        from json_time_series_extractor_ray.pipelines.multimodal import (
+            FrameSampleStage,
+        )
+
+        batch = pa.table({
+            "media_id": pa.array(["v0"], pa.string()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([b"\x00\x00\x00\x20ftypisom" + b"\0" * 32],
+                                pa.large_binary()),
+        })
+        with pytest.raises(NotImplementedError, match="MJPG"):
+            FrameSampleStage(n_frames=2)(batch)
