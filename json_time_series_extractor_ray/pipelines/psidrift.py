@@ -18,13 +18,19 @@ far inside the window).
 Scale shape: pass A is a (series -> min/max ts) combiner whose result
 is one row per SERIES (guarded by ``MAX_SERIES``, broadcast into pass
 B); pass B aggregates ``(series, value, half)`` counts inside
-``map_batches`` so the ONE shuffle carries per-block distinct-value
-partials, and each series' task is vectorized over its distinct values
-(bounded by ``MAX_DISTINCT_VALUES``; the decile edges need one series'
-full distinct-value table in one place, unlike the pure rank sums that
-``ranktests.mannwhitney_weekend`` now computes with the distributed
-value-ordered prefix-rank — a distributed quantile here would need a
-shard-navigation pass, tracked as the remedy if the bound ever binds).
+``map_batches`` and routes each distinct value to a VALUE-ORDERED shard
+(``_util.value_ordered_shards``), so NO task ever holds a whole
+series' distinct-value table.  The decile edges are found by the
+shard-navigation two-round pass: round 1 collects per-(series, shard)
+count summaries to the driver (tiny), which locates the shard holding
+each decile position; round 2 broadcasts the position requests and
+each shard task extracts only its own requested values; the driver
+assembles the edges with the exact ``quantile_cont`` lerp and round 3
+buckets the partials against the broadcast edges.  The Wasserstein
+companion distributes the same way: per-shard interior CDF terms with
+driver-computed count offsets, plus driver-side cross-shard boundary
+terms.  Per-SLICE size is bounded by ``MAX_SHARD_DISTINCT`` — a true
+task-memory bound, tunable via ``value_shards``.
 
 Reference anchor: extraction-only reference (SURVEY.md §2); extends the
 engine-mandated analytics/monitoring family (§2.6).
@@ -36,7 +42,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._util import round_half_away
+from ._util import round_half_away, value_ordered_shards
 from .registry import register
 
 N_BUCKETS = 10
@@ -45,9 +51,9 @@ _QS = tuple((i + 1) / 10 for i in range(9))
 #: Pass A's per-series midpoint table reaches the driver — bound it.
 MAX_SERIES = 1_000_000
 
-#: One task holds one series' distinct values (the decile edges need
-#: them co-resident; see module docstring for the distributed remedy).
-MAX_DISTINCT_VALUES = 5_000_000
+#: One task holds one (series, value-shard) SLICE of the distinct-value
+#: table (see ranktests.MAX_SHARD_DISTINCT for the sizing argument).
+MAX_SHARD_DISTINCT = 20_000_000
 
 
 def _weighted_quantiles(uv: np.ndarray, uc: np.ndarray, qs) -> np.ndarray:
@@ -107,9 +113,12 @@ def _series_midpoints(samples_ds) -> dict:
             for r in rows}
 
 
-def psi_drift(samples_ds, *, round_digits: int = 6):
-    """Per series: first/second-half sizes and the decile-bucket PSI."""
-    mids = _series_midpoints(samples_ds)
+def _sharded_partials(samples_ds, mids: dict, value_shards: int):
+    """``(series_key, v, half, cnt, vshard)`` distinct-value partials
+    with value-ordered shard ids, MATERIALIZED once and reused by the
+    multi-round passes.  Bounded: O(blocks x per-block distinct) rows —
+    the same relation the old single-task design shuffled, never raw
+    samples."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch.column("value_num").is_valid())
@@ -125,39 +134,179 @@ def psi_drift(samples_ds, *, round_digits: int = 6):
         })
         g = df.groupby(["series_key", "v", "half"], sort=False)["cnt"] \
             .sum().reset_index()
+        g["vshard"] = value_ordered_shards(g["v"].to_numpy(), value_shards)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def _psi(df: pd.DataFrame) -> pd.DataFrame:
+    return samples_ds.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+
+def _shard_summaries(parts) -> pd.DataFrame:
+    """Round 1: per (series, vshard) first/second-half counts + merged
+    value range — ~|series| x |occupied shards| single rows to the
+    driver, sorted so cumulative offsets accumulate in value order."""
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["v", "half"], sort=False)["cnt"].sum().reset_index()
+        nd = g["v"].nunique()
+        if nd > MAX_SHARD_DISTINCT:
+            raise ValueError(
+                f"series {df['series_key'].iloc[0]!r} value-shard "
+                f"{int(df['vshard'].iloc[0])} holds {nd} distinct values "
+                f"(> MAX_SHARD_DISTINCT={MAX_SHARD_DISTINCT}); raise "
+                "value_shards to split binades finer"
+            )
+        return pd.DataFrame({
+            "series_key": df["series_key"].iloc[:1],
+            "vshard": pd.Series([int(df["vshard"].iloc[0])],
+                                dtype="int64"),
+            "cnt0": pd.Series([int(g.loc[g["half"] == 0, "cnt"].sum())],
+                              dtype="int64"),
+            "cnt1": pd.Series([int(g.loc[g["half"] == 1, "cnt"].sum())],
+                              dtype="int64"),
+            "vmin": pd.Series([float(g["v"].min())], dtype="float64"),
+            "vmax": pd.Series([float(g["v"].max())], dtype="float64"),
+        })
+
+    return (
+        parts.groupby(["series_key", "vshard"])
+        .map_groups(_sum, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["series_key", "vshard"], ignore_index=True)
+    )
+
+
+def psi_drift(samples_ds, *, round_digits: int = 6, value_shards: int = 64):
+    """Per series: first/second-half sizes and the decile-bucket PSI,
+    via the distributed shard-navigation quantile (module docstring)."""
+    import ray
+
+    mids = _series_midpoints(samples_ds)
+    parts = _sharded_partials(samples_ds, mids, value_shards)
+    summ = _shard_summaries(parts)
+
+    empty_out = pd.DataFrame({
+        "series_key": pd.Series([], dtype=object),
+        "n_first": pd.Series([], dtype="int64"),
+        "n_second": pd.Series([], dtype="int64"),
+        "psi": pd.Series([], dtype="float64"),
+    })
+    if summ.empty:
+        return empty_out
+
+    # driver: locate the shard holding each decile position (0-based
+    # rank within the FIRST-half multiset, matching _weighted_quantiles)
+    requests: dict = {}
+    meta: dict = {}
+    for series, sub in summ.groupby("series_key", sort=True):
+        n0 = int(sub["cnt0"].sum())
+        n1 = int(sub["cnt1"].sum())
+        if n0 < 2 or n1 < 1:
+            continue
+        cnt0 = sub["cnt0"].to_numpy(np.int64)
+        cum = np.cumsum(cnt0)
+        shards = sub["vshard"].to_numpy(np.int64)
+        qinfo = []
+        for qi, q in enumerate(_QS):
+            pos = q * (n0 - 1)
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            wants = [("lo", lo)]
+            if lo + 1 <= n0 - 1:
+                wants.append(("hi", lo + 1))
+            for tag, p in wants:
+                sidx = int(np.searchsorted(cum, p, side="right"))
+                offset = int(cum[sidx] - cnt0[sidx])
+                requests.setdefault(
+                    (series, int(shards[sidx])), []
+                ).append((qi, tag, p - offset))
+            qinfo.append((lo, frac))
+        meta[series] = (n0, n1, qinfo)
+    if not meta:
+        return empty_out
+    req_ref = ray.put(requests)
+
+    # round 2: each requested shard extracts only its own positions
+    def _extract(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
             "series_key": pd.Series([], dtype=object),
-            "n_first": pd.Series([], dtype="int64"),
-            "n_second": pd.Series([], dtype="int64"),
-            "psi": pd.Series([], dtype="float64"),
+            "qi": pd.Series([], dtype="int64"),
+            "tag": pd.Series([], dtype=object),
+            "val": pd.Series([], dtype="float64"),
         })
-        g = df.groupby(["v", "half"], sort=True)["cnt"].sum().reset_index()
-        if g["v"].nunique() > MAX_DISTINCT_VALUES:
-            raise ValueError(
-                f"series {df['series_key'].iloc[0]!r} has "
-                f"{g['v'].nunique()} distinct values (> "
-                f"MAX_DISTINCT_VALUES={MAX_DISTINCT_VALUES}); use "
-                "pre-binned histograms for continuous ultra-high-"
-                "cardinality series"
-            )
-        first = g[g["half"] == 0]
-        second = g[g["half"] == 1]
-        n0 = int(first["cnt"].sum())
-        n1 = int(second["cnt"].sum())
-        if n0 < 2 or n1 < 1:
+        key = (df["series_key"].iloc[0], int(df["vshard"].iloc[0]))
+        reqs = ray.get(req_ref).get(key)
+        if not reqs:
             return empty
-        edges = _weighted_quantiles(first["v"].to_numpy(np.float64),
-                                    first["cnt"].to_numpy(np.int64), _QS)
-        counts = np.zeros((2, N_BUCKETS), dtype=np.int64)
-        for half, part in ((0, first), (1, second)):
-            # bucket = number of edges strictly below v  (SQL: sum v > e)
-            b = np.searchsorted(edges, part["v"].to_numpy(np.float64),
+        g = df[df["half"] == 0].groupby("v", sort=True)["cnt"].sum()
+        uv = g.index.to_numpy(np.float64)
+        cum = g.to_numpy(np.int64).cumsum()
+        return pd.DataFrame({
+            "series_key": pd.Series([key[0]] * len(reqs), dtype=object),
+            "qi": pd.Series([r[0] for r in reqs], dtype="int64"),
+            "tag": pd.Series([r[1] for r in reqs], dtype=object),
+            "val": pd.Series(
+                [float(uv[np.searchsorted(cum, r[2], side="right")])
+                 for r in reqs],
+                dtype="float64"),
+        })
+
+    ext = (
+        parts.groupby(["series_key", "vshard"])
+        .map_groups(_extract, batch_format="pandas")
+        .to_pandas()
+    )
+    edges_by_series = {}
+    for series, sub in ext.groupby("series_key"):
+        n0, n1, qinfo = meta[series]
+        vals = {(int(r.qi), r.tag): float(r.val) for r in sub.itertuples()}
+        edges = np.empty(len(_QS))
+        for qi, (lo, frac) in enumerate(qinfo):
+            vlo = vals[(qi, "lo")]
+            vhi = vals.get((qi, "hi"), vlo)
+            # DuckDB's quantile_cont lerp form — MUST stay this exact
+            # expression (see _weighted_quantiles)
+            edges[qi] = vlo * (1 - frac) + vhi * frac
+        edges_by_series[series] = edges
+    edges_ref = ray.put(edges_by_series)
+
+    # round 3: bucket the partials against the broadcast edges
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        edges_map = ray.get(edges_ref)
+        out = []
+        for series, sub in df.groupby("series_key", sort=False):
+            edges = edges_map.get(series)
+            if edges is None:
+                continue
+            # bucket = number of edges strictly below v (SQL: sum v > e)
+            b = np.searchsorted(edges, sub["v"].to_numpy(np.float64),
                                 side="left")
-            counts[half] = np.bincount(b, weights=part["cnt"].to_numpy(),
-                                       minlength=N_BUCKETS)
+            t = pd.DataFrame({
+                "series_key": sub["series_key"].to_numpy(),
+                "half": sub["half"].to_numpy(np.int8),
+                "bucket": b.astype(np.int64),
+                "cnt": sub["cnt"].to_numpy(np.int64),
+            })
+            out.append(
+                t.groupby(["series_key", "half", "bucket"], sort=False)
+                ["cnt"].sum().reset_index())
+        if not out:
+            return pd.DataFrame({
+                "series_key": pd.Series([], dtype=object),
+                "half": pd.Series([], dtype="int8"),
+                "bucket": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros((2, N_BUCKETS), dtype=np.int64)
+        np.add.at(counts,
+                  (df["half"].to_numpy(np.int64),
+                   df["bucket"].to_numpy(np.int64)),
+                  df["cnt"].to_numpy(np.int64))
+        n0 = int(counts[0].sum())
+        n1 = int(counts[1].sum())
         q = (counts[0] + 0.5) / (n0 + 5.0)
         p = (counts[1] + 0.5) / (n1 + 5.0)
         psi = float(np.sum((p - q) * np.log(p / q)))
@@ -169,9 +318,10 @@ def psi_drift(samples_ds, *, round_digits: int = 6):
         })
 
     return (
-        samples_ds.map_batches(_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby("series_key").map_groups(_psi, batch_format="pandas")
+        parts.map_batches(_bucket, batch_format="pandas")
+        .groupby("series_key").map_groups(_final, batch_format="pandas")
+        .to_pandas()  # one row per series, <= MAX_SERIES (like round 1)
+        .reset_index(drop=True)
     )
 
 
@@ -253,7 +403,8 @@ def _psi_sql() -> str:
 register("events_psi_drift", _q_psi, _psi_sql())
 
 
-def wasserstein_drift(samples_ds, *, round_digits: int = 6):
+def wasserstein_drift(samples_ds, *, round_digits: int = 6,
+                      value_shards: int = 64):
     """Wasserstein-1 (earth mover's) distance between each series' first
     and second time-half value distributions — PSI's exact companion
     (no buckets, no smoothing):
@@ -266,71 +417,101 @@ def wasserstein_drift(samples_ds, *, round_digits: int = 6):
     int/int ratios, both engines sum the same terms, and the result
     rounds to 6.
 
-    Scale shape: identical to ``psi_drift`` — broadcast midpoints, ONE
-    distinct-value-partial shuffle, vectorized per-series task under the
-    same ``MAX_DISTINCT_VALUES`` guard.
+    Scale shape: distributed like ``psi_drift`` — value-ordered shards,
+    driver-computed cumulative count OFFSETS broadcast into per-shard
+    interior CDF sums, cross-shard boundary terms folded driver-side
+    from the round-1 summaries.  The round-6 output absorbs the
+    reassociation noise of summing per-shard partials (same tolerance
+    the serial version already relied on vs DuckDB's own sum order).
     """
+    import ray
+
     mids = _series_midpoints(samples_ds)
+    parts = _sharded_partials(samples_ds, mids, value_shards)
+    summ = _shard_summaries(parts)
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(batch.column("value_num").is_valid())
-        sk = t.column("series_key").to_pandas()
-        ts = t.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        mid = sk.map(mids).to_numpy(dtype=np.int64)
-        df = pd.DataFrame({
-            "series_key": sk,
-            "v": t.column("value_num").to_numpy(zero_copy_only=False),
-            "half": (ts > mid).astype(np.int8),
-            "cnt": np.ones(t.num_rows, dtype=np.int64),
-        })
-        g = df.groupby(["series_key", "v", "half"], sort=False)["cnt"] \
-            .sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def _w1(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
+    offsets: dict = {}
+    boundary: dict = {}
+    sizes: dict = {}
+    for series, sub in summ.groupby("series_key", sort=True):
+        n0 = int(sub["cnt0"].sum())
+        n1 = int(sub["cnt1"].sum())
+        if n0 < 1 or n1 < 1:
+            continue
+        sizes[series] = (n0, n1)
+        cnt0 = sub["cnt0"].to_numpy(np.int64)
+        cnt1 = sub["cnt1"].to_numpy(np.int64)
+        ca = np.cumsum(cnt0)
+        cb = np.cumsum(cnt1)
+        shards = sub["vshard"].to_numpy(np.int64)
+        for i in range(len(sub)):
+            offsets[(series, int(shards[i]))] = (
+                int(ca[i] - cnt0[i]), int(cb[i] - cnt1[i]), n0, n1)
+        # cross-shard terms: CDF at the end of shard i is flat until the
+        # next shard's first value
+        vmin = sub["vmin"].to_numpy(np.float64)
+        vmax = sub["vmax"].to_numpy(np.float64)
+        bsum = 0.0
+        for i in range(len(sub) - 1):
+            bsum += abs(ca[i] / n0 - cb[i] / n1) * (vmin[i + 1] - vmax[i])
+        boundary[series] = bsum
+    if not sizes:
+        return pd.DataFrame({
             "series_key": pd.Series([], dtype=object),
             "n_first": pd.Series([], dtype="int64"),
             "n_second": pd.Series([], dtype="int64"),
             "w1": pd.Series([], dtype="float64"),
         })
-        g = df.groupby(["v", "half"], sort=True)["cnt"].sum().reset_index()
-        if g["v"].nunique() > MAX_DISTINCT_VALUES:
-            raise ValueError(
-                f"series {df['series_key'].iloc[0]!r} has "
-                f"{g['v'].nunique()} distinct values (> "
-                f"MAX_DISTINCT_VALUES={MAX_DISTINCT_VALUES}); use "
-                "pre-binned histograms for continuous ultra-high-"
-                "cardinality series"
-            )
-        wide = g.pivot_table(index="v", columns="half", values="cnt",
-                             aggfunc="sum", fill_value=0) \
-            .reindex(columns=[0, 1], fill_value=0).sort_index()
-        ca = wide[0].to_numpy(np.int64).cumsum()
-        cb = wide[1].to_numpy(np.int64).cumsum()
-        n0, n1 = int(ca[-1]), int(cb[-1])
-        if n0 < 1 or n1 < 1:
+    off_ref = ray.put(offsets)
+
+    def _interior(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "series_key": pd.Series([], dtype=object),
+            "part": pd.Series([], dtype="float64"),
+        })
+        key = (df["series_key"].iloc[0], int(df["vshard"].iloc[0]))
+        got = ray.get(off_ref).get(key)
+        if got is None:
             return empty
+        oa, ob, n0, n1 = got
+        wide = df.groupby(["v", "half"], sort=False)["cnt"].sum() \
+            .reset_index() \
+            .pivot_table(index="v", columns="half", values="cnt",
+                         aggfunc="sum", fill_value=0) \
+            .reindex(columns=[0, 1], fill_value=0).sort_index()
         x = wide.index.to_numpy(np.float64)
         if len(x) < 2:
-            w1 = 0.0
+            part = 0.0
         else:
-            fa = ca[:-1] / n0
-            fb = cb[:-1] / n1
-            w1 = float(np.sum(np.abs(fa - fb) * (x[1:] - x[:-1])))
+            ca = oa + wide[0].to_numpy(np.int64).cumsum()
+            cb = ob + wide[1].to_numpy(np.int64).cumsum()
+            part = float(np.sum(np.abs(ca[:-1] / n0 - cb[:-1] / n1)
+                                * (x[1:] - x[:-1])))
         return pd.DataFrame({
-            "series_key": df["series_key"].iloc[:1],
-            "n_first": pd.Series([n0], dtype="int64"),
-            "n_second": pd.Series([n1], dtype="int64"),
-            "w1": round_half_away(np.array([w1]), round_digits),
+            "series_key": pd.Series([key[0]], dtype=object),
+            "part": pd.Series([part], dtype="float64"),
         })
 
-    return (
-        samples_ds.map_batches(_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby("series_key").map_groups(_w1, batch_format="pandas")
+    ints = (
+        parts.groupby(["series_key", "vshard"])
+        .map_groups(_interior, batch_format="pandas")
+        .to_pandas()
     )
+    interior_by_series = ints.groupby("series_key")["part"].sum()
+    out = {"series_key": [], "n_first": [], "n_second": [], "w1": []}
+    for series in sorted(sizes):
+        n0, n1 = sizes[series]
+        w1 = boundary[series] + float(interior_by_series.get(series, 0.0))
+        out["series_key"].append(series)
+        out["n_first"].append(n0)
+        out["n_second"].append(n1)
+        out["w1"].append(round_half_away(np.float64(w1), round_digits))
+    return pd.DataFrame({
+        "series_key": pd.Series(out["series_key"], dtype=object),
+        "n_first": pd.Series(out["n_first"], dtype="int64"),
+        "n_second": pd.Series(out["n_second"], dtype="int64"),
+        "w1": pd.Series(out["w1"], dtype="float64"),
+    })
 
 
 def _q_w1(sf_dir: str):
