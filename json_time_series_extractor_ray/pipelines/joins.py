@@ -179,7 +179,17 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
 
     lval = [c for c in lcols if c != on]
 
-    def _join_shard(tbl: pa.Table) -> pd.DataFrame:
+    def _typed(df: pd.DataFrame):
+        # A region-pruned or semi-filtered shard can come out EMPTY, and
+        # a zero-row object-dtype pandas block trips Ray's size
+        # estimator ("cannot call `vectorize` on size 0 inputs") on
+        # every downstream stage — emit a typed empty Arrow table
+        # instead (declared schema, so the recast is a no-op).
+        if len(df):
+            return df
+        return pa.table({n: pa.array([], decl[n]) for n in df.columns})
+
+    def _join_shard(tbl: pa.Table):
         # Integer columns cross into pandas as NULLABLE ints: the tagged
         # union nulls the other side's columns in every row, so a default
         # to_pandas() would upcast EVERY int column to float64 and
@@ -199,7 +209,7 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
             # falls out of semi and survives anti — SQL [NOT] EXISTS.
             mask = left["__key"].isin(right["__key"].unique())
             picked = left[mask if how == "semi" else ~mask]
-            return picked.rename(columns={"__key": on})[all_cols]
+            return _typed(picked.rename(columns={"__key": on})[all_cols])
         if how == "inner":
             left = left[left["__key"].notna()]
         if how == "outer":
@@ -213,9 +223,9 @@ def shuffle_join(left_ds, right_ds, *, on, right_on: str | None = None,
             merged = pd.concat([merged, lnull, rnull], ignore_index=True)
             # int columns are already nullable (types_mapper above), so
             # unmatched rows are <NA> — no float64 repair needed
-            return merged.rename(columns={"__key": on})[all_cols]
+            return _typed(merged.rename(columns={"__key": on})[all_cols])
         merged = left.merge(right, on="__key", how=how, sort=False)
-        return merged.rename(columns={"__key": on})[all_cols]
+        return _typed(merged.rename(columns={"__key": on})[all_cols])
 
     joined = tagged.groupby("__shard").map_groups(
         _join_shard, batch_format="pyarrow"
