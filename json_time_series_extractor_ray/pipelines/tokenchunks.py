@@ -51,13 +51,19 @@ register(
 
 
 def _q_ratio(sf_dir: str):
+    """Chunk-store accounting over the DOCUMENTS corpus: with the UTF-8
+    tokenizer, n_tokens == the summed byte length of the (pure-ASCII)
+    driver text and raw_bytes == 4 bytes per int32 token — so every
+    total is SQL-exact.  (The events-corpus store stays exercised
+    value-exactly by ``tokens_chunk_readback``, whose decode feeds the
+    extraction oracle; its own byte totals embed Python float reprs SQL
+    cannot reproduce.)"""
     import ray
 
     from ..state.tokenstore import compress_corpus_dataset
     from ._util import scratch_dir
-    from .timeseries import events_corpus_dataset
 
-    chunks = compress_corpus_dataset(events_corpus_dataset(sf_dir))
+    chunks = compress_corpus_dataset(documents_corpus_dataset(sf_dir))
     out = scratch_dir(f"tok_stats_{sf_dir}")
     chunks.write_parquet(out)
     stats = ray.data.read_parquet(
@@ -70,12 +76,16 @@ def _q_ratio(sf_dir: str):
     })
 
 
-# rows-only: n_tokens equals the UTF-8 byte length of each rendered JSON
-# payload, and reconstructing that exact text in SQL would depend on
-# DuckDB float formatting matching Python's repr — not a sound oracle.
-# The totals are pinned instead by TestTokenChunkStore against the
-# corpus table's own offsets.
-register("tokens_chunk_ratio", _q_ratio)
+register(
+    "tokens_chunk_ratio",
+    _q_ratio,
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_tokens,
+           CAST(4 * sum(length(text)) AS BIGINT) AS raw_bytes
+    FROM documents
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
