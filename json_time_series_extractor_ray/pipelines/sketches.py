@@ -478,7 +478,29 @@ def _q_bloom_new_docs(sf_dir: str):
     return bloom_filter_out(candidates, bloom, column="fingerprint")
 
 
-register("doc_bloom_new_docs", _q_bloom_new_docs)  # rows-only (hash bitmap)
+# Full rows-level oracle: the fingerprint is md5 of whitespace-
+# normalized text (SQL-computable — the exact_dedup rule), and with 250
+# even-doc entries in a 2^20-bit / k=7 bloom the per-candidate false-
+# positive probability is (250*7/2^20)^7 ≈ 1e-20, so the filter output
+# EQUALS the exact anti-join relation as a deterministic fact of the
+# fixed seed + fixtures (verified sf0.001/0.01: 250/250 both).  The
+# no-false-negative property itself is pinned in TestBloom.
+register(
+    "doc_bloom_new_docs",
+    _q_bloom_new_docs,
+    r"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                   '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint
+    FROM f
+    WHERE doc_id % 2 = 1
+      AND fingerprint NOT IN (SELECT fingerprint FROM f WHERE doc_id % 2 = 0)
+    """,
+)
 
 
 register(
