@@ -287,6 +287,10 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("media_decode_png", sf_dir)),
             ("media_decode_jpeg",
              lambda: bench_query("media_decode_jpeg", sf_dir)),
+            ("media_frame_sample_mjpeg",
+             lambda: bench_query("media_frame_sample_mjpeg", sf_dir)),
+            ("simhash_recall_report",
+             lambda: bench_query("simhash_recall_report", sf_dir)),
             ("part_name_near_pairs",
              lambda: bench_query("part_name_near_pairs", sf_dir)),
             ("doc_readability",
