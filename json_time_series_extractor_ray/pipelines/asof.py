@@ -162,20 +162,30 @@ def _tag_by_bucket_shard(batch: pa.Table) -> pa.Table:
         "__shard", pa.array(hash_shards(key, ASOF_SHARDS), pa.int32()))
 
 
+def _empty_to_arrow(df):
+    """Zero-row object-dtype pandas blocks trip Ray's size estimator
+    ("cannot call `vectorize` on size 0 inputs"); hand empties over as
+    Arrow instead — object columns become null-typed and the downstream
+    ``_make_recast`` restores the declared types."""
+    if isinstance(df, pd.DataFrame) and df.empty:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return df
+
+
 def _sharded(merge_fn, keys=("__by",)):
     """Wrap a per-key merge body to run over every key (or key x bucket)
     group in a shard frame — one pandas groupby per shard task."""
     keys = list(keys)
     gkeys = keys[0] if len(keys) == 1 else keys
 
-    def _fn(tbl: pa.Table) -> pd.DataFrame:
+    def _fn(tbl: pa.Table):
         from ._util import shard_to_pandas
 
         df = shard_to_pandas(tbl).drop(columns="__shard")
         outs = [merge_fn(g) for _, g in df.groupby(gkeys, sort=False)]
         if not outs:
-            return merge_fn(df.iloc[0:0])
-        return pd.concat(outs, ignore_index=True)
+            return _empty_to_arrow(merge_fn(df.iloc[0:0]))
+        return _empty_to_arrow(pd.concat(outs, ignore_index=True))
 
     return _fn
 
@@ -207,18 +217,18 @@ def _make_shard_merge(left_names, right_names, direction: str = "backward",
                           tolerance_ns=tolerance_ns)
     keys = list(keys)
 
-    def _fn(tbl: pa.Table) -> pd.DataFrame:
+    def _fn(tbl: pa.Table):
         from ._util import shard_to_pandas
 
         df = shard_to_pandas(tbl).drop(columns="__shard")
         if df.empty:
-            return per_key(df)
+            return _empty_to_arrow(per_key(df))
         codes = _group_codes(df, keys)
         is_l = (df["__side"] == "l").to_numpy()
         left = df[is_l]
         right = df[~is_l]
         if left.empty or right.empty:
-            return per_key(df.iloc[0:0])
+            return _empty_to_arrow(per_key(df.iloc[0:0]))
         l_ts = left["__ts"].to_numpy(np.int64)
         code_l = codes[is_l]
         # deterministic right dedup per (code, ts): last in column order —
@@ -267,7 +277,7 @@ def _make_shard_merge(left_names, right_names, direction: str = "backward",
             if tolerance_ns is not None:
                 matched &= np.minimum(d_b, d_f) <= tolerance_ns
         if not matched.any():
-            return per_key(df.iloc[0:0])
+            return _empty_to_arrow(per_key(df.iloc[0:0]))
         left_m = left[matched]
         picks = right.iloc[idx[matched]]
         # .array (not .to_numpy()): a nullable-int carried column must

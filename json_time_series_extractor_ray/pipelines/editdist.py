@@ -152,6 +152,17 @@ def _verify_bucket(df: pd.DataFrame, d: int) -> pd.DataFrame:
                 a_out.append(ni)
                 b_out.append(nj)
                 dist_out.append(dist)
+    if not a_out:
+        # typed empty Arrow: a zero-row object-dtype pandas block trips
+        # Ray's size estimator on most buckets (no close pairs is the
+        # common case)
+        return pa.table({
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+            "n_parts_a": pa.array([], pa.int64()),
+            "n_parts_b": pa.array([], pa.int64()),
+        })
     return pd.DataFrame({
         "name_a": pd.Series(a_out, dtype=object),
         "name_b": pd.Series(b_out, dtype=object),
