@@ -55,6 +55,12 @@ MAX_SERIES = 1_000_000
 #: table (see ranktests.MAX_SHARD_DISTINCT for the sizing argument).
 MAX_SHARD_DISTINCT = 20_000_000
 
+#: Adaptive execution bound (see ranktests.MAX_DRIVER_FOLD_ROWS): a
+#: materialized partial relation at or under this folds on the driver
+#: with the identical serial arithmetic; above it the value-ordered
+#: shard rounds run.  Path equality is pinned by test.
+MAX_DRIVER_FOLD_ROWS = 5_000_000
+
 
 def _weighted_quantiles(uv: np.ndarray, uc: np.ndarray, qs) -> np.ndarray:
     """quantile_cont over (sorted distinct values, counts) — bit-equal to
@@ -97,10 +103,23 @@ def _series_midpoints(samples_ds) -> dict:
             "ts_max": pd.Series([df["ts_max"].max()], dtype="int64"),
         })
 
+    parts = samples_ds.map_batches(_minmax, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    if parts.count() <= MAX_DRIVER_FOLD_ROWS:
+        # per-BLOCK series min/max rows fold on the driver — no shuffle
+        g = parts.to_pandas().groupby("series_key", sort=False).agg(
+            ts_min=("ts_min", "min"), ts_max=("ts_max", "max"))
+        if len(g) > MAX_SERIES:
+            raise ValueError(
+                f"psi_drift saw {len(g)} series (> MAX_SERIES="
+                f"{MAX_SERIES}); broadcastable per-series midpoints no "
+                "longer fit — shuffle-join the midpoints instead"
+            )
+        return {k: (int(r.ts_min) + int(r.ts_max)) // 2
+                for k, r in g.iterrows()}
     rows = (
-        samples_ds.map_batches(_minmax, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby("series_key").map_groups(_merge, batch_format="pandas")
+        parts.groupby("series_key").map_groups(_merge,
+                                               batch_format="pandas")
         .take_all()
     )
     if len(rows) > MAX_SERIES:
@@ -176,14 +195,15 @@ def _shard_summaries(parts) -> pd.DataFrame:
     )
 
 
-def psi_drift(samples_ds, *, round_digits: int = 6, value_shards: int = 64):
+def psi_drift(samples_ds, *, round_digits: int = 6, value_shards: int = 64,
+              driver_fold_rows: int = MAX_DRIVER_FOLD_ROWS):
     """Per series: first/second-half sizes and the decile-bucket PSI,
-    via the distributed shard-navigation quantile (module docstring)."""
+    via the distributed shard-navigation quantile (module docstring),
+    with the adaptive driver fold for small partial relations."""
     import ray
 
     mids = _series_midpoints(samples_ds)
     parts = _sharded_partials(samples_ds, mids, value_shards)
-    summ = _shard_summaries(parts)
 
     empty_out = pd.DataFrame({
         "series_key": pd.Series([], dtype=object),
@@ -191,6 +211,48 @@ def psi_drift(samples_ds, *, round_digits: int = 6, value_shards: int = 64):
         "n_second": pd.Series([], dtype="int64"),
         "psi": pd.Series([], dtype="float64"),
     })
+
+    if parts.count() <= driver_fold_rows:
+        # adaptive driver fold: identical serial arithmetic, no rounds
+        pdf = parts.to_pandas()
+        if pdf.empty:
+            return empty_out
+        g = pdf.groupby(["series_key", "v", "half"], sort=True)["cnt"] \
+            .sum().reset_index()
+        out = {"series_key": [], "n_first": [], "n_second": [], "psi": []}
+        for sk, sub in g.groupby("series_key", sort=True):
+            first = sub[sub["half"] == 0]
+            second = sub[sub["half"] == 1]
+            n0 = int(first["cnt"].sum())
+            n1 = int(second["cnt"].sum())
+            if n0 < 2 or n1 < 1:
+                continue
+            edges = _weighted_quantiles(
+                first["v"].to_numpy(np.float64),
+                first["cnt"].to_numpy(np.int64), _QS)
+            counts = np.zeros((2, N_BUCKETS), dtype=np.int64)
+            for half, part in ((0, first), (1, second)):
+                b = np.searchsorted(edges, part["v"].to_numpy(np.float64),
+                                    side="left")
+                counts[half] = np.bincount(
+                    b, weights=part["cnt"].to_numpy(),
+                    minlength=N_BUCKETS)
+            q = (counts[0] + 0.5) / (n0 + 5.0)
+            p = (counts[1] + 0.5) / (n1 + 5.0)
+            psi = float(np.sum((p - q) * np.log(p / q)))
+            out["series_key"].append(sk)
+            out["n_first"].append(n0)
+            out["n_second"].append(n1)
+            out["psi"].append(round_half_away(np.float64(psi),
+                                              round_digits))
+        return pd.DataFrame({
+            "series_key": pd.Series(out["series_key"], dtype=object),
+            "n_first": pd.Series(out["n_first"], dtype="int64"),
+            "n_second": pd.Series(out["n_second"], dtype="int64"),
+            "psi": pd.Series(out["psi"], dtype="float64"),
+        })
+
+    summ = _shard_summaries(parts)
     if summ.empty:
         return empty_out
 
@@ -404,7 +466,8 @@ register("events_psi_drift", _q_psi, _psi_sql())
 
 
 def wasserstein_drift(samples_ds, *, round_digits: int = 6,
-                      value_shards: int = 64):
+                      value_shards: int = 64,
+                      driver_fold_rows: int = MAX_DRIVER_FOLD_ROWS):
     """Wasserstein-1 (earth mover's) distance between each series' first
     and second time-half value distributions — PSI's exact companion
     (no buckets, no smoothing):
@@ -428,6 +491,42 @@ def wasserstein_drift(samples_ds, *, round_digits: int = 6,
 
     mids = _series_midpoints(samples_ds)
     parts = _sharded_partials(samples_ds, mids, value_shards)
+
+    if parts.count() <= driver_fold_rows:
+        # adaptive driver fold: identical serial arithmetic, no rounds
+        pdf = parts.to_pandas()
+        out = {"series_key": [], "n_first": [], "n_second": [], "w1": []}
+        if not pdf.empty:
+            g = pdf.groupby(["series_key", "v", "half"], sort=True)["cnt"] \
+                .sum().reset_index()
+            for sk, sub in g.groupby("series_key", sort=True):
+                wide = sub.pivot_table(index="v", columns="half",
+                                       values="cnt", aggfunc="sum",
+                                       fill_value=0) \
+                    .reindex(columns=[0, 1], fill_value=0).sort_index()
+                ca = wide[0].to_numpy(np.int64).cumsum()
+                cb = wide[1].to_numpy(np.int64).cumsum()
+                n0, n1 = int(ca[-1]), int(cb[-1])
+                if n0 < 1 or n1 < 1:
+                    continue
+                x = wide.index.to_numpy(np.float64)
+                if len(x) < 2:
+                    w1 = 0.0
+                else:
+                    w1 = float(np.sum(np.abs(ca[:-1] / n0 - cb[:-1] / n1)
+                                      * (x[1:] - x[:-1])))
+                out["series_key"].append(sk)
+                out["n_first"].append(n0)
+                out["n_second"].append(n1)
+                out["w1"].append(round_half_away(np.float64(w1),
+                                                 round_digits))
+        return pd.DataFrame({
+            "series_key": pd.Series(out["series_key"], dtype=object),
+            "n_first": pd.Series(out["n_first"], dtype="int64"),
+            "n_second": pd.Series(out["n_second"], dtype="int64"),
+            "w1": pd.Series(out["w1"], dtype="float64"),
+        })
+
     summ = _shard_summaries(parts)
 
     offsets: dict = {}

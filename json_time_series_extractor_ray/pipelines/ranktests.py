@@ -56,11 +56,22 @@ _DAY_NS = 86_400_000_000_000
 #: slices if a pathological distribution concentrates one binade slice.
 MAX_SHARD_DISTINCT = 20_000_000
 
+#: Adaptive execution: when the MATERIALIZED distinct-value partial
+#: relation is small enough to fold on the driver (~200 MB at 5M rows),
+#: skip the shuffle rounds entirely — the fold is the same exact
+#: arithmetic, just local.  Above the bound the value-ordered shard
+#: rounds run (the 100 TB path); equality of the two paths is pinned by
+#: test.  The same adaptivity as the shredded-vs-traversal kernel
+#: switch: pick the cheap plan when the data proves small, never guess.
+MAX_DRIVER_FOLD_ROWS = 5_000_000
+
 
 def mannwhitney_weekend(samples_ds, *, round_digits: int = 6,
-                        value_shards: int = 64):
+                        value_shards: int = 64,
+                        driver_fold_rows: int = MAX_DRIVER_FOLD_ROWS):
     """Per series: U and tie-corrected z for weekend vs weekday values,
-    via the two-pass distributed prefix-rank (module docstring)."""
+    via the two-pass distributed prefix-rank (module docstring), with
+    the adaptive driver fold for small partial relations."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch.column("value_num").is_valid())
@@ -111,40 +122,60 @@ def mannwhitney_weekend(samples_ds, *, round_digits: int = 6,
             "tie": pd.Series([int(np.sum(tc ** 3 - tc))], dtype="int64"),
         })
 
-    parts = (
-        samples_ds.map_batches(_partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        .groupby(["series_key", "vshard"]).map_groups(
-            _shard_rank, batch_format="pandas")
-    ).to_pandas()  # ≤ |series| x (value_shards x binades) single rows
-
-    parts = parts.sort_values(["series_key", "vshard"], ignore_index=True)
     out = {"series_key": [], "n_weekday": [], "n_weekend": [],
            "u_stat": [], "z_stat": []}
-    for sk, sub in parts.groupby("series_key", sort=True):
-        cnts = sub["cnt"].to_numpy(np.float64)
-        offs = np.concatenate(([0.0], np.cumsum(cnts)[:-1]))
-        # global rank sum: lower-shard count offset x weekend count in
-        # the shard, plus the shard's local half-integer rank sum —
-        # every term exact, so bit-identical to the single-task cumsum
-        rw = float(np.sum(offs * sub["snw"].to_numpy(np.float64)
-                          + sub["sloc"].to_numpy(np.float64)))
-        n1 = int(sub["snw"].sum())
-        n = int(sub["cnt"].sum())
+
+    def _emit(sk, rw: float, n1: int, n: int, tie: int) -> None:
         n0 = n - n1
-        tie = int(sub["tie"].sum())
         if n1 < 1 or n0 < 1:
-            continue
+            return
         u = rw - n1 * (n1 + 1) / 2.0
         var = (n1 * n0 / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
         if not var > 0:
-            continue
+            return
         z = (u - n1 * n0 / 2.0) / np.sqrt(var)
         out["series_key"].append(sk)
         out["n_weekday"].append(n0)
         out["n_weekend"].append(n1)
         out["u_stat"].append(round_half_away(np.float64(u), round_digits))
         out["z_stat"].append(round_half_away(np.float64(z), round_digits))
+
+    parts_ds = samples_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if parts_ds.count() <= driver_fold_rows:
+        # adaptive driver fold: the whole distinct-value relation is
+        # small — merge per-block duplicates and rank locally, no
+        # shuffle at all (identical arithmetic, offset 0)
+        pdf = parts_ds.to_pandas()
+        merged = pdf.groupby(["series_key", "v"], sort=True).agg(
+            nw=("nw", "sum"), tc=("tc", "sum")).reset_index()
+        for sk, g in merged.groupby("series_key", sort=True):
+            nw = g["nw"].to_numpy(np.int64)
+            tc = g["tc"].to_numpy(np.int64)
+            prefix = np.cumsum(tc) - tc
+            rw = float(np.sum(nw * (prefix + (tc + 1) / 2.0)))
+            _emit(sk, rw, int(nw.sum()), int(tc.sum()),
+                  int(np.sum(tc ** 3 - tc)))
+    else:
+        parts = (
+            parts_ds.groupby(["series_key", "vshard"]).map_groups(
+                _shard_rank, batch_format="pandas")
+        ).to_pandas()  # ≤ |series| x (value_shards x binades) rows
+        parts = parts.sort_values(["series_key", "vshard"],
+                                  ignore_index=True)
+        for sk, sub in parts.groupby("series_key", sort=True):
+            cnts = sub["cnt"].to_numpy(np.float64)
+            offs = np.concatenate(([0.0], np.cumsum(cnts)[:-1]))
+            # global rank sum: lower-shard count offset x weekend count
+            # in the shard, plus the shard's local half-integer rank
+            # sum — every term exact, so bit-identical to the
+            # single-task cumsum
+            rw = float(np.sum(offs * sub["snw"].to_numpy(np.float64)
+                              + sub["sloc"].to_numpy(np.float64)))
+            _emit(sk, rw, int(sub["snw"].sum()), int(sub["cnt"].sum()),
+                  int(sub["tie"].sum()))
     return pd.DataFrame({
         "series_key": pd.Series(out["series_key"], dtype=object),
         "n_weekday": pd.Series(out["n_weekday"], dtype="int64"),

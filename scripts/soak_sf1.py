@@ -74,6 +74,16 @@ DOC_SOAK_QUERIES = (
     "ann_cosine_topk",
 )
 
+#: round-5 distributed-statistics soak set: the value-ordered shard
+#: passes (prefix-rank Mann-Whitney, shard-navigation PSI quantile,
+#: offset-broadcast Wasserstein) over 10x fact data — no task holds a
+#: whole series' distinct-value table at any scale
+DIST_SOAK_QUERIES = (
+    "events_weekend_mannwhitney",
+    "events_psi_drift",
+    "events_wasserstein_drift",
+)
+
 
 def build() -> None:
     # Single parquet FILE per table (matching the testdata layout —
@@ -151,6 +161,8 @@ def main() -> None:
         print(json.dumps(run()))
     if mode in ("run-docs", "all"):
         print(json.dumps(run(DOC_SOAK_QUERIES, "sf1_soak_doc_family")))
+    if mode in ("run-dist", "all"):
+        print(json.dumps(run(DIST_SOAK_QUERIES, "sf1_soak_dist_stats")))
 
 
 if __name__ == "__main__":

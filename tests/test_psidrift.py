@@ -113,7 +113,7 @@ def test_psi_distributed_matches_duckdb_continuous(ray_session):
     vals = np.exp(rng.normal(0, 4, n))  # all distinct, many binades
     assert len(np.unique(value_ordered_shards(vals, 64))) > 20
     df = _samples(["s"] * n, list(range(n)), vals)
-    out = psi_drift(ray.data.from_pandas(df))
+    out = psi_drift(ray.data.from_pandas(df), driver_fold_rows=0)
 
     con = duckdb.connect()
     mid = (0 + (n - 1)) // 2
@@ -147,12 +147,17 @@ def test_psi_and_w1_shard_count_invariance(ray_session):
     n = 800
     vals = np.round(np.exp(rng.normal(0, 3, n)), 3)
     df = _samples(["a"] * n, list(range(n)), vals)
-    psis = [psi_drift(ray.data.from_pandas(df), value_shards=k)
+    psis = [psi_drift(ray.data.from_pandas(df), value_shards=k,
+                      driver_fold_rows=0)
             for k in (1, 16, 256)]
-    w1s = [wasserstein_drift(ray.data.from_pandas(df), value_shards=k)
+    psis.append(psi_drift(ray.data.from_pandas(df)))  # driver-fold path
+    w1s = [wasserstein_drift(ray.data.from_pandas(df), value_shards=k,
+                             driver_fold_rows=0)
            for k in (1, 16, 256)]
+    w1s.append(wasserstein_drift(ray.data.from_pandas(df)))
     for other in psis[1:]:
-        pd.testing.assert_frame_equal(psis[0], other)
+        pd.testing.assert_frame_equal(
+            psis[0].reset_index(drop=True), other.reset_index(drop=True))
     for other in w1s[1:]:
         pd.testing.assert_frame_equal(
             w1s[0].reset_index(drop=True), other.reset_index(drop=True))

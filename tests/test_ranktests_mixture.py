@@ -236,7 +236,8 @@ def test_mannwhitney_distributed_prefix_rank_continuous(ray_session):
     assert n_shards > 20  # genuinely distributed, not one slice
 
     ds = ray.data.from_pandas(_samples(list(weekend), list(weekday)))
-    out = mannwhitney_weekend(ds)
+    # force the distributed rounds (driver_fold_rows=0), the 100 TB path
+    out = mannwhitney_weekend(ds, driver_fold_rows=0)
     u_ref, z_ref = _mw_reference(weekend, weekday)
     assert len(out) == 1
     assert out["n_weekend"].iloc[0] == 4000
@@ -255,8 +256,12 @@ def test_mannwhitney_shard_count_invariance(ray_session):
     weekday = np.round(np.exp(rng.normal(0.2, 3, size=700)), 3)
     df = _samples(list(weekend), list(weekday))
     outs = [
-        mannwhitney_weekend(ray.data.from_pandas(df), value_shards=k)
+        mannwhitney_weekend(ray.data.from_pandas(df), value_shards=k,
+                            driver_fold_rows=0)
         for k in (1, 8, 256)
     ]
+    # the adaptive driver fold must agree exactly with every
+    # distributed-shard configuration
+    outs.append(mannwhitney_weekend(ray.data.from_pandas(df)))
     for other in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], other)
