@@ -68,8 +68,10 @@ TARGET_BATCH_BYTES = 64 * 1024 * 1024
 #: batch is also the actor-pool scheduling granule — without this cap a
 #: small-payload corpus fits in ONE 64 MiB batch and the whole decode
 #: runs on one actor (observed: media_decode_png at sf0.1 executed as a
-#: single task).  256 rows x 8 KiB ≈ 2 MiB still amortizes dispatch.
-MAX_DECODE_BATCH_ROWS = 256
+#: single task).  512 rows balances pool utilization against per-task
+#: dispatch overhead (256 regressed the cheap frame-sample/dhash stages
+#: ~1.6x; 512 keeps ~10 tasks over a 5000-row corpus).
+MAX_DECODE_BATCH_ROWS = 512
 
 
 def media_batch_size(avg_payload_bytes: int) -> int:

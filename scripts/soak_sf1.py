@@ -153,6 +153,53 @@ def run(queries=SOAK_QUERIES, metric: str = "sf1_soak_5_slowest",
     return out
 
 
+def run_dist(num_cpus: int = 32) -> dict:
+    """10x soak of the round-5 distributed statistics with the DRIVER
+    FOLD DISABLED (``driver_fold_rows=0``) so the value-ordered shard
+    rounds — the 100 TB path — are what actually runs, alongside the
+    adaptive default for comparison."""
+    import ray
+
+    from bench import probe_host_memory
+    from json_time_series_extractor_ray.pipelines.diffstats import (
+        _numeric_samples,
+    )
+    from json_time_series_extractor_ray.pipelines.psidrift import (
+        psi_drift,
+        wasserstein_drift,
+    )
+    from json_time_series_extractor_ray.pipelines.ranktests import (
+        mannwhitney_weekend,
+    )
+
+    probe = probe_host_memory()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False)
+        ray.data.DataContext.get_current().target_max_block_size = (
+            8 * 1024 * 1024)
+    ops = {
+        "events_weekend_mannwhitney": mannwhitney_weekend,
+        "events_psi_drift": psi_drift,
+        "events_wasserstein_drift": wasserstein_drift,
+    }
+    out = {"metric": "sf1_soak_dist_stats", "sf": 1.0,
+           "num_cpus": num_cpus, "replicas": REPLICAS,
+           "queries": {}, "rows": {}, "host_probe": probe}
+    for name, fn in ops.items():
+        for mode, kw in (("sharded", {"driver_fold_rows": 0}),
+                         ("adaptive", {})):
+            t0 = time.perf_counter()
+            r = fn(_numeric_samples(DST), **kw)
+            n = len(r) if hasattr(r, "__len__") else r.count()
+            key = f"{name}[{mode}]"
+            out["queries"][key] = round(time.perf_counter() - t0, 3)
+            out["rows"][key] = int(n)
+            print(f"{key}: {out['queries'][key]} s, {n} rows",
+                  file=sys.stderr)
+    return out
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode in ("build", "all"):
@@ -162,7 +209,7 @@ def main() -> None:
     if mode in ("run-docs", "all"):
         print(json.dumps(run(DOC_SOAK_QUERIES, "sf1_soak_doc_family")))
     if mode in ("run-dist", "all"):
-        print(json.dumps(run(DIST_SOAK_QUERIES, "sf1_soak_dist_stats")))
+        print(json.dumps(run_dist()))
 
 
 if __name__ == "__main__":
