@@ -64,21 +64,23 @@ MEDIA_SCHEMA = pa.schema(
 
 TARGET_BATCH_BYTES = 64 * 1024 * 1024
 
-#: Upper row bound regardless of payload size: decode is CPU-bound, so a
-#: batch is also the actor-pool scheduling granule — without this cap a
-#: small-payload corpus fits in ONE 64 MiB batch and the whole decode
-#: runs on one actor (observed: media_decode_png at sf0.1 executed as a
-#: single task).  512 rows balances pool utilization against per-task
-#: dispatch overhead (256 regressed the cheap frame-sample/dhash stages
-#: ~1.6x; 512 keeps ~10 tasks over a 5000-row corpus).
+#: Row bound for HEAVY CPU-bound decode stages: a batch is also the
+#: actor-pool scheduling granule, and without a cap a small-payload
+#: corpus fits in ONE 64 MiB batch so the whole decode runs on one
+#: actor (observed: media_decode_png at sf0.1 executed as a single
+#: task).  Light stages (frame sampling, dHash, audio features) keep
+#: pure byte sizing — their per-row work is too cheap to amortize the
+#: extra task dispatch (a 256-row cap regressed them ~1.6x).
 MAX_DECODE_BATCH_ROWS = 512
 
 
-def media_batch_size(avg_payload_bytes: int) -> int:
-    """Rows per batch: ~TARGET_BATCH_BYTES of payload, row-capped for
-    actor-pool granularity."""
-    return max(1, min(MAX_DECODE_BATCH_ROWS,
-                      TARGET_BATCH_BYTES // max(1, avg_payload_bytes)))
+def media_batch_size(avg_payload_bytes: int,
+                     max_rows: int | None = None) -> int:
+    """Rows per batch: ~TARGET_BATCH_BYTES of payload; pass
+    ``max_rows=MAX_DECODE_BATCH_ROWS`` for heavy decode stages that need
+    the actor-pool granularity cap."""
+    rows = max(1, TARGET_BATCH_BYTES // max(1, avg_payload_bytes))
+    return min(rows, max_rows) if max_rows else rows
 
 
 def synthesize_media_table(doc_ids, sizes, kind: str = "image",
@@ -254,7 +256,8 @@ def decode_media_dataset(media_ds, *, avg_payload_bytes: int = 1 << 20,
     return media_ds.map_batches(
         DecodeStage,
         fn_constructor_kwargs=dict(fake=fake),
-        batch_size=media_batch_size(avg_payload_bytes),
+        batch_size=media_batch_size(avg_payload_bytes,
+                                    max_rows=MAX_DECODE_BATCH_ROWS),
         concurrency=concurrency,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -1152,7 +1155,13 @@ def _media_frame_sample_mjpeg(sf_dir: str):
             FrameSampleStage,
             fn_constructor_kwargs=dict(n_frames=_REAL_FRAMES,
                                        every_k=_REAL_EVERY_K),
-            batch_size=media_batch_size(4096),
+            # row-capped: the downstream per-frame JPEG decode is heavy,
+            # so its parallelism follows this stage's block granularity
+            batch_size=media_batch_size(4096,
+                                        max_rows=MAX_DECODE_BATCH_ROWS),
+            # the fused synthesis (per-frame JPEG ENCODE, ~9s serial)
+            # dominates this stage; 4 actors amortize it without paying
+            # a wider pool's spin-up
             concurrency=4,
             batch_format="pyarrow",
             zero_copy_batch=True,
