@@ -437,8 +437,8 @@ def _finish_png(px: np.ndarray, h: int, w: int, ch: int,
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | 'jpeg' | 'gif' | 'mjbm' |
-    'mjpg' | 'unknown'."""
+    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'flac' | 'png' | 'jpeg' | 'gif' |
+    'mjbm' | 'mjpg' | 'unknown'."""
     if payload[:4] == b"MJBM":
         return "mjbm"
     if payload[:4] == b"MJPG":
@@ -457,6 +457,8 @@ def sniff_format(payload: bytes) -> str:
         return "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     return "unknown"
 
 

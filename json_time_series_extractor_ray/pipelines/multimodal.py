@@ -1,14 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images / audio / video ride through the engine as ``binary`` columns with
-typed metadata columns beside them.  Decode and resize are REAL for the
-formats parseable without codec libraries — BMP (24-bit BI_RGB), binary
+typed metadata columns beside them.  Decode and resize are REAL for
+every format the pure-Python codecs cover — BMP (24-bit BI_RGB), binary
 PPM/PGM, 16-bit PCM WAV, PNG (stdlib zlib + the five scanline filters,
-``functions/mediacodecs.py``), and baseline JPEG (pure-numpy Annex K
-huffman + DCT, ``functions/jpegcodec.py``) — selected per payload by
-magic-byte sniffing; the remaining compressed formats (MP3/H.264)
-raise ``NotImplementedError`` at decode time (explicit environment
-stub).
+``functions/mediacodecs.py``), baseline JPEG (pure-numpy Annex K
+huffman + DCT, ``functions/jpegcodec.py``), GIF
+(``functions/gifcodec.py``), and COMPRESSED lossless audio via the
+spec-subset FLAC codec (``functions/flaccodec.py``) — selected per
+payload by magic-byte sniffing; only the PERCEPTUAL codecs (MP3,
+H.264) raise ``NotImplementedError`` at decode time (explicit
+environment stub).
 Video frame sampling is REAL for the MJBM container (length-prefixed
 BMP frames) and the MJPG container (length-prefixed baseline JPEG
 frames — compressed video through the real DCT codec); MP4/H.264
@@ -159,17 +161,22 @@ def real_decode(payload: bytes) -> dict:
         raw = px.tobytes()
         h, w = px.shape[:2]
         sr = dur = 0
-    elif fmt == "wav":
-        d = decode_wav(payload)
+    elif fmt in ("wav", "flac"):
+        if fmt == "wav":
+            d = decode_wav(payload)
+        else:
+            from ..functions.flaccodec import decode_flac
+
+            d = decode_flac(payload)
         raw = d["samples"].tobytes()
         w = h = 0
         sr, dur = d["sample_rate"], d["duration_ms"]
     else:
         raise NotImplementedError(
-            f"no decoder for payload format {fmt!r}: compressed audio/"
+            f"no decoder for payload format {fmt!r}: perceptual audio/"
             "video codecs (MP3/H.264) are not present in this "
             "environment — decodable formats are BMP/PPM/PGM/PNG/JPEG/"
-            "GIF/WAV, or use DecodeStage(fake=True) for the "
+            "GIF/WAV/FLAC, or use DecodeStage(fake=True) for the "
             "deterministic stand-in"
         )
     view = np.frombuffer(raw[:65536], dtype=np.uint8).astype(np.float64)
@@ -911,27 +918,32 @@ AUDIO_FRAME = 256  # samples per analysis frame
 
 
 class AudioFeatureStage:
-    """Actor-pool audio featurizer: PCM WAV payload -> per-media frame
-    statistics (RMS energy + zero-crossing rate over ``frame`` -sample
-    windows, mono mixdown) — REAL signal work on the decoded samples,
-    not a stub.  Non-WAV payloads raise the usual environment
-    ``NotImplementedError`` (compressed audio needs codecs)."""
+    """Actor-pool audio featurizer: PCM WAV or COMPRESSED FLAC payload
+    -> per-media frame statistics (RMS energy + zero-crossing rate over
+    ``frame``-sample windows, mono mixdown) — REAL signal work on the
+    decoded samples, not a stub.  FLAC decodes through the pure-Python
+    spec-subset codec (``functions/flaccodec.py``, lossless so the
+    features are bit-identical to the WAV path); the remaining
+    PERCEPTUAL codecs (MP3) raise the usual environment
+    ``NotImplementedError``."""
 
     def __init__(self, frame: int = AUDIO_FRAME):
         self.frame = frame
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.flaccodec import decode_flac
+
         ids, nfr, rms_m, zcr_m, peak = [], [], [], [], []
         for media_id, payload in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
             fmt = sniff_format(payload)
-            if fmt != "wav":
+            if fmt not in ("wav", "flac"):
                 raise NotImplementedError(
-                    f"audio features need PCM WAV (got {fmt!r}); "
-                    "compressed audio codecs are not present here")
-            d = decode_wav(payload)
+                    f"audio features need PCM WAV or FLAC (got {fmt!r}); "
+                    "perceptual audio codecs (MP3) are not present here")
+            d = decode_wav(payload) if fmt == "wav" else decode_flac(payload)
             x = d["samples"].astype(np.float64).mean(axis=1) / 32768.0
             f = self.frame
             n = (len(x) // f) * f
@@ -993,6 +1005,99 @@ def _media_audio_features(sf_dir: str):
 
 
 register("media_audio_features", _media_audio_features)  # rows-only
+
+
+def synthesize_flac_table(doc_ids) -> pa.Table:
+    """Deterministic COMPRESSED audio: doc ``d`` carries
+    ``768 + (d % 5) * 256`` samples (always whole 256-sample analysis
+    frames) of the SQL-expressible waveform
+    ``s_i = (d*37 + i*211) % 4001 - 2000``, FLAC-encoded — so the real
+    compressed-audio decode + featurize path oracles exactly."""
+    from ..functions.flaccodec import encode_flac
+
+    ids, payloads = [], []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        n = 768 + (d % 5) * 256
+        i = np.arange(n, dtype=np.int64)
+        s = ((d * 37 + i * 211) % 4001 - 2000).astype(np.int16)
+        ids.append(str(d))
+        payloads.append(encode_flac(s, 16000))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "kind": pa.array(["audio"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+
+
+def _media_audio_features_flac(sf_dir: str):
+    """COMPRESSED-audio featurization: FLAC payloads through the
+    production ``AudioFeatureStage`` (decode via the pure-Python
+    spec-subset codec), with the synthesis waveform chosen so every
+    output statistic is SQL-recomputable — the full-value oracle the
+    seeded-rng WAV query cannot have."""
+    import ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        return synthesize_flac_table(batch.column("doc_id").to_pylist())
+
+    return docs.map_batches(_synth, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(
+            AudioFeatureStage,
+            batch_size=media_batch_size(4096,
+                                        max_rows=MAX_DECODE_BATCH_ROWS),
+            concurrency=4,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+
+register(
+    "media_audio_features_flac",
+    _media_audio_features_flac,
+    f"""
+    WITH d AS (
+        SELECT doc_id, 768 + (doc_id % 5) * 256 AS n FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM d
+    ),
+    x AS (
+        SELECT doc_id, i, i // {AUDIO_FRAME} AS frame,
+               ((doc_id * 37 + i * 211) % 4001 - 2000) / 32768.0 AS v
+        FROM s
+    ),
+    z AS (
+        SELECT doc_id, frame, v, v < 0 AS sb,
+               lag(v < 0) OVER (PARTITION BY doc_id, frame ORDER BY i)
+                   AS psb
+        FROM x
+    ),
+    f AS (
+        SELECT doc_id, frame, sqrt(avg(v * v)) AS rms,
+               CAST(sum(CASE WHEN psb IS NOT NULL AND sb <> psb
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {AUDIO_FRAME - 1}.0 AS zcr
+        FROM z GROUP BY 1, 2
+    ),
+    pk AS (
+        SELECT doc_id, max(abs(v)) AS peak FROM x GROUP BY 1
+    )
+    SELECT CAST(f.doc_id AS VARCHAR) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           round(avg(rms), 6) AS rms_mean,
+           round(avg(zcr), 6) AS zcr_mean,
+           round(max(pk.peak), 6) AS peak
+    FROM f JOIN pk ON f.doc_id = pk.doc_id
+    GROUP BY 1
+    """,
+)
 
 
 # ---------------------------------------------------------------------------

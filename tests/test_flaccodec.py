@@ -1,0 +1,98 @@
+"""FLAC codec (functions/flaccodec.py): lossless round-trip exactness,
+integrity checks (CRC-8/16 + STREAMINFO MD5), subframe coverage, and
+the compressed-audio path through AudioFeatureStage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from json_time_series_extractor_ray.functions.flaccodec import (
+    decode_flac,
+    encode_flac,
+)
+from json_time_series_extractor_ray.functions.mediacodecs import (
+    sniff_format,
+)
+
+
+def _roundtrip(x, rate=16000):
+    d = decode_flac(encode_flac(x, rate))
+    want = x[:, None] if x.ndim == 1 else x
+    assert np.array_equal(d["samples"], want)
+    assert d["sample_rate"] == rate
+    assert d["n_channels"] == want.shape[1]
+    return d
+
+
+def test_roundtrip_shapes_and_signals():
+    rng = np.random.default_rng(0)
+    _roundtrip(rng.integers(-32768, 32768, size=500, dtype=np.int16))
+    _roundtrip(rng.integers(-100, 100, size=1000, dtype=np.int16))
+    _roundtrip((np.sin(np.arange(2000) * 0.05) * 20000).astype(np.int16))
+    _roundtrip(np.zeros(64, np.int16))          # constant-friendly
+    _roundtrip(np.full(10, -5, np.int16))
+    _roundtrip(np.array([7], np.int16))         # single sample
+    _roundtrip(rng.integers(-32768, 32768, size=(300, 2),
+                            dtype=np.int16))    # stereo
+    # random-walk: the FIXED-predictor sweet spot — must compress
+    walk = np.cumsum(rng.integers(-50, 50, size=3000)) \
+        .clip(-32768, 32767).astype(np.int16)
+    payload = encode_flac(walk, 16000)
+    assert len(payload) < walk.nbytes / 1.5
+    assert sniff_format(payload) == "flac"
+
+
+def test_truncation_always_valueerror():
+    x = (np.sin(np.arange(800) * 0.1) * 10000).astype(np.int16)
+    p = encode_flac(x, 8000)
+    for cut in range(4, len(p) - 1):
+        with pytest.raises(ValueError):
+            decode_flac(p[:cut])
+
+
+def test_corruption_detected_by_crc_or_md5():
+    x = (np.sin(np.arange(800) * 0.1) * 10000).astype(np.int16)
+    p = encode_flac(x, 8000)
+    for pos in range(42, len(p), 11):
+        q = bytearray(p)
+        q[pos] ^= 0x40
+        with pytest.raises(ValueError):
+            decode_flac(bytes(q))
+
+
+def test_not_flac_rejected():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFF....WAVE" + b"\0" * 40)
+
+
+def test_audio_stage_flac_matches_wav():
+    """Lossless compression: the featurizer must emit bit-identical
+    statistics from the FLAC and WAV encodings of the same signal."""
+    from json_time_series_extractor_ray.functions.mediacodecs import (
+        encode_wav,
+    )
+    from json_time_series_extractor_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        AudioFeatureStage,
+    )
+
+    rng = np.random.default_rng(5)
+    x = np.cumsum(rng.integers(-200, 200, size=2048)) \
+        .clip(-32768, 32767).astype(np.int16)
+
+    def _batch(payload):
+        return pa.table({
+            "media_id": pa.array(["a"], pa.string()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([payload], pa.large_binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "sample_rate": pa.array([0], pa.int32()),
+            "duration_ms": pa.array([0], pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+
+    stage = AudioFeatureStage()
+    wav = stage(_batch(encode_wav(x, 16000))).to_pydict()
+    flac = stage(_batch(encode_flac(x, 16000))).to_pydict()
+    assert wav == flac
+    assert wav["n_frames"][0] == 2048 // 256
