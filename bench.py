@@ -289,6 +289,8 @@ def run_bench(sf_dir: str, num_cpus: int, *, headline_only: bool = False,
              lambda: bench_query("media_decode_jpeg", sf_dir)),
             ("media_frame_sample_mjpeg",
              lambda: bench_query("media_frame_sample_mjpeg", sf_dir)),
+            ("media_audio_features_flac",
+             lambda: bench_query("media_audio_features_flac", sf_dir)),
             ("simhash_recall_report",
              lambda: bench_query("simhash_recall_report", sf_dir)),
             ("part_name_near_pairs",

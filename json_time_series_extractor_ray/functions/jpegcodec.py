@@ -236,6 +236,16 @@ def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+#: The standard-table Huffman codes are fixed (Annex K): build once at
+#: import instead of four dict constructions per encoded frame.
+_ENC_TABLES = [
+    (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+     _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)),
+    (_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+     _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)),
+]
+
+
 def encode_jpeg(pixels: np.ndarray, *, quality: int = 50,
                 subsample: bool = True) -> bytes:
     """uint8 (H, W) gray / (H, W, 3) RGB -> baseline JPEG bytes.
@@ -285,11 +295,7 @@ def encode_jpeg(pixels: np.ndarray, *, quality: int = 50,
         coefs = _fdct_quant(blocks.reshape(-1, 8, 8), qt)
         grids.append(coefs.reshape(by, bx, 64)[:, :, ZZ_FLAT])
 
-    dc_codes_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_codes_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_codes_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_codes_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    tables = [(dc_codes_l, ac_codes_l), (dc_codes_c, ac_codes_c)]
+    tables = _ENC_TABLES  # fixed Annex K codes, built once at import
 
     hmax = max(s[0] for s in samplings)
     vmax = max(s[1] for s in samplings)
