@@ -12,17 +12,20 @@ whole-frame CRC-16.  The decoder additionally handles CONSTANT,
 VERBATIM and LPC subframes, wasted bits, Rice escape partitions,
 multiple frames, and verifies both CRCs plus the STREAMINFO MD5 — so
 any stream a spec-conforming encoder produces within the supported
-feature set (16-bit, independent channels) decodes bit-exactly.
+feature set (16-bit) decodes bit-exactly.
 
 Round-trip exactness (decode(encode(x)) == x, sample for sample) is the
 testable contract lossless compression gives us in a container without
 a reference decoder; the bitstream layout itself follows the published
 spec clause by clause.
 
-Out of scope (documented): stereo decorrelation (left/right/mid-side
-channel assignments), sample sizes other than 16 bits, and seektables —
-the remaining perceptual codecs (MP3, H.264) stay explicit
-``NotImplementedError`` stubs in ``pipelines/multimodal.py``.
+Stereo streams additionally use the spec's decorrelation assignments:
+the encoder evaluates left/side, right/side and mid/side against
+independent coding and picks the cheapest (the difference channel
+carries its extra bit of range), and the decoder reconstructs all
+three.  Out of scope (documented): sample sizes other than 16 bits and
+seektables — the remaining perceptual codecs (MP3, H.264) stay
+explicit ``NotImplementedError`` stubs in ``pipelines/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -241,9 +244,43 @@ def _utf8_coded_number(value: int) -> bytes:
     return bytes(out)
 
 
+def _subframe_cost(x: np.ndarray, sample_bits: int) -> tuple:
+    """(total_bits, order, rice_k) of the cheapest FIXED subframe."""
+    n = len(x)
+    best = None
+    for order in range(0, min(5, n)):
+        res = _fixed_residual(x, order)
+        if len(res) == 0:
+            k, bits = 0, order * sample_bits
+        else:
+            k = _best_rice_k(res)
+            bits = order * sample_bits + _rice_bits(res, k)
+        if best is None or bits < best[0]:
+            best = (bits, order, k)
+    return best
+
+
+def _write_subframe(body: _BitWriter, x: np.ndarray, order: int, k: int,
+                    sample_bits: int) -> None:
+    res = _fixed_residual(x, order)
+    body.write_uint(0, 1)                 # zero padding bit
+    body.write_uint(0b001000 | order, 6)  # FIXED subframe type
+    body.write_uint(0, 1)                 # no wasted bits
+    for w in range(order):                # warmup samples
+        body.write_uint(int(x[w]) & ((1 << sample_bits) - 1), sample_bits)
+    body.write_uint(0b00, 2)              # residual method: RICE (4-bit)
+    body.write_uint(0, 4)                 # partition order 0
+    body.write_uint(k, 4)                 # rice parameter
+    if len(res):
+        body.write_bits_array(_rice_encode_bits(res, k))
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 (n,) or (n, ch) -> FLAC bytes (single frame, FIXED
-    subframes, independent channels)."""
+    subframes).  Stereo input additionally evaluates the left/side,
+    right/side and mid/side decorrelation assignments and picks the
+    cheapest (the standard FLAC stereo model; the difference channel
+    carries one extra bit)."""
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -271,46 +308,45 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
     header = FLAC_MAGIC + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] \
         + streaminfo
 
-    # frame header: sync(14) 0 blocking(0=fixed) bs(4)=0b0111(16-bit at
-    # end) rate(4)=0b1100(8-bit kHz? no — use 0b0000 'from streaminfo')
+    # channel assignment: independent for mono/multichannel; stereo
+    # additionally tries the three decorrelation modes
+    chans = [samples[:, c].astype(np.int64) for c in range(ch)]
+    assignment = ch - 1
+    plans = [(x, 16, _subframe_cost(x, 16)) for x in chans]
+    if ch == 2:
+        left, right = chans
+        side = left - right
+        mid = (left + right) >> 1
+        candidates = (
+            ([(left, 16), (side, 17)], 0b1000),   # left/side
+            ([(side, 17), (right, 16)], 0b1001),  # right/side
+            ([(mid, 16), (side, 17)], 0b1010),    # mid/side
+        )
+        best_cost = sum(p[2][0] for p in plans)
+        for pair, code in candidates:
+            cand = [(x, b, _subframe_cost(x, b)) for x, b in pair]
+            cost = sum(c[2][0] for c in cand)
+            if cost < best_cost:
+                best_cost, plans, assignment = cost, cand, code
+
+    # frame header: sync(14) reserved(1) blocking(1, 0=fixed)
+    # bs(4)=0b0111 (16-bit count at end of header) rate(4)=0b0000
+    # (from STREAMINFO) channel assignment(4) sample size(3) reserved(1)
     fh = _BitWriter()
     fh.write_uint(0b11111111111110, 14)
-    fh.write_uint(0, 1)   # reserved
-    fh.write_uint(0, 1)   # fixed blocksize stream
-    fh.write_uint(0b0111, 4)   # block size: 16 bits at end of header
-    fh.write_uint(0b0000, 4)   # sample rate: from STREAMINFO
-    fh.write_uint(ch - 1, 4)   # independent channels
+    fh.write_uint(0, 1)
+    fh.write_uint(0, 1)
+    fh.write_uint(0b0111, 4)
+    fh.write_uint(0b0000, 4)
+    fh.write_uint(assignment, 4)
     fh.write_uint(0b100, 3)    # 16 bits per sample
-    fh.write_uint(0, 1)        # reserved
+    fh.write_uint(0, 1)
     hdr = fh.to_bytes() + _utf8_coded_number(0) + struct.pack(">H", n - 1)
     hdr += bytes([crc8(hdr)])
 
     body = _BitWriter()
-    for c in range(ch):
-        x = samples[:, c].astype(np.int64)
-        # best FIXED order by total rice cost
-        best = None
-        for order in range(0, min(5, n)):
-            res = _fixed_residual(x, order)
-            if len(res) == 0:
-                k, bits = 0, order * 16
-            else:
-                k = _best_rice_k(res)
-                bits = order * 16 + _rice_bits(res, k)
-            if best is None or bits < best[0]:
-                best = (bits, order, k)
-        _, order, k = best
-        res = _fixed_residual(x, order)
-        body.write_uint(0, 1)               # zero padding bit
-        body.write_uint(0b001000 | order, 6)  # FIXED subframe type
-        body.write_uint(0, 1)               # no wasted bits
-        for w in range(order):              # warmup samples, 16-bit
-            body.write_uint(int(x[w]) & 0xFFFF, 16)
-        body.write_uint(0b00, 2)            # residual method: RICE (4-bit)
-        body.write_uint(0, 4)               # partition order 0
-        body.write_uint(k, 4)               # rice parameter
-        if len(res):
-            body.write_bits_array(_rice_encode_bits(res, k))
+    for x, sbits, (_, order, k) in plans:
+        _write_subframe(body, x, order, k, sbits)
     frame = hdr + body.to_bytes()
     frame += struct.pack(">H", crc16(frame))
     return header + frame
@@ -416,10 +452,14 @@ def _decode_frame(payload: bytes, pos: int, ch: int,
     sr_code = payload[pos + 2] & 0x0F
     ch_code = payload[pos + 3] >> 4
     ss_code = (payload[pos + 3] >> 1) & 0x07
-    if ch_code > 7:
-        raise ValueError(
-            "flac: stereo decorrelation (left/mid/side) not supported")
-    if ch_code + 1 != ch:
+    if ch_code > 10:
+        raise ValueError(f"flac: reserved channel assignment {ch_code}")
+    side_idx = None
+    if ch_code > 7:  # stereo decorrelation: left/side, right/side, mid/side
+        if ch != 2:
+            raise ValueError("flac: decorrelated frame in non-stereo stream")
+        side_idx = 0 if ch_code == 9 else 1
+    elif ch_code + 1 != ch:
         raise ValueError("flac: frame channel count != STREAMINFO")
     if ss_code and _SAMPLE_SIZES.get(ss_code) != 16:
         raise ValueError("flac: only 16-bit frames supported")
@@ -444,6 +484,7 @@ def _decode_frame(payload: bytes, pos: int, ch: int,
     pos += 1
 
     br = _BitReader(payload[pos:])
+    subs = []
     for c in range(ch):
         if br.read_uint(1):
             raise ValueError("flac: bad subframe padding bit")
@@ -451,7 +492,9 @@ def _decode_frame(payload: bytes, pos: int, ch: int,
         wasted = 0
         if br.read_uint(1):
             wasted = br.read_unary() + 1
-        eff_bits = 16 - wasted
+        # the difference (side) channel of a decorrelated pair carries
+        # one extra bit of range
+        eff_bits = 16 + (1 if c == side_idx else 0) - wasted
         if stype == 0:          # CONSTANT
             v = _sign_extend(br.read_uint(eff_bits), eff_bits)
             x = np.full(n, v, np.int64)
@@ -484,7 +527,20 @@ def _decode_frame(payload: bytes, pos: int, ch: int,
                 x[i] = res[i - order] + pred
         else:
             raise ValueError(f"flac: reserved subframe type {stype}")
-        chans[c].append(x << wasted)
+        subs.append(x << wasted)
+    if side_idx is None:
+        for c in range(ch):
+            chans[c].append(subs[c])
+    elif ch_code == 8:    # left/side: r = l - s
+        chans[0].append(subs[0])
+        chans[1].append(subs[0] - subs[1])
+    elif ch_code == 9:    # right/side: l = r + s
+        chans[0].append(subs[1] + subs[0])
+        chans[1].append(subs[1])
+    else:                 # mid/side (spec reconstruction)
+        m2 = (subs[0] << 1) | (subs[1] & 1)
+        chans[0].append((m2 + subs[1]) >> 1)
+        chans[1].append((m2 - subs[1]) >> 1)
     br.align_byte()
     pos += br.pos // 8
     if crc16(payload[frame_start:pos]) != struct.unpack_from(

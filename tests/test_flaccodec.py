@@ -96,3 +96,29 @@ def test_audio_stage_flac_matches_wav():
     flac = stage(_batch(encode_flac(x, 16000))).to_pydict()
     assert wav == flac
     assert wav["n_frames"][0] == 2048 // 256
+
+
+def test_stereo_decorrelation_roundtrip_and_wins():
+    """Correlated stereo picks a decorrelation assignment (smaller than
+    independent coding) and still round-trips bit-exactly; the decoder
+    reconstructs all three assignment modes."""
+    from json_time_series_extractor_ray.functions import flaccodec as F
+
+    rng = np.random.default_rng(9)
+    base = np.cumsum(rng.integers(-80, 80, size=4000)).clip(-30000, 30000)
+    st = np.stack([base, base + rng.integers(-3, 4, size=4000)],
+                  axis=1).astype(np.int16)
+    payload = encode_flac(st, 44100)
+    assert np.array_equal(decode_flac(payload)["samples"], st)
+    l, r = st[:, 0].astype(np.int64), st[:, 1].astype(np.int64)
+    indep = F._subframe_cost(l, 16)[0] + F._subframe_cost(r, 16)[0]
+    ms = (F._subframe_cost((l + r) >> 1, 16)[0]
+          + F._subframe_cost(l - r, 17)[0])
+    assert ms < indep          # decorrelation genuinely cheaper here
+    assert len(payload) < st.nbytes / 2
+
+    # extreme side values (full 17-bit range) survive
+    ext = np.stack([np.full(100, 32767), np.full(100, -32768)],
+                   axis=1).astype(np.int16)
+    assert np.array_equal(decode_flac(encode_flac(ext, 8000))["samples"],
+                          ext)
