@@ -229,9 +229,9 @@ def _utf8_coded_number(value: int) -> bytes:
     if value < 0x80:
         return bytes([value])
     out = []
-    bits = value.bit_length()
+    # an n-byte coding carries (7 - n) + 6*(n - 1) payload bits
     n_bytes = 2
-    while bits > 5 * n_bytes + (7 - n_bytes) - 1 and n_bytes < 7:
+    while value >= 1 << ((7 - n_bytes) + 6 * (n_bytes - 1)) and n_bytes < 7:
         n_bytes += 1
     # leading byte: n_bytes ones, a zero, then the top payload bits
     payload_bits = 6 * (n_bytes - 1)

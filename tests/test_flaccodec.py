@@ -122,3 +122,16 @@ def test_stereo_decorrelation_roundtrip_and_wins():
                    axis=1).astype(np.int16)
     assert np.array_equal(decode_flac(encode_flac(ext, 8000))["samples"],
                           ext)
+
+
+def test_utf8_coded_number_roundtrip():
+    from json_time_series_extractor_ray.functions.flaccodec import (
+        _read_utf8_coded,
+        _utf8_coded_number,
+    )
+
+    for v in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x1FFFFF,
+              0x200000, 0x3FFFFFF, 0x4000000, 2 ** 35):
+        b = _utf8_coded_number(v)
+        got, pos = _read_utf8_coded(b, 0)
+        assert got == v and pos == len(b)
