@@ -133,12 +133,22 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
-        # q zero bits terminated by a one bit
-        one = np.argmax(self.bits[self.pos:] == 1)
-        if self.bits[self.pos + one] != 1:
-            raise ValueError("flac: unterminated unary code")
-        self.pos += one + 1
-        return int(one)
+        # q zero bits terminated by a one bit; scan in growing windows
+        # (an argmax over the whole remaining buffer would make a run
+        # of unary reads quadratic in stream size)
+        start = self.pos
+        window = 64
+        while start < len(self.bits):
+            chunk = self.bits[start:start + window]
+            nz = np.flatnonzero(chunk)
+            if len(nz):
+                one = start + int(nz[0])
+                q = one - self.pos
+                self.pos = one + 1
+                return q
+            start += window
+            window *= 2
+        raise ValueError("flac: unterminated unary code")
 
     def align_byte(self) -> None:
         self.pos = (self.pos + 7) // 8 * 8
@@ -181,12 +191,39 @@ def _rice_encode_bits(res: np.ndarray, k: int) -> np.ndarray:
 
 
 def _rice_decode(reader: _BitReader, n: int, k: int) -> np.ndarray:
-    out = np.empty(n, np.int64)
-    for i in range(n):
-        q = reader.read_unary()
-        u = (q << k) | reader.read_uint(k) if k else q
-        out[i] = (u >> 1) ^ -(u & 1)  # un-zigzag
-    return out
+    """Decode ``n`` Rice(k) values: ONE flatnonzero finds every 1-bit
+    ahead of the cursor, a bisect walk separates unary terminators from
+    remainder bits (plain-int loop), and the k-bit remainders gather
+    vectorized afterwards — no per-sample numpy dispatch."""
+    import bisect
+
+    bits = reader.bits
+    base = reader.pos
+    ones = np.flatnonzero(bits[base:]).tolist()
+    qs = np.empty(n, np.int64)
+    rem_starts = np.empty(n, np.int64)
+    cursor = 0  # relative to base
+    idx = 0
+    try:
+        for i in range(n):
+            idx = bisect.bisect_left(ones, cursor, idx)
+            term = ones[idx]
+            qs[i] = term - cursor
+            rem_starts[i] = term + 1
+            cursor = term + 1 + k
+    except IndexError:
+        raise ValueError("flac: unterminated unary code")
+    if base + cursor > len(bits):
+        raise ValueError("flac: truncated bitstream")
+    reader.pos = base + cursor
+    u = qs.astype(np.uint64) << np.uint64(k)
+    if k:
+        gather = base + rem_starts
+        for j in range(k):
+            u |= (bits[gather + j].astype(np.uint64)
+                  << np.uint64(k - 1 - j))
+    return ((u >> np.uint64(1)).astype(np.int64)
+            ^ -(u & np.uint64(1)).astype(np.int64))
 
 
 # ---------------------------------------------------------------------------
@@ -416,9 +453,14 @@ def decode_flac(payload: bytes) -> dict:
 
     chans = [[] for _ in range(ch)]
     got = 0
+    # ONE bit view over the whole payload, shared across frames (frame
+    # boundaries are byte-aligned, so the cursor is just pos * 8) — a
+    # per-frame unpackbits of the remaining stream would make F-frame
+    # decode O(F x bytes)
+    br = _BitReader(payload)
     while got < total:
         try:
-            pos, n = _decode_frame(payload, pos, ch, chans)
+            pos, n = _decode_frame(payload, pos, ch, chans, br)
         except (struct.error, IndexError):
             # malformed/truncated bytes must fail uniformly (the module
             # contract): a corrupt length can push any raw byte read
@@ -441,7 +483,7 @@ def decode_flac(payload: bytes) -> dict:
 
 
 def _decode_frame(payload: bytes, pos: int, ch: int,
-                  chans: list) -> tuple[int, int]:
+                  chans: list, br: _BitReader) -> tuple[int, int]:
     frame_start = pos
     if pos + 5 > len(payload):
         raise ValueError("flac: truncated frame")
@@ -483,7 +525,7 @@ def _decode_frame(payload: bytes, pos: int, ch: int,
         raise ValueError("flac: frame header CRC-8 mismatch")
     pos += 1
 
-    br = _BitReader(payload[pos:])
+    br.pos = pos * 8
     subs = []
     for c in range(ch):
         if br.read_uint(1):
@@ -542,7 +584,7 @@ def _decode_frame(payload: bytes, pos: int, ch: int,
         chans[0].append((m2 + subs[1]) >> 1)
         chans[1].append((m2 - subs[1]) >> 1)
     br.align_byte()
-    pos += br.pos // 8
+    pos = br.pos // 8
     if crc16(payload[frame_start:pos]) != struct.unpack_from(
             ">H", payload, pos)[0]:
         raise ValueError("flac: frame CRC-16 mismatch")

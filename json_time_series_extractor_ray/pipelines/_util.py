@@ -69,10 +69,15 @@ def value_ordered_shards(values, num_shards: int):
     value-ordered split.  Shared by ``relational.customer_spend_gini``
     and ``ranktests.mannwhitney_weekend``'s distributed prefix-rank.
     """
-    s = np.ascontiguousarray(
+    s = np.array(
         values.to_numpy(zero_copy_only=False)
         if hasattr(values, "to_numpy") else values,
         dtype=np.float64)
+    # IEEE -0.0 and +0.0 compare equal everywhere downstream (pandas
+    # groupby, DuckDB) but have different bit patterns — normalize so
+    # the 'equal values share a shard' invariant holds for the zero tie
+    # group (s == 0.0 matches both zeros)
+    s[s == 0.0] = 0.0
     u = s.view(np.uint64)
     su = np.where(u >> np.uint64(63), ~u, u | np.uint64(1 << 63))
     mbits = max(int(np.log2(max(num_shards, 1))), 0)

@@ -50,6 +50,7 @@ from ..functions.mediacodecs import (
     encode_wav,
     sniff_format,
 )
+from ._util import round_half_away
 from .registry import register
 
 MEDIA_SCHEMA = pa.schema(
@@ -963,9 +964,13 @@ class AudioFeatureStage:
                 .mean(axis=1)
             ids.append(media_id)
             nfr.append(frames.shape[0])
-            rms_m.append(float(np.round(rms.mean(), 6)))
-            zcr_m.append(float(np.round(zc.mean(), 6)))
-            peak.append(float(np.round(np.abs(x).max(initial=0.0), 6)))
+            # round_half_away, not np.round: the flac oracle compares
+            # these against DuckDB's round(), which rounds halves away
+            # from zero while numpy rounds half-to-even
+            rms_m.append(float(round_half_away(np.float64(rms.mean()), 6)))
+            zcr_m.append(float(round_half_away(np.float64(zc.mean()), 6)))
+            peak.append(float(round_half_away(
+                np.float64(np.abs(x).max(initial=0.0)), 6)))
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "n_frames": pa.array(nfr, pa.int64()),

@@ -178,11 +178,13 @@ def run_dist(num_cpus: int = 32) -> dict:
                  include_dashboard=False, log_to_driver=False)
         ray.data.DataContext.get_current().target_max_block_size = (
             8 * 1024 * 1024)
-    ops = {
+    fns = {
         "events_weekend_mannwhitney": mannwhitney_weekend,
         "events_psi_drift": psi_drift,
         "events_wasserstein_drift": wasserstein_drift,
     }
+    # one source of truth for the soak set: DIST_SOAK_QUERIES
+    ops = {name: fns[name] for name in DIST_SOAK_QUERIES}
     out = {"metric": "sf1_soak_dist_stats", "sf": 1.0,
            "num_cpus": num_cpus, "replicas": REPLICAS,
            "queries": {}, "rows": {}, "host_probe": probe}

@@ -265,3 +265,24 @@ def test_mannwhitney_shard_count_invariance(ray_session):
     outs.append(mannwhitney_weekend(ray.data.from_pandas(df)))
     for other in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], other)
+
+
+def test_value_ordered_shards_signed_zero(ray_session):
+    """-0.0 and +0.0 compare equal in every downstream groupby, so they
+    must share a shard (review finding: a split zero tie group corrupts
+    the distributed rank sum), and the full pipeline must agree with
+    the serial fold on a zero-straddling series."""
+    import ray
+
+    from json_time_series_extractor_ray.pipelines._util import (
+        value_ordered_shards,
+    )
+
+    s = value_ordered_shards(np.array([-0.0, 0.0]), 64)
+    assert s[0] == s[1]
+
+    df = _samples([-0.0, 5.0], [0.0, 0.0, 1.0])
+    sharded = mannwhitney_weekend(ray.data.from_pandas(df),
+                                  driver_fold_rows=0)
+    folded = mannwhitney_weekend(ray.data.from_pandas(df))
+    pd.testing.assert_frame_equal(sharded, folded)
