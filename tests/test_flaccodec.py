@@ -135,3 +135,42 @@ def test_utf8_coded_number_roundtrip():
         b = _utf8_coded_number(v)
         got, pos = _read_utf8_coded(b, 0)
         assert got == v and pos == len(b)
+
+
+def test_mixed_wav_flac_dataset(ray_session):
+    """A corpus mixing WAV and FLAC payloads featurizes in one actor
+    pool pass; identical signals produce identical rows regardless of
+    container."""
+    import ray
+
+    from json_time_series_extractor_ray.functions.mediacodecs import (
+        encode_wav,
+    )
+    from json_time_series_extractor_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        AudioFeatureStage,
+        media_batch_size,
+    )
+
+    rng = np.random.default_rng(77)
+    sig = np.cumsum(rng.integers(-100, 100, size=1024)) \
+        .clip(-32768, 32767).astype(np.int16)
+    tbl = pa.table({
+        "media_id": pa.array(["wav0", "flac0"], pa.string()),
+        "kind": pa.array(["audio"] * 2, pa.string()),
+        "payload": pa.array([encode_wav(sig, 16000),
+                             encode_flac(sig, 16000)], pa.large_binary()),
+        "width": pa.array([0, 0], pa.int32()),
+        "height": pa.array([0, 0], pa.int32()),
+        "sample_rate": pa.array([0, 0], pa.int32()),
+        "duration_ms": pa.array([0, 0], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = ray.data.from_arrow(tbl).map_batches(
+        AudioFeatureStage,
+        batch_size=media_batch_size(4096),
+        concurrency=1,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas().set_index("media_id")
+    for col in ("n_frames", "rms_mean", "zcr_mean", "peak"):
+        assert out.loc["wav0", col] == out.loc["flac0", col]
